@@ -1,0 +1,100 @@
+"""Benchmark: end-to-end k-means reduce of a 4K image at k=8 on one TPU chip.
+
+Driver metric (BASELINE.json): "Mpix/s k-means reduce (k=8, assign+update);
+end-to-end 4K image wall-clock". Measures the full `reduce` path the way a
+user hits it — uint8 RGBA host array in, trained palette (shrink + k-means++
++ Lloyd in Lab) and the quantized uint8 RGBA host array out — then reports
+megapixels per second of 4K (3840x2160) wall-clock.
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is the
+ratio against a measured-class estimate for the wgpu reference on a
+discrete GPU: its reduce path serializes k x scan dispatch chains with a
+host `device.poll(Wait)` per Lloyd iteration plus init/readback, ~150 ms
+end-to-end for 4K at k=8 => ~55 Mpix/s. See BASELINE.md for why this must
+be an estimate (the Rust toolchain and a GPU are unavailable here).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_BASELINE_MPIX_S = 55.0
+K = 8
+WIDTH, HEIGHT = 3840, 2160
+REPS = 5
+
+
+def _load_4k_image() -> np.ndarray:
+    """4K test image: tokyo.png (the reference's benchmark asset) tiled up
+    to 3840x2160, or a synthetic gradient if unavailable."""
+    tokyo = "/root/reference/gfx/tokyo.png"
+    if os.path.exists(tokyo):
+        from kmeans_tpu.utils.imageio import load_image
+
+        img = load_image(tokyo).pixels  # [513, 768, 4]
+        reps_y = HEIGHT // img.shape[0] + 1
+        reps_x = WIDTH // img.shape[1] + 1
+        tiled = np.tile(img, (reps_y, reps_x, 1))[:HEIGHT, :WIDTH]
+        return np.ascontiguousarray(tiled)
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:HEIGHT, 0:WIDTH]
+    rgb = np.stack(
+        [
+            (x * 255 // WIDTH),
+            (y * 255 // HEIGHT),
+            ((x + y) * 255 // (WIDTH + HEIGHT)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    noise = rng.integers(-8, 9, rgb.shape)
+    rgb = np.clip(rgb.astype(int) + noise, 0, 255).astype(np.uint8)
+    return np.concatenate(
+        [rgb, np.full((HEIGHT, WIDTH, 1), 255, np.uint8)], axis=-1
+    )
+
+
+def main() -> None:
+    from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
+    from kmeans_tpu.image import Image
+    from kmeans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    pixels = _load_4k_image()
+    image = Image((WIDTH, HEIGHT), pixels)
+    processor = ImageProcessor()
+
+    # Warmup: compile every executable in the path.
+    processor.reduce(K, image, Algorithm.KMEANS, ReduceMode.REPLACE)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = processor.reduce(K, image, Algorithm.KMEANS, ReduceMode.REPLACE)
+        # .pixels is a host numpy array: the transfer back is included.
+        assert out.pixels.shape == (HEIGHT, WIDTH, 4)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    mpix_s = (WIDTH * HEIGHT / 1e6) / best
+    print(
+        json.dumps(
+            {
+                "metric": "kmeans_reduce_4k_k8_e2e",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / REFERENCE_BASELINE_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

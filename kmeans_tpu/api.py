@@ -1,0 +1,308 @@
+"""Public API: `ImageProcessor` with `palette` / `find` / `reduce`.
+
+Python analogue of the reference's `core/src/lib.rs:24-331`. Where the
+reference's constructor acquires a wgpu adapter/device/queue
+(`core/src/lib.rs:38-65`), JAX owns the TPU runtime — the constructor just
+pins the target device(s). The three entry points match the reference's
+signatures and behavior:
+
+- `palette(color_count, image, algo)` -> k RGBA8 colors sorted by Lab L*
+  ascending (`core/src/lib.rs:255-331`).
+- `find(image, colors, reduce_mode)` -> recolored Image using a fixed
+  palette, no training (`core/src/lib.rs:79-114`).
+- `reduce(color_count, image, algo, reduce_mode)` -> recolored Image from a
+  trained palette (`core/src/lib.rs:116-164`).
+
+Like the reference, `find`/`reduce` always work in CIELAB
+(`core/src/lib.rs:87,94,131` hardcode `ColorSpace::Lab`); the Rgb working
+space (convergence 0.01, no color conversion) is reachable through the
+internal `extract_palette_kmeans`, mirroring the reference internals.
+
+TPU-first extensions beyond the reference:
+- `reduce_batch`: one compiled executable quantizing a batch of frames /
+  k-values in parallel (replaces the reference's one-thread-per-k
+  `core/examples/parallel.rs`).
+- no 8192x8192 size cap (the reference inherits it from GPU texture
+  limits, `README.md:9-11`); pixel counts are bounded only by HBM.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmeans_tpu.image import Image
+from kmeans_tpu.models import kmeans as kmeans_model
+from kmeans_tpu.models.octree import extract_palette_octree
+from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
+from kmeans_tpu.ops.quantize import quantize_image
+from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
+
+# Training-image shrink cap (`core/src/structures.rs:23`).
+MAX_IMAGE_DIMENSION = 256
+# Octree sampling cap (`core/src/lib.rs:293`).
+OCTREE_MAX_SIZE = 128
+
+
+class ColorSpace(Enum):
+    """Working color space (`core/src/lib.rs:166-212`)."""
+
+    LAB = "lab"
+    RGB = "rgb"
+
+    @property
+    def convergence(self) -> float:
+        return {ColorSpace.LAB: 1.0, ColorSpace.RGB: 0.01}[self]
+
+
+class Algorithm(Enum):
+    """Palette algorithm (`core/src/lib.rs:216-233`)."""
+
+    KMEANS = "kmeans"
+    OCTREE = "octree"
+
+
+class ReduceMode(Enum):
+    """Output mode (`core/src/lib.rs:235-256`)."""
+
+    REPLACE = "replace"
+    DITHER = "dither"
+    MELD = "meld"
+
+
+@partial(jax.jit, static_argnames=("k", "train_shape", "lab"))
+def _train_jit(
+    pixels_u8: jnp.ndarray,
+    k: int,
+    train_shape: tuple[int, int],
+    first_index: int,
+    convergence: float,
+    lab: bool = True,
+):
+    """Single-executable training path: shrink -> colorspace -> seed ->
+    Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
+    where every eagerly-dispatched op would pay compile/launch overhead."""
+    sh, sw = train_shape
+    if (pixels_u8.shape[0], pixels_u8.shape[1]) != (sh, sw):
+        pixels_u8 = resize_uint8(pixels_u8, sh, sw)
+    rgb = pixels_u8[..., :3].reshape(-1, 3)
+    work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
+    centroids, iters = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    return centroids, iters
+
+
+@jax.jit
+def _lab_palette_to_u8(centroids: jnp.ndarray) -> jnp.ndarray:
+    """Palette readback: Lab -> RGBA8 + the L* sort key recomputed from the
+    u8 colors (`CentroidsBuffer::pull_values` + the sort in
+    `core/src/lib.rs:276-284`)."""
+    rgb8 = lab_to_srgb8(centroids)
+    lightness = srgb8_to_lab(rgb8)[:, 0]
+    alpha = jnp.full((rgb8.shape[0], 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb8, alpha], axis=1), lightness
+
+
+def _as_image(image) -> Image:
+    if isinstance(image, Image):
+        return image
+    arr = np.asarray(image, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[-1] != 4:
+        raise ValueError("expected an Image or an [H, W, 4] uint8 array")
+    return Image((arr.shape[1], arr.shape[0]), arr)
+
+
+def _colors_to_lab(colors: np.ndarray) -> np.ndarray:
+    """`CentroidsBuffer::fixed_centroids` (`core/src/structures.rs:523-553`):
+    user RGBA8 colors -> Lab centroids (host-side numpy)."""
+    colors = np.asarray(colors, dtype=np.uint8).reshape(-1, 4)
+    return srgb8_to_lab_np(colors[:, :3])
+
+
+def _sort_by_lightness(colors_u8: np.ndarray) -> np.ndarray:
+    """Sort RGBA8 colors by Lab L* ascending (`core/src/lib.rs:276-284`)."""
+    lightness = srgb8_to_lab_np(colors_u8[:, :3])[:, 0]
+    return colors_u8[np.argsort(lightness, kind="stable")]
+
+
+class ImageProcessor:
+    """Device-facing entry point (`core/src/lib.rs:24-65`).
+
+    `devices`: JAX devices to use (defaults to all of `jax.devices()`;
+    single-device execution uses the first). Multi-device sharding lives in
+    `kmeans_tpu.parallel`.
+    """
+
+    def __init__(self, devices=None):
+        self.devices = list(devices) if devices is not None else jax.devices()
+
+    # ------------------------------------------------------------------ #
+    # Internal palette extraction
+    # ------------------------------------------------------------------ #
+
+    def extract_palette_kmeans(
+        self,
+        image: Image,
+        k: int,
+        color_space: ColorSpace = ColorSpace.LAB,
+    ) -> jnp.ndarray:
+        """Train k centroids on the (shrunk) image; returns `[k, 3]` in the
+        working space. Mirrors `operations::extract_palette_kmeans`
+        (`core/src/operations.rs:15-88`): shrink to <=256px long side,
+        convert, seed, Lloyd."""
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        centroids, _ = _train_jit(
+            jnp.asarray(image.pixels),
+            k,
+            (sh, sw),
+            first,
+            color_space.convergence,
+            lab=color_space is ColorSpace.LAB,
+        )
+        return centroids
+
+    def _octree_palette_u8(self, image: Image, k: int) -> np.ndarray:
+        """`octree_palette` (`core/src/lib.rs:288-331`): shrink to <=128px,
+        octree-reduce on CPU, sort by L*."""
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
+        pixels_u8 = image.pixels
+        if (sw, sh) != (w, h):
+            pixels_u8 = np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
+        colors = extract_palette_octree(pixels_u8[..., :3].reshape(-1, 3), k)
+        return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+
+    # ------------------------------------------------------------------ #
+    # Public entry points (parity with core/src/lib.rs)
+    # ------------------------------------------------------------------ #
+
+    def palette(
+        self, color_count: int, image, algo: Algorithm = Algorithm.KMEANS
+    ) -> np.ndarray:
+        """Extract the k dominant colors as `[k, 4]` RGBA8, sorted by L*
+        ascending (`core/src/lib.rs:67-77,255-331`)."""
+        image = _as_image(image)
+        _validate_k(color_count)
+        if algo is Algorithm.OCTREE:
+            return self._octree_palette_u8(image, color_count)
+        centroids = self.extract_palette_kmeans(image, color_count)
+        # `CentroidsBuffer::pull_values` (`core/src/structures.rs:581-617`):
+        # Lab -> sRGB8 on readback, then the L* sort.
+        rgba, lightness = _lab_palette_to_u8(centroids)
+        order = np.argsort(np.asarray(lightness), kind="stable")
+        return np.asarray(rgba)[order]
+
+    def find(
+        self, image, colors, reduce_mode: ReduceMode = ReduceMode.REPLACE
+    ) -> Image:
+        """Recolor with a fixed palette — no training
+        (`core/src/lib.rs:79-114`)."""
+        image = _as_image(image)
+        palette_lab = _colors_to_lab(_colors_rgba(colors))
+        out = quantize_image(
+            jnp.asarray(image.pixels), palette_lab, mode=reduce_mode.value
+        )
+        return Image(image.dimensions, np.asarray(out))
+
+    def reduce(
+        self,
+        color_count: int,
+        image,
+        algo: Algorithm = Algorithm.KMEANS,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> Image:
+        """Quantize the image to `color_count` colors
+        (`core/src/lib.rs:116-164`)."""
+        image = _as_image(image)
+        _validate_k(color_count)
+        if algo is Algorithm.KMEANS:
+            palette_lab = self.extract_palette_kmeans(image, color_count)
+        else:
+            palette_u8 = self._octree_palette_u8(image, color_count)
+            palette_lab = _colors_to_lab(palette_u8)
+        out = quantize_image(
+            jnp.asarray(image.pixels), palette_lab, mode=reduce_mode.value
+        )
+        return Image(image.dimensions, np.asarray(out))
+
+    # ------------------------------------------------------------------ #
+    # TPU-first extensions
+    # ------------------------------------------------------------------ #
+
+    def reduce_batch(
+        self,
+        image,
+        color_counts,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Quantize one image at several k values in a single compiled,
+        vmapped executable (replaces `core/examples/parallel.rs:36-51`'s
+        one-thread-per-k host concurrency). All k share one padded cluster
+        axis; inactive clusters are masked."""
+        image = _as_image(image)
+        ks = [int(k) for k in color_counts]
+        for k in ks:
+            _validate_k(k)
+        kmax = max(ks)
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        outs = np.asarray(
+            _reduce_batch_jit(
+                jnp.asarray(image.pixels),
+                jnp.asarray(ks, jnp.int32),
+                kmax,
+                (sh, sw),
+                first,
+                reduce_mode.value,
+            )
+        )
+        return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
+
+
+@partial(jax.jit, static_argnames=("kmax", "train_shape", "mode"))
+def _reduce_batch_jit(
+    pixels_u8: jnp.ndarray,
+    k_actives: jnp.ndarray,
+    kmax: int,
+    train_shape: tuple[int, int],
+    first_index: int,
+    mode: str,
+):
+    """vmapped train + quantize over a batch of k values, one executable."""
+    sh, sw = train_shape
+    train_u8 = (
+        resize_uint8(pixels_u8, sh, sw)
+        if (pixels_u8.shape[0], pixels_u8.shape[1]) != (sh, sw)
+        else pixels_u8
+    )
+    work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+
+    fit_v = jax.vmap(
+        lambda ka: kmeans_model.fit(work, kmax, first_index, k_active=ka)[0]
+    )
+    centroids = fit_v(k_actives)  # [B, kmax, 3]
+
+    quant_v = jax.vmap(
+        lambda cents, ka: quantize_image(pixels_u8, cents, mode=mode, k_active=ka)
+    )
+    return quant_v(centroids, k_actives)
+
+
+def _validate_k(k: int) -> None:
+    if int(k) < 1:
+        raise ValueError("k must be an integer higher than 0.")
+
+
+def _colors_rgba(colors) -> np.ndarray:
+    arr = np.asarray(colors, dtype=np.uint8)
+    if arr.ndim == 2 and arr.shape[1] == 3:
+        arr = np.concatenate(
+            [arr, np.full((arr.shape[0], 1), 255, np.uint8)], axis=1
+        )
+    return arr.reshape(-1, 4)

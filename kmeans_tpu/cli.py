@@ -1,0 +1,233 @@
+"""Command-line interface: `palette`, `find`, `reduce`.
+
+Parity port of the reference CLI (`cli/src/args.rs:12-294`,
+`cli/src/main.rs:15-243`): same subcommands, flags, validators, default
+output-filename conventions, swatch rendering and hex palette printing.
+
+    kmeans-tpu palette -i img.png -c 8 [-a kmeans|octree] [-s 40] [-o out.png]
+    kmeans-tpu find    -i img.png -p '#RRGGBB,#RRGGBB'|palette.png [-m replace|dither|meld]
+    kmeans-tpu reduce  -i img.png -c 8 [-a ...] [-m ...] [-o out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("kmeans_tpu")
+
+_HEX_PALETTE_RE = re.compile(r"^#[0-9a-fA-F]{6}(?:,#[0-9a-fA-F]{6})*$")
+MAX_PALETTE_PIXELS = 512  # cli/src/args.rs:199-203
+
+
+def validate_k(value: str) -> int:
+    """k must be an integer >= 1 (`cli/src/args.rs:160-171`)."""
+    try:
+        k = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError("k must be an integer higher than 0.")
+    if k < 1:
+        raise argparse.ArgumentTypeError("k must be an integer higher than 0.")
+    return k
+
+
+def validate_filename(value: str) -> str:
+    """Only .png / .jpg, with a non-empty stem (`cli/src/args.rs:173-179`)."""
+    if len(value) > 4 and (value.endswith(".png") or value.endswith(".jpg")):
+        return value
+    raise argparse.ArgumentTypeError("Only support png or jpg files.")
+
+
+def validate_size(value: str) -> int:
+    s = int(value)
+    if not 1 <= s <= 60:
+        raise argparse.ArgumentTypeError("size must be between 1 and 60")
+    return s
+
+
+def parse_colors(spec: str) -> np.ndarray:
+    """'#RRGGBB,#RRGGBB' -> [k, 4] RGBA8 (`cli/src/args.rs:233-247`)."""
+    colors = []
+    for part in spec.split(","):
+        colors.append(
+            (int(part[1:3], 16), int(part[3:5], 16), int(part[5:7], 16), 255)
+        )
+    return np.asarray(colors, dtype=np.uint8)
+
+
+def parse_palette_image(path: str) -> np.ndarray:
+    """Load a palette from an image file: <= 512 pixels, all distinct;
+    colors are sorted and deduped (`cli/src/args.rs:197-231`)."""
+    from kmeans_tpu.utils.imageio import load_image
+
+    image = load_image(path)
+    w, h = image.dimensions
+    pixel_count = w * h
+    if pixel_count > MAX_PALETTE_PIXELS:
+        raise SystemExit("Trying to load a palette with more than 512 colors")
+    colors = image.pixels.reshape(-1, 4)
+    uniq = np.unique(colors, axis=0)  # sorted lexicographically, like Vec::sort
+    if len(uniq) < pixel_count:
+        raise SystemExit("Trying to load a palette with recuring colors")
+    return uniq
+
+
+def validate_palette(value: str) -> np.ndarray:
+    """Hex list or palette-image path (`cli/src/args.rs:181-195`)."""
+    if _HEX_PALETTE_RE.match(value):
+        return parse_colors(value)
+    if (
+        len(value) > 4
+        and (value.endswith(".png") or value.endswith(".jpg"))
+        and os.path.exists(value)
+    ):
+        return parse_palette_image(value)
+    raise argparse.ArgumentTypeError(
+        'The palette should be a path to an image file, or defined as '
+        '"#RRGGBB,#RRGGBB,#RRGGBB"'
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Output path conventions (cli/src/main.rs:127-219)
+# ---------------------------------------------------------------------- #
+
+
+def reduce_file_path(k: int, algo: str, mode: str, output, input_path: str) -> str:
+    if output:
+        return output
+    parent = os.path.dirname(input_path)
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    return os.path.join(parent, f"{stem}-reduce-c{k}-{algo}-{mode}.png")
+
+
+def palette_file_path(k: int, input_path: str, output, algo: str, size: int) -> str:
+    if output:
+        return output
+    parent = os.path.dirname(input_path)
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    return os.path.join(parent, f"{stem}-palette-c{k}-{algo}-s{size}.png")
+
+
+def find_file_path(mode: str, output, input_path: str) -> str:
+    if output:
+        return output
+    parent = os.path.dirname(input_path)
+    stem, ext = os.path.splitext(os.path.basename(input_path))
+    millis = int(time.time() * 1000)
+    return os.path.join(parent, f"{stem}-find-{mode}-{millis}{ext}")
+
+
+def render_swatch(palette: np.ndarray, size: int) -> np.ndarray:
+    """k*size x size swatch image (`cli/src/main.rs:221-239`)."""
+    k = palette.shape[0]
+    row = np.repeat(palette[None, :, :], size, axis=0)  # [size, k, 4]
+    return np.repeat(row, size, axis=1).astype(np.uint8)  # [size, k*size, 4]
+
+
+def palette_hex(palette: np.ndarray) -> str:
+    return ",".join(f"#{r:02X}{g:02X}{b:02X}" for r, g, b, _ in palette)
+
+
+# ---------------------------------------------------------------------- #
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="kmeans-tpu",
+        description="TPU-native k-means image color quantization",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    palette = sub.add_parser(
+        "palette", help="Quantized the image then output the reduced palette."
+    )
+    palette.add_argument("-c", "--colorcount", type=validate_k, required=True)
+    palette.add_argument("-i", "--input", type=validate_filename, required=True)
+    palette.add_argument("-o", "--output")
+    palette.add_argument(
+        "-a", "--algo", choices=["kmeans", "octree"], default="kmeans"
+    )
+    palette.add_argument("-s", "--size", type=validate_size, default=40)
+
+    find = sub.add_parser(
+        "find",
+        help="Find colors in image that are closest to the replacements, and swap them.",
+    )
+    find.add_argument("-i", "--input", type=validate_filename, required=True)
+    find.add_argument("-o", "--output")
+    find.add_argument("-p", "--palette", type=validate_palette, required=True)
+    find.add_argument(
+        "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
+    )
+
+    reduce = sub.add_parser(
+        "reduce", help="Quantized the image then replaces it's resulting color."
+    )
+    reduce.add_argument("-c", "--colorcount", type=validate_k, required=True)
+    reduce.add_argument("-i", "--input", type=validate_filename, required=True)
+    reduce.add_argument("-o", "--output")
+    reduce.add_argument(
+        "-a", "--algo", choices=["kmeans", "octree"], default="kmeans"
+    )
+    reduce.add_argument(
+        "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
+    )
+
+    return parser
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=os.environ.get("KMEANS_TPU_LOG", "WARNING").upper(),
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+
+    from kmeans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
+    from kmeans_tpu.image import Image
+    from kmeans_tpu.utils.imageio import load_image, save_image
+
+    processor = ImageProcessor()
+
+    if args.command == "palette":
+        image = load_image(args.input)
+        palette = processor.palette(
+            args.colorcount, image, Algorithm(args.algo)
+        )
+        out_path = palette_file_path(
+            args.colorcount, args.input, args.output, args.algo, args.size
+        )
+        swatch = render_swatch(palette, args.size)
+        save_image(Image((swatch.shape[1], swatch.shape[0]), swatch), out_path)
+        print(f"Palette: {palette_hex(palette)}")
+    elif args.command == "find":
+        image = load_image(args.input)
+        result = processor.find(image, args.palette, ReduceMode(args.mode))
+        save_image(result, find_file_path(args.mode, args.output, args.input))
+    elif args.command == "reduce":
+        image = load_image(args.input)
+        result = processor.reduce(
+            args.colorcount, image, Algorithm(args.algo), ReduceMode(args.mode)
+        )
+        save_image(
+            result,
+            reduce_file_path(
+                args.colorcount, args.algo, args.mode, args.output, args.input
+            ),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

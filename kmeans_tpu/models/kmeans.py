@@ -1,0 +1,226 @@
+"""K-means color clustering in CIELAB space — TPU-native.
+
+Reimplements the reference's GPU k-means (`core/src/operations.rs:15-88` and
+the WGSL kernels it drives) as pure JAX, with the entire algorithm resident
+on device inside `lax.fori_loop` / `lax.while_loop`:
+
+- **Seeding** (`plusplus_init`): farthest-point ("k-means++-style")
+  selection, mirroring `core/shaders/plus_plus_init.wgsl:70-187` +
+  `kmeans++_calc_diff.wgsl:14-34`. The first centroid is a pseudo-random
+  pixel chosen with the reference's `fract(sin(...))` hash
+  (plus_plus_init.wgsl:58-60,161-168); subsequent centroids are the pixel
+  farthest (max-min CIE94) from the already-chosen set. The reference
+  recomputes the min-distance map over all chosen centroids each round
+  (calc_diff); we maintain it incrementally — mathematically identical,
+  O(N) instead of O(N*k) per round. The reference's decoupled-lookback
+  argmax scan collapses to `jnp.argmax`.
+
+- **Lloyd iterations** (`lloyd`): mirrors `ChooseCentroidModule::compute`
+  (`core/src/modules.rs:763-871`) + `choose_centroid.wgsl:73-206` +
+  `find_centroid.wgsl:15-44`. Each iteration: per-cluster (sum, count)
+  accumulation -> new centroid = sum/count (empty clusters keep their old
+  value and vote "not converged", choose_centroid.wgsl:185-197) ->
+  convergence vote `CIE94(new, old) < threshold` -> re-assignment. The
+  reference's per-workgroup Hillis-Steele scan + decoupled lookback (a GPU
+  workaround for single-pass global reduction) becomes a one-hot matmul on
+  the MXU; the host-driven loop with a `device.poll(Wait)` every iteration
+  becomes a `lax.while_loop` with zero host round-trips.
+
+- **Termination**: max 128 iterations, convergence checked at iterations
+  8, 16, ... (every 8th, not the zeroth), exactly like
+  `core/src/modules.rs:764-766,802-836`.
+
+All functions are shape-static and jit/vmap/shard_map friendly. Cluster
+count `k` is a static Python int; a `k_active` array argument (optional)
+masks trailing clusters off so a batch of images with different k values can
+share one compiled executable (vmap over `k_active`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq
+
+MAX_ITERATIONS = 128  # core/src/modules.rs:765
+CONVERGENCE_CHECK_EVERY = 8  # core/src/modules.rs:766
+LAB_CONVERGENCE = 1.0  # core/src/lib.rs:189-194
+RGB_CONVERGENCE = 0.01
+
+_BIG = 3.4e38  # larger than any CIE94^2; plain float so import stays device-free
+
+
+def reference_seed_index(width: int, height: int) -> int:
+    """Flat index of the first seed pixel.
+
+    Reproduces `plus_plus_init.wgsl` `initial` (:161-168) with its
+    `rand(seed) = fract(sin(dot(vec2(seed), vec2(12.9898, 78.233))) * 43758.5453)`
+    hash (:58-60): x = trunc(W * rand(42)), y = trunc(H * rand(12)).
+    Computed host-side in float32 (the GPU's f32 sin of a large argument is
+    implementation-defined; any deterministic in-range pixel is equally
+    valid as a seed — this is the documented deviation from the reference).
+    """
+
+    def rand(seed: float) -> float:
+        v = np.float32(seed) * (np.float32(12.9898) + np.float32(78.233))
+        s = np.sin(np.float32(v), dtype=np.float32) * np.float32(43758.5453)
+        return float(s - np.floor(s))
+
+    x = min(int(width * rand(42.0)), width - 1)
+    y = min(int(height * rand(12.0)), height - 1)
+    return y * width + x
+
+
+def _masked_d2(pixels: jnp.ndarray, centroids: jnp.ndarray, valid: jnp.ndarray):
+    """Squared CIE94 from each pixel [N,3] to each centroid [K,3];
+    invalid centroids get +inf so they are never selected."""
+    d2 = distance_cie94_sq(pixels[:, None, :], centroids[None, :, :])  # [N,K]
+    return jnp.where(valid[None, :], d2, _BIG)
+
+
+def assign_clusters(
+    pixels: jnp.ndarray, centroids: jnp.ndarray, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Per-pixel argmin over centroids by CIE94 — the `find_centroid.wgsl`
+    assignment step. `pixels[N,3]`, `centroids[K,3]` -> `[N]` int32."""
+    if valid is None:
+        valid = jnp.ones(centroids.shape[0], dtype=bool)
+    return jnp.argmin(_masked_d2(pixels, centroids, valid), axis=1).astype(jnp.int32)
+
+
+def plusplus_init(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    k_active: jnp.ndarray | int | None = None,
+) -> jnp.ndarray:
+    """Farthest-point seeding. `pixels[N,3]` Lab, returns `[k,3]` centroids.
+
+    `first_index` is the flat pixel index of centroid 0 (see
+    `reference_seed_index`). With `k_active < k`, trailing centroids are
+    left as copies of the last active pick (they are masked out of every
+    subsequent computation).
+    """
+    n = pixels.shape[0]
+    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+
+    c0 = pixels[first_index]
+    centroids = jnp.zeros((k, 3), jnp.float32).at[0].set(c0)
+    # Min squared-CIE94 distance to the chosen set (kmeans++_calc_diff.wgsl:27-31,
+    # maintained incrementally instead of recomputed per round).
+    dmap = distance_cie94_sq(pixels, c0[None, :])
+
+    def body(j, carry):
+        centroids, dmap = carry
+        idx = jnp.argmax(dmap)  # farthest-point pick (plus_plus_init.wgsl `main`+`pick`)
+        new_c = pixels[idx]
+        take = j < k_active
+        new_c = jnp.where(take, new_c, centroids[j])
+        centroids = centroids.at[j].set(new_c)
+        dmap = jnp.where(
+            take, jnp.minimum(dmap, distance_cie94_sq(pixels, new_c[None, :])), dmap
+        )
+        return centroids, dmap
+
+    if k > 1:
+        centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, dmap))
+    return centroids
+
+
+def _update_centroids(
+    pixels: jnp.ndarray, assign: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cluster (sum, count) via one-hot matmul — the MXU replacement for
+    choose_centroid.wgsl's decoupled-lookback scan. Full-f32 precision: the
+    default bf16 MXU path would perturb centroid sums enough to flip
+    convergence votes."""
+    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N,K]
+    sums = jax.lax.dot_general(
+        onehot,
+        pixels,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [K,3]
+    counts = jnp.sum(onehot, axis=0)  # [K]
+    return sums, counts
+
+
+def lloyd(
+    pixels: jnp.ndarray,
+    centroids: jnp.ndarray,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lloyd iterations with the reference's termination protocol.
+
+    Returns (centroids [k,3], iterations_run). Fully device-resident: one
+    `lax.while_loop`, no host synchronisation (vs. the reference's
+    `device.poll(Wait)` per iteration, `core/src/modules.rs:790-791`).
+    """
+    k = centroids.shape[0]
+    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_active
+
+    assign0 = assign_clusters(pixels, centroids, valid)
+
+    def cond(carry):
+        _, _, converged, i = carry
+        # Reference checks convergence only at iterations 8, 16, ...
+        # (core/src/modules.rs:802-804: `iteration > 0 && iteration % 8 == 0`).
+        # `i` counts completed iterations; the last completed one is i-1.
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < max_iterations, jnp.logical_not(jnp.logical_and(checked, converged))
+        )
+
+    def body(carry):
+        centroids, assign, _, i = carry
+        sums, counts = _update_centroids(pixels, assign, k)
+        nonempty = counts > 0
+        new_centroids = jnp.where(
+            nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        # Convergence votes (choose_centroid.wgsl `pick`, :185-197): empty
+        # clusters vote 0; inactive (masked) clusters always pass.
+        moved = distance_cie94(new_centroids, centroids)
+        votes = jnp.logical_and(nonempty, moved < convergence)
+        converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
+        assign = assign_clusters(pixels, new_centroids, valid)
+        return new_centroids, assign, converged, i + 1
+
+    centroids, _, _, iters = jax.lax.while_loop(
+        cond, body, (centroids, assign0, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+@partial(jax.jit, static_argnames=("k", "max_iterations"))
+def fit(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Seed + Lloyd: the full `extract_palette_kmeans` compute
+    (`core/src/operations.rs:15-88`) minus the resize/convert edges.
+
+    `pixels[N,3]` Lab -> (`centroids[k,3]` Lab, iterations).
+    """
+    centroids = plusplus_init(pixels, k, first_index, k_active=k_active)
+    return lloyd(
+        pixels,
+        centroids,
+        convergence=convergence,
+        max_iterations=max_iterations,
+        k_active=k_active,
+    )

@@ -1,0 +1,287 @@
+"""Pallas TPU kernels: fused full-resolution quantize pass.
+
+The reference implements the output stage as 3-4 separate GPU dispatches
+over intermediate Rgba32Float textures (convert -> find_centroid ->
+swap/mix -> revert, `core/src/operations.rs:99-271`), i.e. ~4 reads + 4
+writes of f32 pixel data per output pixel. The Pallas kernel here does the
+entire chain in ONE pass at the memory-bandwidth floor:
+
+- pixels stay packed as uint32 RGBA (4 B/px read + 4 B/px write, the
+  minimum possible traffic); bytes are unpacked/repacked with shifts
+  inside the kernel;
+- sRGB -> Lab, the CIE94 argmin over centroids, the mode math (replace /
+  Bayer dither / meld) and Lab -> sRGB all happen in registers/VMEM;
+- the centroid loop is a `fori_loop` over an SMEM-resident palette with a
+  `k_active` mask, so one compiled kernel serves every k <= K_pad;
+- pixel coordinates for the 4x4 Bayer matrix are derived from the flat
+  element index (closed form: M4[y][x] = 4*((2x+3y)&3 of low bits) +
+  ((2x+3y)&3 of high bits)), no table lookup.
+
+The math matches `ops/quantize.py` (same formulas, same reference WGSL
+citations); `tests/test_kernels.py` checks bit-equality of the uint8
+outputs against the XLA path.
+
+Layout: the [H, W, 4] u8 image is bitcast to flat u32 [N], padded to a
+multiple of (TILE_ROWS * 128) and tiled as [M, 128]; the grid walks row
+tiles. f32 throughout (VPU); no MXU involvement — this pass is purely
+bandwidth-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kmeans_tpu.ops import colorspace as cs
+
+TILE_ROWS = 256  # [256, 128] u32 tile = 32768 px, 128 KiB in + out per step
+LANES = 128
+
+_K1 = 0.045
+_K2 = 0.015
+
+
+# ------------------------------------------------------------------ #
+# Plane-wise color math (identical formulas to ops/colorspace.py, kept
+# planar so the VPU never shuffles a 3-wide channel axis).
+# ------------------------------------------------------------------ #
+
+
+def _srgb_to_lab_planes(r, g, b):
+    def lin(c):
+        return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92) * 100.0
+
+    r, g, b = lin(r), lin(g), lin(b)
+    planes = []
+    for row, wp in zip(cs.RGB_TO_XYZ, cs.WHITE_POINT):
+        t = (row[0] * r + row[1] * g + row[2] * b) / wp
+        planes.append(jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0))
+    fx, fy, fz = planes
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _lab_to_srgb_planes(l, a, b):
+    fy = (l + 16.0) / 116.0
+    fx = a / 500.0 + fy
+    fz = fy - b / 200.0
+
+    def finv(t, wp):
+        t3 = t * t * t
+        return jnp.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787) * (wp / 100.0)
+
+    x = finv(fx, cs.WHITE_POINT[0])
+    y = finv(fy, cs.WHITE_POINT[1])
+    z = finv(fz, cs.WHITE_POINT[2])
+    out = []
+    for row in cs.XYZ_TO_RGB:
+        c = row[0] * x + row[1] * y + row[2] * z
+        safe = jnp.maximum(c, 0.0)
+        out.append(
+            jnp.clip(
+                jnp.where(c > 0.0031308, 1.055 * safe ** (1.0 / 2.4) - 0.055, 12.92 * c),
+                0.0,
+                1.0,
+            )
+        )
+    return out[0], out[1], out[2]
+
+
+def _cie94_sq_planes(l1, a1, b1, l2, a2, b2):
+    """Squared CIE94, first color = pixel (delta_e.wgsl:1-22)."""
+    dl = l1 - l2
+    da = a1 - a2
+    db = b1 - b2
+    c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+    c2 = jnp.sqrt(a2 * a2 + b2 * b2)
+    dcab = c1 - c2
+    dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+    sc = 1.0 + _K1 * c1
+    sh = 1.0 + _K2 * c1
+    return dl * dl + (dcab / sc) ** 2 + dhab_sq / (sh * sh)
+
+
+def _bayer_value(x, y):
+    """(M4[y%4][x%4] / 16) - 0.5 in closed form (see module docstring);
+    matches mix_colors.wgsl:14-27."""
+    lo = (2 * (x & 1) + 3 * (y & 1)) & 3
+    hi = (2 * ((x >> 1) & 1) + 3 * ((y >> 1) & 1)) & 3
+    m = 4 * lo + hi
+    return m.astype(jnp.float32) / 16.0 - 0.5
+
+
+# ------------------------------------------------------------------ #
+# Kernel body
+# ------------------------------------------------------------------ #
+
+
+def _quantize_kernel(
+    scalar_ref,  # SMEM [2] i32: k_active, width
+    thr_ref,  # SMEM [1] f32: dither threshold
+    cents_ref,  # SMEM [KP, 3] f32 Lab centroids
+    in_ref,  # VMEM [TILE_ROWS, 128] u32 packed RGBA
+    out_ref,  # VMEM [TILE_ROWS, 128] u32 packed RGBA
+    *,
+    kp: int,
+    mode: str,
+):
+    k_active = scalar_ref[0]
+    width = scalar_ref[1]
+    threshold = thr_ref[0]
+
+    x = in_ref[:]
+    r = (x & 0xFF).astype(jnp.float32) / 255.0
+    g = ((x >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    b = ((x >> 16) & 0xFF).astype(jnp.float32) / 255.0
+
+    l_p, a_p, b_p = _srgb_to_lab_planes(r, g, b)
+
+    if mode == "dither":
+        # Pixel coordinates from the flat element index (mix_colors.wgsl:70).
+        tile = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        flat = (tile * TILE_ROWS + rows) * LANES + lanes
+        px = flat % width
+        py = flat // width
+        adjust = threshold * _bayer_value(px, py)
+        l_p = l_p + adjust
+        a_p = a_p + adjust
+        b_p = b_p + adjust
+
+    big = jnp.float32(3.4e38)
+    zero = jnp.zeros_like(l_p)
+
+    def centroid(k):
+        return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
+
+    if mode in ("replace", "dither"):
+
+        def body(k, carry):
+            best_d, bl, ba, bb = carry
+            cl, ca, cb = centroid(k)
+            d = _cie94_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+            d = jnp.where(k < k_active, d, big)
+            take = d < best_d
+            return (
+                jnp.where(take, d, best_d),
+                jnp.where(take, cl, bl),
+                jnp.where(take, ca, ba),
+                jnp.where(take, cb, bb),
+            )
+
+        _, ol, oa, ob = jax.lax.fori_loop(
+            0, kp, body, (jnp.full_like(l_p, big), zero, zero, zero)
+        )
+    else:  # meld (mix_colors.wgsl:29-47,85-90)
+
+        def body(k, carry):
+            d1, l1, a1, b1, d2, l2, a2, b2 = carry
+            cl, ca, cb = centroid(k)
+            d = _cie94_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+            d = jnp.where(k < k_active, d, big)
+            first = d < d1
+            second = jnp.logical_and(jnp.logical_not(first), d < d2)
+            # new second-closest: old closest if displaced, else maybe d
+            n_d2 = jnp.where(first, d1, jnp.where(second, d, d2))
+            n_l2 = jnp.where(first, l1, jnp.where(second, cl, l2))
+            n_a2 = jnp.where(first, a1, jnp.where(second, ca, a2))
+            n_b2 = jnp.where(first, b1, jnp.where(second, cb, b2))
+            n_d1 = jnp.where(first, d, d1)
+            n_l1 = jnp.where(first, cl, l1)
+            n_a1 = jnp.where(first, ca, a1)
+            n_b1 = jnp.where(first, cb, b1)
+            return n_d1, n_l1, n_a1, n_b1, n_d2, n_l2, n_a2, n_b2
+
+        init = (jnp.full_like(l_p, big), zero, zero, zero) * 2
+        _, l1, a1, b1, _, l2, a2, b2 = jax.lax.fori_loop(0, kp, body, init)
+        # factor = d(color, second) / d(closest, second); CIE94 asymmetric
+        # orientations per mix_colors.wgsl:86.
+        num = jnp.sqrt(_cie94_sq_planes(l_p, a_p, b_p, l2, a2, b2))
+        den = jnp.sqrt(_cie94_sq_planes(l1, a1, b1, l2, a2, b2))
+        factor = num / den
+        ol = factor * l1 + (1.0 - factor) * l2
+        oa = factor * a1 + (1.0 - factor) * a2
+        ob = factor * b1 + (1.0 - factor) * b2
+
+    if mode in ("dither", "meld"):
+        # k == 1 short-circuit (mix_colors.wgsl:104-108,127-131).
+        cl, ca, cb = centroid(0)
+        is1 = k_active == 1
+        ol = jnp.where(is1, cl, ol)
+        oa = jnp.where(is1, ca, oa)
+        ob = jnp.where(is1, cb, ob)
+
+    orr, og, obb = _lab_to_srgb_planes(ol, oa, ob)
+    r8 = jnp.round(orr * 255.0).astype(jnp.uint32)
+    g8 = jnp.round(og * 255.0).astype(jnp.uint32)
+    b8 = jnp.round(obb * 255.0).astype(jnp.uint32)
+    out_ref[:] = r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(0xFF000000)
+
+
+# ------------------------------------------------------------------ #
+# Host wrapper
+# ------------------------------------------------------------------ #
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "interpret")
+)
+def fused_quantize(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    threshold: jnp.ndarray,
+    k_active=None,
+    mode: str = "replace",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-pass quantize: `[H, W, 4]` u8 -> `[H, W, 4]` u8.
+
+    `threshold` is the dither threshold (scalar, ignored for other modes) —
+    computed by `ops.quantize.dither_threshold` on the tiny palette.
+    `interpret=True` runs the Pallas interpreter (for CPU tests).
+    """
+    h, w = rgba_u8.shape[0], rgba_u8.shape[1]
+    n = h * w
+    kp = centroids_lab.shape[0]
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+
+    packed = jax.lax.bitcast_convert_type(
+        rgba_u8.reshape(n, 4), jnp.uint32
+    )  # [N]
+    n_pad = _round_up(n, TILE_ROWS * LANES)
+    packed = jnp.pad(packed, (0, n_pad - n))
+    tiles = packed.reshape(n_pad // LANES, LANES)
+    grid = (n_pad // (TILE_ROWS * LANES),)
+
+    scalars = jnp.stack([k_act, jnp.int32(w)])
+    thr = jnp.asarray(threshold, jnp.float32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_quantize_kernel, kp=kp, mode=mode),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(scalars, thr, jnp.asarray(centroids_lab, jnp.float32), tiles)
+
+    out_flat = out.reshape(-1)[:n]
+    rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
+    return rgba.reshape(h, w, 4)

@@ -1,0 +1,225 @@
+"""Multi-device k-means: pixel-axis sharding with explicit collectives.
+
+The reference has no multi-device story (`SURVEY.md` §2.3); this module is
+the TPU-native extension that makes one image's pixel axis scale across
+chips. Design (the standard JAX SPMD recipe):
+
+- pixels `[N, 3]` are sharded over the mesh's `pixel` axis (`shard_map`);
+- the k-means++ farthest-point pick becomes: local argmax ->
+  `all_gather` of per-shard (value, global index) winners -> global
+  lexicographic pick (identical tie-breaking to single-device `argmax`,
+  i.e. smallest index among maxima);
+- Lloyd's per-cluster (sum, count) accumulation becomes local one-hot
+  partial sums + `psum` over the pixel axis — the collective rides ICI;
+- convergence votes are computed redundantly on every shard from the
+  psum'd centroids, so the `lax.while_loop` stays fully device-resident
+  with no host synchronisation, exactly like the single-device path.
+
+A leading batch axis (frames / k-values) shards over the mesh's `data`
+axis with no collectives (pure DP); inside each data shard the pixel-axis
+fit is vmapped over the local batch.
+
+Padding: shard counts must divide N, so callers pad pixels and pass a
+`weight` mask (1 = real pixel, 0 = padding). Padding never wins a seeding
+argmax (its distance is forced to -1) and contributes nothing to sums.
+
+Numerical note: distributed psum of per-shard partial sums adds f32
+rounding differences vs the single-device reduction; palettes agree within
+float tolerance, bit-exactness is not guaranteed (same caveat as any
+reduction re-ordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from kmeans_tpu.models.kmeans import (
+    CONVERGENCE_CHECK_EVERY,
+    LAB_CONVERGENCE,
+    MAX_ITERATIONS,
+)
+from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq
+from kmeans_tpu.parallel.mesh import DATA_AXIS, PIXEL_AXIS
+
+_BIG = 3.4e38  # larger than any CIE94^2; plain float so import stays device-free
+
+
+def _global_argmax(value_local, axis_name):
+    """(value, global flat index) of the global max of a sharded vector,
+    with single-device tie-breaking (first max wins)."""
+    n_local = value_local.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    local_idx = jnp.argmax(value_local)
+    local_val = value_local[local_idx]
+    global_idx = shard * n_local + local_idx
+
+    vals = jax.lax.all_gather(local_val, axis_name)  # [D]
+    idxs = jax.lax.all_gather(global_idx, axis_name)  # [D]
+    best_val = jnp.max(vals)
+    winner_idx = jnp.min(jnp.where(vals == best_val, idxs, jnp.int32(2**31 - 1)))
+    return best_val, winner_idx
+
+
+def _take_global(pixels_local, global_idx, axis_name):
+    """Fetch pixel `global_idx` from whichever shard owns it (psum of a
+    masked local gather)."""
+    n_local = pixels_local.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    lo = shard * n_local
+    owns = jnp.logical_and(global_idx >= lo, global_idx < lo + n_local)
+    local = pixels_local[jnp.clip(global_idx - lo, 0, n_local - 1)]
+    return jax.lax.psum(jnp.where(owns, local, 0.0), axis_name)
+
+
+def _fit_local(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float,
+    k_active,
+    axis_name: str,
+):
+    """Per-shard body of the pixel-sharded fit (runs under shard_map)."""
+    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_active
+
+    # --- seeding (distributed farthest-point) ---
+    c0 = _take_global(pixels_local, jnp.asarray(first_index, jnp.int32), axis_name)
+    dmap = distance_cie94_sq(pixels_local, c0[None, :])
+    dmap = jnp.where(weight_local > 0, dmap, -1.0)
+
+    centroids = jnp.zeros((k, 3), jnp.float32).at[0].set(c0)
+
+    def seed_body(j, carry):
+        centroids, dmap = carry
+        _, idx = _global_argmax(dmap, axis_name)
+        cand = _take_global(pixels_local, idx, axis_name)
+        take = j < k_active
+        new_c = jnp.where(take, cand, centroids[j])
+        centroids = centroids.at[j].set(new_c)
+        new_d = jnp.minimum(dmap, distance_cie94_sq(pixels_local, new_c[None, :]))
+        new_d = jnp.where(weight_local > 0, new_d, -1.0)
+        dmap = jnp.where(take, new_d, dmap)
+        return centroids, dmap
+
+    if k > 1:
+        centroids, _ = jax.lax.fori_loop(1, k, seed_body, (centroids, dmap))
+
+    # --- Lloyd ---
+    def assign(cents):
+        d2 = distance_cie94_sq(pixels_local[:, None, :], cents[None, :, :])
+        d2 = jnp.where(valid[None, :], d2, _BIG)
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    assign0 = assign(centroids)
+
+    def cond(carry):
+        _, _, converged, i = carry
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < MAX_ITERATIONS, jnp.logical_not(jnp.logical_and(checked, converged))
+        )
+
+    def body(carry):
+        centroids, assignments, _, i = carry
+        onehot = jax.nn.one_hot(assignments, k, dtype=jnp.float32)
+        onehot = onehot * weight_local[:, None]
+        local_sums = jax.lax.dot_general(
+            onehot,
+            pixels_local,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        local_counts = jnp.sum(onehot, axis=0)
+        sums = jax.lax.psum(local_sums, axis_name)  # ICI collective
+        counts = jax.lax.psum(local_counts, axis_name)
+        nonempty = counts > 0
+        new_centroids = jnp.where(
+            nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        moved = distance_cie94(new_centroids, centroids)
+        votes = jnp.logical_and(nonempty, moved < convergence)
+        converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
+        return new_centroids, assign(new_centroids), converged, i + 1
+
+    centroids, _, _, iters = jax.lax.while_loop(
+        cond, body, (centroids, assign0, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+def fit_sharded(
+    mesh,
+    pixels: jnp.ndarray,
+    weight: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float = LAB_CONVERGENCE,
+    k_active=None,
+):
+    """Pixel-sharded fit of a single image: `pixels[N, 3]` sharded over the
+    mesh's pixel axis (N must divide by the pixel-axis size; pad + weight).
+
+    Returns replicated `(centroids[k, 3], iterations)`.
+    """
+    local = partial(
+        _fit_local,
+        k=k,
+        first_index=first_index,
+        convergence=convergence,
+        k_active=k_active,
+        axis_name=PIXEL_AXIS,
+    )
+    fn = jax.shard_map(
+        lambda px, wt: local(px, wt),
+        mesh=mesh,
+        in_specs=(P(PIXEL_AXIS, None), P(PIXEL_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(pixels, weight)
+
+
+def fit_sharded_batch(
+    mesh,
+    pixels: jnp.ndarray,
+    weight: jnp.ndarray,
+    k: int,
+    first_index,
+    k_actives: jnp.ndarray,
+    convergence: float = LAB_CONVERGENCE,
+):
+    """Batched fit: `pixels[B, N, 3]` with batch over the data axis (DP)
+    and pixels over the pixel axis (SP). `k_actives[B]` masks per-item k.
+
+    Returns `centroids[B, k, 3]` (replicated over the pixel axis).
+    """
+
+    def local(px, wt, ka):
+        # px: [B_local, N_local, 3]; vmap the pixel-sharded fit over the
+        # local batch. Collectives inside vmap broadcast over the batch.
+        fit1 = partial(
+            _fit_local,
+            k=k,
+            first_index=first_index,
+            convergence=convergence,
+            axis_name=PIXEL_AXIS,
+        )
+        cents, _ = jax.vmap(lambda p, w, a: fit1(p, w, k_active=a))(px, wt, ka)
+        return cents
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, PIXEL_AXIS, None), P(DATA_AXIS, PIXEL_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return fn(pixels, weight, k_actives)

@@ -1,0 +1,630 @@
+/* _imagio: native image codec runtime for kmeans_tpu.
+ *
+ * C replacement for the reference CLI's use of the Rust `image` crate
+ * (decode/encode of PNG and JPEG, reference cli/src/main.rs:53,80,107 and
+ * cli/Cargo.toml) and the `gif` crate used by the examples
+ * (core/examples/gif.rs, parallel.rs). Exposed to Python through the raw
+ * CPython C API (no pybind11 in this environment):
+ *
+ *   decode_png(data: bytes)  -> (width, height, rgba: bytes)
+ *   encode_png(w, h, rgba: bytes) -> bytes
+ *   decode_jpeg(data: bytes) -> (width, height, rgba: bytes)
+ *   encode_jpeg(w, h, rgba: bytes, quality: int) -> bytes
+ *   encode_gif(w, h, frames: list[(palette: bytes, indices: bytes)],
+ *              delay_cs: int, loop: bool) -> bytes
+ *
+ * All pixel buffers are tightly packed 8-bit RGBA (decode) and the GIF
+ * encoder takes per-frame palettes (<=256 RGB entries) plus 8-bit index
+ * arrays — the quantization itself is this framework's job, not the
+ * codec's. The GIF LZW compressor is implemented here from the GIF89a
+ * specification.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <png.h>
+#include <jpeglib.h>
+#include <setjmp.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* PNG                                                                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const unsigned char *data;
+    size_t size;
+    size_t pos;
+} png_read_state;
+
+static void
+png_mem_read(png_structp png, png_bytep out, png_size_t count)
+{
+    png_read_state *st = (png_read_state *)png_get_io_ptr(png);
+    if (st->pos + count > st->size) {
+        png_error(png, "read past end of PNG buffer");
+        return;
+    }
+    memcpy(out, st->data + st->pos, count);
+    st->pos += count;
+}
+
+typedef struct {
+    unsigned char *data;
+    size_t size;
+    size_t cap;
+} byte_vec;
+
+static int
+byte_vec_push(byte_vec *v, const unsigned char *data, size_t count)
+{
+    if (v->size + count > v->cap) {
+        size_t cap = v->cap ? v->cap : 65536;
+        while (cap < v->size + count)
+            cap *= 2;
+        unsigned char *p = (unsigned char *)realloc(v->data, cap);
+        if (!p)
+            return -1;
+        v->data = p;
+        v->cap = cap;
+    }
+    memcpy(v->data + v->size, data, count);
+    v->size += count;
+    return 0;
+}
+
+static void
+png_mem_write(png_structp png, png_bytep data, png_size_t count)
+{
+    byte_vec *v = (byte_vec *)png_get_io_ptr(png);
+    if (byte_vec_push(v, data, count) != 0)
+        png_error(png, "out of memory");
+}
+
+static void
+png_mem_flush(png_structp png)
+{
+    (void)png;
+}
+
+static PyObject *
+imagio_decode_png(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+    png_infop info = png ? png_create_info_struct(png) : NULL;
+    png_bytep *rows = NULL;
+    unsigned char *out = NULL;
+    PyObject *result = NULL;
+
+    if (!png || !info) {
+        PyErr_SetString(PyExc_MemoryError, "libpng init failed");
+        goto done;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        PyErr_SetString(PyExc_ValueError, "invalid PNG data");
+        goto done;
+    }
+
+    png_read_state st = {(const unsigned char *)buf.buf, (size_t)buf.len, 0};
+    png_set_read_fn(png, &st, png_mem_read);
+    png_read_info(png, info);
+
+    png_uint_32 w = png_get_image_width(png, info);
+    png_uint_32 h = png_get_image_height(png, info);
+    int bit_depth = png_get_bit_depth(png, info);
+    int color_type = png_get_color_type(png, info);
+
+    /* Normalize everything to 8-bit RGBA. */
+    if (bit_depth == 16)
+        png_set_strip_16(png);
+    if (color_type == PNG_COLOR_TYPE_PALETTE)
+        png_set_palette_to_rgb(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+        png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS))
+        png_set_tRNS_to_alpha(png);
+    if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_PALETTE)
+        png_set_filler(png, 0xFF, PNG_FILLER_AFTER);
+    if (color_type == PNG_COLOR_TYPE_GRAY || color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+        png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+
+    size_t stride = (size_t)w * 4;
+    out = (unsigned char *)malloc(stride * h);
+    rows = (png_bytep *)malloc(sizeof(png_bytep) * h);
+    if (!out || !rows) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (png_uint_32 y = 0; y < h; y++)
+        rows[y] = out + y * stride;
+    png_read_image(png, rows);
+    png_read_end(png, NULL);
+
+    result = Py_BuildValue("IIy#", (unsigned int)w, (unsigned int)h,
+                           (const char *)out, (Py_ssize_t)(stride * h));
+
+done:
+    if (png)
+        png_destroy_read_struct(&png, info ? &info : NULL, NULL);
+    free(rows);
+    free(out);
+    PyBuffer_Release(&buf);
+    return result;
+}
+
+static PyObject *
+imagio_encode_png(PyObject *self, PyObject *args)
+{
+    unsigned int w, h;
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "IIy*", &w, &h, &buf))
+        return NULL;
+    if ((size_t)buf.len != (size_t)w * h * 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "rgba buffer must be w*h*4 bytes");
+        return NULL;
+    }
+
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+    png_infop info = png ? png_create_info_struct(png) : NULL;
+    png_bytep *rows = NULL;
+    byte_vec vec = {NULL, 0, 0};
+    PyObject *result = NULL;
+
+    if (!png || !info) {
+        PyErr_SetString(PyExc_MemoryError, "libpng init failed");
+        goto done;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        PyErr_SetString(PyExc_ValueError, "PNG encode failed");
+        goto done;
+    }
+
+    png_set_write_fn(png, &vec, png_mem_write, png_mem_flush);
+    png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGBA, PNG_INTERLACE_NONE,
+                 PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+
+    rows = (png_bytep *)malloc(sizeof(png_bytep) * h);
+    if (!rows) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (unsigned int y = 0; y < h; y++)
+        rows[y] = (png_bytep)((unsigned char *)buf.buf + (size_t)y * w * 4);
+    png_write_image(png, rows);
+    png_write_end(png, NULL);
+
+    result = PyBytes_FromStringAndSize((const char *)vec.data, (Py_ssize_t)vec.size);
+
+done:
+    if (png)
+        png_destroy_write_struct(&png, info ? &info : NULL);
+    free(rows);
+    free(vec.data);
+    PyBuffer_Release(&buf);
+    return result;
+}
+
+/* ------------------------------------------------------------------ */
+/* JPEG                                                                */
+/* ------------------------------------------------------------------ */
+
+struct imagio_jpeg_error {
+    struct jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+static void
+imagio_jpeg_error_exit(j_common_ptr cinfo)
+{
+    struct imagio_jpeg_error *err = (struct imagio_jpeg_error *)cinfo->err;
+    longjmp(err->jump, 1);
+}
+
+static PyObject *
+imagio_decode_jpeg(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+
+    struct jpeg_decompress_struct cinfo;
+    struct imagio_jpeg_error jerr;
+    unsigned char *out = NULL;
+    PyObject *result = NULL;
+    int created = 0;
+
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = imagio_jpeg_error_exit;
+    if (setjmp(jerr.jump)) {
+        PyErr_SetString(PyExc_ValueError, "invalid JPEG data");
+        goto done;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    created = 1;
+    jpeg_mem_src(&cinfo, (const unsigned char *)buf.buf, (unsigned long)buf.len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+
+    size_t w = cinfo.output_width, h = cinfo.output_height;
+    size_t row_rgb = w * 3;
+    out = (unsigned char *)malloc(w * h * 4);
+    unsigned char *row = (unsigned char *)malloc(row_rgb);
+    if (!out || !row) {
+        free(row);
+        PyErr_NoMemory();
+        goto done;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        size_t y = cinfo.output_scanline;
+        JSAMPROW rp = row;
+        jpeg_read_scanlines(&cinfo, &rp, 1);
+        unsigned char *dst = out + y * w * 4;
+        for (size_t x = 0; x < w; x++) {
+            dst[x * 4 + 0] = row[x * 3 + 0];
+            dst[x * 4 + 1] = row[x * 3 + 1];
+            dst[x * 4 + 2] = row[x * 3 + 2];
+            dst[x * 4 + 3] = 0xFF;
+        }
+    }
+    free(row);
+    jpeg_finish_decompress(&cinfo);
+
+    result = Py_BuildValue("IIy#", (unsigned int)w, (unsigned int)h,
+                           (const char *)out, (Py_ssize_t)(w * h * 4));
+
+done:
+    if (created)
+        jpeg_destroy_decompress(&cinfo);
+    free(out);
+    PyBuffer_Release(&buf);
+    return result;
+}
+
+static PyObject *
+imagio_encode_jpeg(PyObject *self, PyObject *args)
+{
+    unsigned int w, h;
+    int quality = 90;
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "IIy*|i", &w, &h, &buf, &quality))
+        return NULL;
+    if ((size_t)buf.len != (size_t)w * h * 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "rgba buffer must be w*h*4 bytes");
+        return NULL;
+    }
+
+    struct jpeg_compress_struct cinfo;
+    struct imagio_jpeg_error jerr;
+    unsigned char *mem = NULL;
+    unsigned long mem_size = 0;
+    unsigned char *row = NULL;
+    PyObject *result = NULL;
+    int created = 0;
+
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = imagio_jpeg_error_exit;
+    if (setjmp(jerr.jump)) {
+        PyErr_SetString(PyExc_ValueError, "JPEG encode failed");
+        goto done;
+    }
+
+    jpeg_create_compress(&cinfo);
+    created = 1;
+    jpeg_mem_dest(&cinfo, &mem, &mem_size);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+
+    row = (unsigned char *)malloc((size_t)w * 3);
+    if (!row) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    while (cinfo.next_scanline < cinfo.image_height) {
+        const unsigned char *src =
+            (const unsigned char *)buf.buf + (size_t)cinfo.next_scanline * w * 4;
+        for (unsigned int x = 0; x < w; x++) {
+            row[x * 3 + 0] = src[x * 4 + 0];
+            row[x * 3 + 1] = src[x * 4 + 1];
+            row[x * 3 + 2] = src[x * 4 + 2];
+        }
+        JSAMPROW rp = row;
+        jpeg_write_scanlines(&cinfo, &rp, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+
+    result = PyBytes_FromStringAndSize((const char *)mem, (Py_ssize_t)mem_size);
+
+done:
+    if (created)
+        jpeg_destroy_compress(&cinfo);
+    free(row);
+    free(mem);
+    PyBuffer_Release(&buf);
+    return result;
+}
+
+/* ------------------------------------------------------------------ */
+/* GIF (GIF89a encoder with LZW compression)                           */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    byte_vec *out;
+    unsigned char block[255];
+    int block_len;
+    unsigned int bit_buf;
+    int bit_count;
+} lzw_writer;
+
+static int
+lzw_flush_block(lzw_writer *w)
+{
+    if (w->block_len > 0) {
+        unsigned char len = (unsigned char)w->block_len;
+        if (byte_vec_push(w->out, &len, 1) != 0)
+            return -1;
+        if (byte_vec_push(w->out, w->block, w->block_len) != 0)
+            return -1;
+        w->block_len = 0;
+    }
+    return 0;
+}
+
+static int
+lzw_put_code(lzw_writer *w, unsigned int code, int width)
+{
+    w->bit_buf |= code << w->bit_count;
+    w->bit_count += width;
+    while (w->bit_count >= 8) {
+        w->block[w->block_len++] = (unsigned char)(w->bit_buf & 0xFF);
+        w->bit_buf >>= 8;
+        w->bit_count -= 8;
+        if (w->block_len == 255 && lzw_flush_block(w) != 0)
+            return -1;
+    }
+    return 0;
+}
+
+/* Hash-table LZW: 12-bit max code, (prefix, char) -> code. */
+#define LZW_MAX_CODE 4096
+#define LZW_HASH_SIZE 8192
+
+static int
+lzw_compress(byte_vec *out, const unsigned char *pixels, size_t n, int min_code_size)
+{
+    int clear_code = 1 << min_code_size;
+    int end_code = clear_code + 1;
+
+    int *hash_key = (int *)malloc(sizeof(int) * LZW_HASH_SIZE);
+    int *hash_val = (int *)malloc(sizeof(int) * LZW_HASH_SIZE);
+    if (!hash_key || !hash_val) {
+        free(hash_key);
+        free(hash_val);
+        return -1;
+    }
+
+    lzw_writer w = {out, {0}, 0, 0, 0};
+    int code_size = min_code_size + 1;
+    int next_code = end_code + 1;
+    memset(hash_key, 0xFF, sizeof(int) * LZW_HASH_SIZE);
+
+    int rc = -1;
+    if (lzw_put_code(&w, (unsigned)clear_code, code_size) != 0)
+        goto fail;
+
+    int prefix = pixels[0];
+    for (size_t i = 1; i < n; i++) {
+        int c = pixels[i];
+        int key = (prefix << 8) | c;
+        int slot = ((prefix * 31) ^ c) & (LZW_HASH_SIZE - 1);
+        int found = -1;
+        while (hash_key[slot] != -1) {
+            if (hash_key[slot] == key) {
+                found = hash_val[slot];
+                break;
+            }
+            slot = (slot + 1) & (LZW_HASH_SIZE - 1);
+        }
+        if (found >= 0) {
+            prefix = found;
+            continue;
+        }
+        if (lzw_put_code(&w, (unsigned)prefix, code_size) != 0)
+            goto fail;
+        if (next_code < LZW_MAX_CODE) {
+            hash_key[slot] = key;
+            hash_val[slot] = next_code;
+            if (next_code == (1 << code_size))
+                code_size++;
+            next_code++;
+        } else {
+            if (lzw_put_code(&w, (unsigned)clear_code, code_size) != 0)
+                goto fail;
+            memset(hash_key, 0xFF, sizeof(int) * LZW_HASH_SIZE);
+            code_size = min_code_size + 1;
+            next_code = end_code + 1;
+        }
+        prefix = c;
+    }
+    if (lzw_put_code(&w, (unsigned)prefix, code_size) != 0)
+        goto fail;
+    if (lzw_put_code(&w, (unsigned)end_code, code_size) != 0)
+        goto fail;
+    if (w.bit_count > 0) {
+        w.block[w.block_len++] = (unsigned char)(w.bit_buf & 0xFF);
+        if (w.block_len == 255 && lzw_flush_block(&w) != 0)
+            goto fail;
+    }
+    if (lzw_flush_block(&w) != 0)
+        goto fail;
+    rc = 0;
+fail:
+    free(hash_key);
+    free(hash_val);
+    return rc;
+}
+
+static int
+push_u16le(byte_vec *v, unsigned int value)
+{
+    unsigned char b[2] = {(unsigned char)(value & 0xFF), (unsigned char)(value >> 8)};
+    return byte_vec_push(v, b, 2);
+}
+
+static PyObject *
+imagio_encode_gif(PyObject *self, PyObject *args)
+{
+    unsigned int w, h;
+    PyObject *frames;
+    int delay_cs = 100;
+    int loop = 1;
+    if (!PyArg_ParseTuple(args, "IIO|ip", &w, &h, &frames, &delay_cs, &loop))
+        return NULL;
+    if (!PyList_Check(frames) || PyList_Size(frames) == 0) {
+        PyErr_SetString(PyExc_ValueError, "frames must be a non-empty list");
+        return NULL;
+    }
+
+    byte_vec out = {NULL, 0, 0};
+    PyObject *result = NULL;
+
+#define CHECK(expr)                                                            \
+    do {                                                                       \
+        if ((expr) != 0) {                                                     \
+            PyErr_NoMemory();                                                  \
+            goto done;                                                         \
+        }                                                                      \
+    } while (0)
+
+    CHECK(byte_vec_push(&out, (const unsigned char *)"GIF89a", 6));
+    CHECK(push_u16le(&out, w));
+    CHECK(push_u16le(&out, h));
+    {
+        /* No global color table; 8-bit color resolution. */
+        unsigned char screen[3] = {0x70, 0x00, 0x00};
+        CHECK(byte_vec_push(&out, screen, 3));
+    }
+    if (loop) {
+        /* Netscape application extension for infinite looping. */
+        static const unsigned char loop_ext[] = {
+            0x21, 0xFF, 0x0B, 'N', 'E', 'T', 'S', 'C', 'A', 'P', 'E',
+            '2', '.', '0', 0x03, 0x01, 0x00, 0x00, 0x00};
+        CHECK(byte_vec_push(&out, loop_ext, sizeof(loop_ext)));
+    }
+
+    for (Py_ssize_t i = 0; i < PyList_Size(frames); i++) {
+        PyObject *item = PyList_GetItem(frames, i);
+        Py_buffer pal, idx;
+        if (!PyArg_ParseTuple(item, "y*y*", &pal, &idx)) {
+            goto done;
+        }
+        size_t ncolors = (size_t)pal.len / 3;
+        if (pal.len % 3 != 0 || ncolors == 0 || ncolors > 256 ||
+            (size_t)idx.len != (size_t)w * h) {
+            PyBuffer_Release(&pal);
+            PyBuffer_Release(&idx);
+            PyErr_SetString(PyExc_ValueError,
+                            "frame must be (palette rgb bytes <=256*3, w*h index bytes)");
+            goto done;
+        }
+        /* Color table size: power of two >= ncolors, >= 2. */
+        int bits = 1;
+        while ((size_t)(1 << bits) < ncolors)
+            bits++;
+        size_t table = (size_t)1 << bits;
+
+        /* Graphic control extension (delay). */
+        unsigned char gce[8] = {0x21, 0xF9, 0x04, 0x00,
+                                (unsigned char)(delay_cs & 0xFF),
+                                (unsigned char)((delay_cs >> 8) & 0xFF), 0x00, 0x00};
+        CHECK(byte_vec_push(&out, gce, sizeof(gce)));
+
+        /* Image descriptor with local color table. */
+        unsigned char desc[1] = {0x2C};
+        CHECK(byte_vec_push(&out, desc, 1));
+        CHECK(push_u16le(&out, 0));
+        CHECK(push_u16le(&out, 0));
+        CHECK(push_u16le(&out, w));
+        CHECK(push_u16le(&out, h));
+        {
+            unsigned char flags = (unsigned char)(0x80 | (bits - 1));
+            CHECK(byte_vec_push(&out, &flags, 1));
+        }
+        CHECK(byte_vec_push(&out, (const unsigned char *)pal.buf, pal.len));
+        for (size_t p = ncolors; p < table; p++) {
+            static const unsigned char zero[3] = {0, 0, 0};
+            CHECK(byte_vec_push(&out, zero, 3));
+        }
+
+        int min_code_size = bits < 2 ? 2 : bits;
+        unsigned char mcs = (unsigned char)min_code_size;
+        CHECK(byte_vec_push(&out, &mcs, 1));
+        if (lzw_compress(&out, (const unsigned char *)idx.buf, (size_t)idx.len,
+                         min_code_size) != 0) {
+            PyBuffer_Release(&pal);
+            PyBuffer_Release(&idx);
+            PyErr_NoMemory();
+            goto done;
+        }
+        {
+            unsigned char term = 0x00;
+            CHECK(byte_vec_push(&out, &term, 1));
+        }
+        PyBuffer_Release(&pal);
+        PyBuffer_Release(&idx);
+    }
+    {
+        unsigned char trailer = 0x3B;
+        CHECK(byte_vec_push(&out, &trailer, 1));
+    }
+#undef CHECK
+
+    result = PyBytes_FromStringAndSize((const char *)out.data, (Py_ssize_t)out.size);
+
+done:
+    free(out.data);
+    return result;
+}
+
+/* ------------------------------------------------------------------ */
+
+static PyMethodDef imagio_methods[] = {
+    {"decode_png", imagio_decode_png, METH_VARARGS,
+     "decode_png(data) -> (width, height, rgba_bytes)"},
+    {"encode_png", imagio_encode_png, METH_VARARGS,
+     "encode_png(width, height, rgba_bytes) -> png_bytes"},
+    {"decode_jpeg", imagio_decode_jpeg, METH_VARARGS,
+     "decode_jpeg(data) -> (width, height, rgba_bytes)"},
+    {"encode_jpeg", imagio_encode_jpeg, METH_VARARGS,
+     "encode_jpeg(width, height, rgba_bytes, quality=90) -> jpeg_bytes"},
+    {"encode_gif", imagio_encode_gif, METH_VARARGS,
+     "encode_gif(width, height, [(palette, indices), ...], delay_cs=100, loop=True)"
+     " -> gif_bytes"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef imagio_module = {
+    PyModuleDef_HEAD_INIT, "_imagio",
+    "Native PNG/JPEG/GIF codec runtime for kmeans_tpu.", -1, imagio_methods};
+
+PyMODINIT_FUNC
+PyInit__imagio(void)
+{
+    return PyModule_Create(&imagio_module);
+}

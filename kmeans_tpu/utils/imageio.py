@@ -1,0 +1,103 @@
+"""Image file IO: PNG / JPEG / GIF.
+
+The framework's equivalent of the reference CLI's `image` crate usage
+(decode `cli/src/main.rs:53,80,107`, encode via `ImageBuffer::save`) and the
+examples' `gif` crate (`core/examples/gif.rs:27-42`). Dispatches to the
+native C runtime (`kmeans_tpu/runtime/_imagio.c`, libpng/libjpeg + GIF89a
+LZW) and falls back to a pure-Python PNG codec when the extension is not
+built. JPEG and GIF require the native runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kmeans_tpu.image import Image
+
+try:
+    from kmeans_tpu.runtime import _imagio
+
+    HAVE_NATIVE = True
+except ImportError:  # pragma: no cover - build-dependent
+    _imagio = None
+    HAVE_NATIVE = False
+
+from kmeans_tpu.utils import png_py
+
+
+def load_image(path: str | os.PathLike) -> Image:
+    """Decode a .png or .jpg/.jpeg file into an RGBA8 `Image`."""
+    path = os.fspath(path)
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in (".png", ".jpg", ".jpeg"):
+        raise ValueError("Only support png or jpg files.")
+    with open(path, "rb") as f:
+        data = f.read()
+    if ext == ".png":
+        if HAVE_NATIVE:
+            w, h, rgba = _imagio.decode_png(data)
+        else:
+            w, h, rgba = png_py.decode_png(data)
+    elif ext in (".jpg", ".jpeg"):
+        if not HAVE_NATIVE:
+            raise RuntimeError(
+                "JPEG support requires the native runtime; build it with "
+                "`python setup.py build_ext --inplace`"
+            )
+        w, h, rgba = _imagio.decode_jpeg(data)
+    else:
+        raise ValueError("Only support png or jpg files.")
+    pixels = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
+    return Image((w, h), pixels)
+
+
+def save_image(image: Image, path: str | os.PathLike, quality: int = 90) -> None:
+    """Encode an RGBA8 `Image` to .png or .jpg based on the extension."""
+    path = os.fspath(path)
+    w, h = image.dimensions
+    rgba = np.ascontiguousarray(image.pixels, dtype=np.uint8).tobytes()
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".png":
+        data = (
+            _imagio.encode_png(w, h, rgba)
+            if HAVE_NATIVE
+            else png_py.encode_png(w, h, rgba)
+        )
+    elif ext in (".jpg", ".jpeg"):
+        if not HAVE_NATIVE:
+            raise RuntimeError("JPEG support requires the native runtime")
+        data = _imagio.encode_jpeg(w, h, rgba, quality)
+    else:
+        raise ValueError("Only support png or jpg files.")
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def save_gif(
+    frames: list[Image], path: str | os.PathLike, delay_cs: int = 100, loop: bool = True
+) -> None:
+    """Encode already-quantized frames (each <= 256 unique colors) as an
+    animated GIF — the output format of `core/examples/gif.rs`."""
+    if not HAVE_NATIVE:
+        raise RuntimeError("GIF support requires the native runtime")
+    if not frames:
+        raise ValueError("need at least one frame")
+    w, h = frames[0].dimensions
+    payload = []
+    for frame in frames:
+        if frame.dimensions != (w, h):
+            raise ValueError("all frames must share dimensions")
+        rgb = frame.pixels[..., :3].reshape(-1, 3)
+        colors, indices = np.unique(rgb, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"frame has {len(colors)} unique colors; quantize to <=256 first"
+            )
+        payload.append(
+            (colors.astype(np.uint8).tobytes(), indices.astype(np.uint8).tobytes())
+        )
+    data = _imagio.encode_gif(w, h, payload, delay_cs, loop)
+    with open(os.fspath(path), "wb") as f:
+        f.write(data)

@@ -1,0 +1,30 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Mirrors the reference's CI strategy of executing real kernels on a software
+backend (SwiftShader/llvmpipe, `.github/workflows/rust.yml:28-76`): here the
+JAX CPU backend plays that role, and `xla_force_host_platform_device_count=8`
+gives the multi-chip sharding tests 8 virtual devices.
+
+In this environment jax is pre-imported (pinned to the hardware TPU backend)
+by a sitecustomize hook whose register() call overrides `JAX_PLATFORMS`, so
+we re-pin the platform through `jax.config` — which works as long as no
+backend has been initialized yet — and inject the XLA flag before the CPU
+client is (lazily) created.
+"""
+
+import os
+import sys
+
+_FLAG = "--xla_force_host_platform_device_count=8"
+if _FLAG not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+_devs = jax.devices()
+assert _devs[0].platform == "cpu", _devs
+assert len(_devs) == 8, f"expected 8 virtual CPU devices, got {len(_devs)}"

@@ -1,0 +1,90 @@
+"""Public-API tests: palette/find/reduce semantics through ImageProcessor."""
+
+import numpy as np
+import pytest
+
+from kmeans_tpu.api import Algorithm, ColorSpace, ImageProcessor, ReduceMode
+from kmeans_tpu.image import Image
+from kmeans_tpu.ops.colorspace import srgb8_to_lab_np
+
+
+@pytest.fixture(scope="module")
+def blobs_image():
+    rng = np.random.default_rng(11)
+    base = np.array(
+        [[220, 40, 40], [40, 200, 60], [50, 60, 210], [235, 225, 80]], np.int32
+    )
+    idx = rng.integers(0, 4, size=(96, 128))
+    rgb = np.clip(base[idx] + rng.integers(-12, 13, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((96, 128, 1), 255, np.uint8)], -1
+    )
+    return Image((128, 96), rgba), base
+
+
+def test_palette_sorted_by_lightness(blobs_image):
+    image, base = blobs_image
+    pal = ImageProcessor().palette(4, image)
+    assert pal.shape == (4, 4)
+    lightness = srgb8_to_lab_np(pal[:, :3])[:, 0]
+    assert (np.diff(lightness) >= -1e-4).all()  # ascending L*
+    # each palette entry is near one true blob color
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - base[None, :, :], axis=2
+    )
+    assert (d.min(axis=1) < 40).all()
+
+
+def test_reduce_replace_k_colors(blobs_image):
+    image, _ = blobs_image
+    out = ImageProcessor().reduce(4, image)
+    assert out.dimensions == image.dimensions
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+
+
+def test_reduce_octree(blobs_image):
+    image, _ = blobs_image
+    out = ImageProcessor().reduce(4, image, Algorithm.OCTREE, ReduceMode.REPLACE)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+
+
+def test_find_exact_palette(blobs_image):
+    image, _ = blobs_image
+    colors = np.array(
+        [[5, 5, 5, 255], [255, 255, 255, 255], [255, 0, 0, 255]], np.uint8
+    )
+    out = ImageProcessor().find(image, colors)
+    uniq = np.unique(out.pixels.reshape(-1, 4), axis=0)
+    assert set(map(tuple, uniq)) <= set(map(tuple, colors))
+
+
+def test_reduce_batch_matches_single(blobs_image):
+    image, _ = blobs_image
+    p = ImageProcessor()
+    batch = p.reduce_batch(image, [2, 4])
+    single = p.reduce(4, image)
+    # The k=4 batch entry and the single k=4 run share seeding and protocol.
+    np.testing.assert_array_equal(batch[1].pixels, single.pixels)
+    assert len(np.unique(batch[0].pixels.reshape(-1, 4), axis=0)) <= 2
+
+
+def test_invalid_k(blobs_image):
+    image, _ = blobs_image
+    with pytest.raises(ValueError):
+        ImageProcessor().reduce(0, image)
+
+
+def test_colorspace_convergence_values():
+    # core/src/lib.rs:189-194
+    assert ColorSpace.LAB.convergence == 1.0
+    assert ColorSpace.RGB.convergence == 0.01
+
+
+def test_rgb_colorspace_internal(blobs_image):
+    # The Rgb working space (reachable through internals, like the
+    # reference's) trains on normalized RGB with convergence 0.01.
+    image, _ = blobs_image
+    cents = ImageProcessor().extract_palette_kmeans(image, 4, ColorSpace.RGB)
+    arr = np.asarray(cents)
+    assert arr.shape == (4, 3)
+    assert (arr >= 0).all() and (arr <= 1).all()

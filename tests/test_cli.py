@@ -1,0 +1,154 @@
+"""CLI tests: validators, output naming, swatch — ported from the
+reference's `cli/src/args.rs:233-294` tests — plus end-to-end subcommand
+runs through `cli.main` on generated PNGs."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from kmeans_tpu import cli
+from kmeans_tpu.image import Image
+from kmeans_tpu.utils.imageio import load_image, save_image
+
+
+def test_validate_k():
+    assert cli.validate_k("1") == 1
+    assert cli.validate_k("150") == 150
+    for bad in ["abs", "0", "-3"]:
+        with pytest.raises(argparse.ArgumentTypeError):
+            cli.validate_k(bad)
+
+
+def test_validate_filename():
+    assert cli.validate_filename("jog.png") == "jog.png"
+    assert cli.validate_filename("jog.jpg") == "jog.jpg"
+    for bad in ["jog.pom", ".png"]:
+        with pytest.raises(argparse.ArgumentTypeError):
+            cli.validate_filename(bad)
+
+
+def test_parse_colors():
+    colors = cli.parse_colors("#ffffff,#000000")
+    np.testing.assert_array_equal(
+        colors, [[255, 255, 255, 255], [0, 0, 0, 255]]
+    )
+
+
+def test_validate_palette_rejects():
+    with pytest.raises(argparse.ArgumentTypeError):
+        cli.validate_palette("#ffffff#000000")
+    with pytest.raises(argparse.ArgumentTypeError):
+        cli.validate_palette("")
+
+
+def test_validate_palette_hex():
+    pal = cli.validate_palette("#ff0000,#00ff00")
+    assert pal.shape == (2, 4)
+
+
+def test_parse_palette_image(tmp_path):
+    # 64 distinct colors in an 8x8 image.
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 0] = np.arange(64).reshape(8, 8) * 4
+    rgba[..., 1] = np.arange(64).reshape(8, 8)
+    rgba[..., 3] = 255
+    p = str(tmp_path / "pal.png")
+    save_image(Image((8, 8), rgba), p)
+    colors = cli.parse_palette_image(p)
+    assert colors.shape == (64, 4)
+
+
+def test_parse_palette_image_rejects_recurring(tmp_path):
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., 3] = 255
+    p = str(tmp_path / "dup.png")
+    save_image(Image((2, 2), rgba), p)
+    with pytest.raises(SystemExit):
+        cli.parse_palette_image(p)
+
+
+def test_output_naming():
+    assert (
+        cli.reduce_file_path(8, "kmeans", "replace", None, "/a/tokyo.png")
+        == "/a/tokyo-reduce-c8-kmeans-replace.png"
+    )
+    assert (
+        cli.palette_file_path(8, "/a/tokyo.png", None, "kmeans", 40)
+        == "/a/tokyo-palette-c8-kmeans-s40.png"
+    )
+    assert cli.find_file_path("dither", None, "/a/tokyo.jpg").startswith(
+        "/a/tokyo-find-dither-"
+    )
+    assert cli.find_file_path("dither", None, "/a/tokyo.jpg").endswith(".jpg")
+    assert cli.reduce_file_path(8, "kmeans", "replace", "/x/y.png", "/a/t.png") == "/x/y.png"
+
+
+def test_swatch_shape():
+    pal = np.array([[1, 2, 3, 255], [4, 5, 6, 255]], np.uint8)
+    sw = cli.render_swatch(pal, 40)
+    assert sw.shape == (40, 80, 4)
+    assert (sw[:, :40] == pal[0]).all()
+    assert (sw[:, 40:] == pal[1]).all()
+
+
+def test_palette_hex_uppercase():
+    pal = np.array([[255, 171, 205, 255]], np.uint8)
+    assert cli.palette_hex(pal) == "#FFABCD"
+
+
+@pytest.fixture(scope="module")
+def sample_png(tmp_path_factory):
+    rng = np.random.default_rng(9)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    idx = rng.integers(0, 3, size=(64, 64))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, (64, 64, 3)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((64, 64, 1), 255, np.uint8)], -1
+    )
+    path = tmp_path_factory.mktemp("gfx") / "sample.png"
+    save_image(Image((64, 64), rgba), str(path))
+    return str(path)
+
+
+def test_cli_reduce_end_to_end(sample_png):
+    assert cli.main(["reduce", "-i", sample_png, "-c", "3"]) == 0
+    out = sample_png.replace("sample.png", "sample-reduce-c3-kmeans-replace.png")
+    assert os.path.exists(out)
+    img = load_image(out)
+    assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_cli_palette_end_to_end(sample_png, capsys):
+    assert cli.main(["palette", "-i", sample_png, "-c", "3", "-s", "10"]) == 0
+    printed = capsys.readouterr().out
+    assert printed.startswith("Palette: #")
+    assert printed.count("#") == 3
+    out = sample_png.replace("sample.png", "sample-palette-c3-kmeans-s10.png")
+    img = load_image(out)
+    assert img.dimensions == (30, 10)
+
+
+def test_cli_find_end_to_end(sample_png, tmp_path):
+    out = str(tmp_path / "found.png")
+    assert (
+        cli.main(
+            ["find", "-i", sample_png, "-p", "#ff0000,#00ff00,#0000ff", "-o", out]
+        )
+        == 0
+    )
+    img = load_image(out)
+    uniq = np.unique(img.pixels.reshape(-1, 4), axis=0)
+    assert len(uniq) == 3
+
+
+def test_cli_reduce_octree_dither(sample_png, tmp_path):
+    out = str(tmp_path / "oct.png")
+    assert (
+        cli.main(
+            ["reduce", "-i", sample_png, "-c", "3", "-a", "octree", "-m", "dither", "-o", out]
+        )
+        == 0
+    )
+    assert os.path.exists(out)

@@ -1,0 +1,77 @@
+"""Multi-device tests on the virtual 8-CPU mesh: the pixel-sharded fit must
+match the single-device fit, and sharded quantize must match unsharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kmeans_tpu.models import kmeans as km
+from kmeans_tpu.ops.colorspace import srgb8_to_lab
+from kmeans_tpu.ops.quantize import quantize_image
+from kmeans_tpu.parallel.distributed import fit_sharded, fit_sharded_batch
+from kmeans_tpu.parallel.mesh import DATA_AXIS, PIXEL_AXIS, make_mesh
+
+
+def _blob_pixels(n=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[20.0, 0.0, 0.0], [60.0, 40.0, -30.0], [90.0, -50.0, 50.0]]
+    )
+    pts = centers[rng.integers(0, 3, n)] + rng.normal(0, 0.5, (n, 3))
+    return jnp.asarray(pts.astype(np.float32))
+
+
+def test_fit_sharded_matches_single_device():
+    pts = _blob_pixels()
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)  # all 8 devices on the pixel axis
+
+    single, it_single = km.fit(pts, 3, 0)
+    sharded, it_sharded = fit_sharded(mesh, pts, weight, 3, 0)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-3)
+    assert int(it_single) == int(it_sharded)
+
+
+def test_fit_sharded_with_padding():
+    pts = _blob_pixels(n=4000)  # not divisible by 8 -> pad to 4096
+    pad = 4096 - 4000
+    padded = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)])
+    weight = jnp.concatenate([jnp.ones(4000, jnp.float32), jnp.zeros(pad, jnp.float32)])
+    mesh = make_mesh(jax.devices(), data=1)
+
+    single, _ = km.fit(pts, 3, 0)
+    sharded, _ = fit_sharded(mesh, padded, weight, 3, 0)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-3)
+
+
+def test_fit_sharded_batch_dp_sp():
+    pts = _blob_pixels()
+    batch = jnp.stack([pts, pts[::-1]])  # 2 frames
+    weight = jnp.ones(batch.shape[:2], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    k_actives = jnp.asarray([2, 3], jnp.int32)
+
+    cents = fit_sharded_batch(mesh, batch, weight, 4, 0, k_actives)
+    assert cents.shape == (2, 4, 3)
+
+    ref0, _ = km.fit(pts, 4, 0, k_active=2)
+    np.testing.assert_allclose(
+        np.asarray(cents)[0, :2], np.asarray(ref0)[:2], atol=1e-3
+    )
+
+
+def test_quantize_sharded_matches_unsharded():
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 256, (64, 128, 4), dtype=np.uint8))
+    pal = srgb8_to_lab(
+        jnp.asarray(np.array([[0, 0, 0], [255, 255, 255], [200, 30, 40]], np.uint8))
+    )
+    expected = np.asarray(quantize_image(img, pal, mode="dither"))
+
+    mesh = make_mesh(jax.devices(), data=1)
+    sharded_img = jax.device_put(img, NamedSharding(mesh, P(PIXEL_AXIS)))
+    got = np.asarray(quantize_image(sharded_img, pal, mode="dither"))
+    np.testing.assert_array_equal(got, expected)

@@ -1,0 +1,90 @@
+"""Image IO tests: native codec vs pure-Python fallback, GIF encoding."""
+
+import numpy as np
+import pytest
+
+from kmeans_tpu.image import Image
+from kmeans_tpu.utils import imageio, png_py
+
+
+def _random_image(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+
+def test_png_py_roundtrip():
+    rgba = _random_image(31, 17)
+    data = png_py.encode_png(31, 17, rgba.tobytes())
+    w, h, back = png_py.decode_png(data)
+    assert (w, h) == (31, 17)
+    np.testing.assert_array_equal(
+        np.frombuffer(back, np.uint8).reshape(17, 31, 4), rgba
+    )
+
+
+def test_file_roundtrip(tmp_path):
+    rgba = _random_image(20, 10, 1)
+    path = str(tmp_path / "img.png")
+    imageio.save_image(Image((20, 10), rgba), path)
+    img = imageio.load_image(path)
+    assert img.dimensions == (20, 10)
+    np.testing.assert_array_equal(img.pixels, rgba)
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_native_matches_fallback():
+    rgba = _random_image(13, 9, 2)
+    from kmeans_tpu.runtime import _imagio
+
+    data = _imagio.encode_png(13, 9, rgba.tobytes())
+    w1, h1, a = _imagio.decode_png(data)
+    w2, h2, b = png_py.decode_png(data)
+    assert (w1, h1) == (w2, h2) == (13, 9)
+    assert a == b
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_native_decodes_filtered_png():
+    # libpng-encoded (filtered) data must decode identically in the fallback.
+    rgba = np.zeros((32, 32, 4), np.uint8)
+    rgba[..., 0] = np.arange(32)[:, None] * 8
+    rgba[..., 1] = np.arange(32)[None, :] * 8
+    rgba[..., 3] = 255
+    from kmeans_tpu.runtime import _imagio
+
+    data = _imagio.encode_png(32, 32, rgba.tobytes())
+    _, _, a = _imagio.decode_png(data)
+    _, _, b = png_py.decode_png(data)
+    assert a == b
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_jpeg_roundtrip(tmp_path):
+    rgba = _random_image(24, 16, 3)
+    path = str(tmp_path / "img.jpg")
+    imageio.save_image(Image((24, 16), rgba), path)
+    img = imageio.load_image(path)
+    assert img.dimensions == (24, 16)  # lossy, so only dims checked
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_gif_encode(tmp_path):
+    frames = []
+    for i in range(3):
+        rgba = np.zeros((8, 8, 4), np.uint8)
+        rgba[..., 0] = i * 80
+        rgba[..., 3] = 255
+        rgba[: i + 2, :, 1] = 200
+        frames.append(Image((8, 8), rgba))
+    path = str(tmp_path / "anim.gif")
+    imageio.save_gif(frames, path, delay_cs=50)
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:6] == b"GIF89a"
+    assert data[-1:] == b"\x3b"
+    assert data.count(b"\x2c") >= 3  # one image descriptor per frame
+
+
+def test_bad_extension_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        imageio.load_image(str(tmp_path / "x.bmp"))

@@ -1,0 +1,64 @@
+"""Pallas fused-quantize kernel vs the XLA reference path: outputs must be
+bit-identical uint8 for every mode (interpreter mode on the CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmeans_tpu.ops.colorspace import srgb8_to_lab
+from kmeans_tpu.ops.kernels import fused_quantize
+from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
+
+
+def _image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+
+
+def _palette(k, seed=1):
+    rng = np.random.default_rng(seed)
+    return srgb8_to_lab(jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8)))
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither", "meld"])
+@pytest.mark.parametrize("shape", [(16, 24), (33, 77)])
+def test_fused_matches_xla(mode, shape):
+    img = _image(*shape)
+    pal = _palette(5)
+    thr = dither_threshold(pal)
+    expected = np.asarray(quantize_image(img, pal, mode=mode))
+    got = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
+    mismatch = (expected != got).mean()
+    np.testing.assert_array_equal(got, expected, err_msg=f"mismatch={mismatch:.4f}")
+
+
+def test_fused_k_active_mask():
+    img = _image(16, 16, 3)
+    pal8 = _palette(8, seed=2)
+    thr3 = dither_threshold(pal8, k_active=3)
+    expected = np.asarray(quantize_image(img, pal8, mode="replace", k_active=3))
+    got = np.asarray(
+        fused_quantize(img, pal8, thr3, k_active=3, mode="replace", interpret=True)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_k1():
+    img = _image(8, 8, 4)
+    pal = _palette(1, seed=5)
+    thr = jnp.float32(0.0)
+    for mode in ["replace", "dither", "meld"]:
+        expected = np.asarray(quantize_image(img, pal, mode=mode))
+        got = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_nonaligned_total():
+    # H*W far from a multiple of the 32768-px tile; exercises padding.
+    img = _image(3, 5, 6)
+    pal = _palette(4, seed=7)
+    expected = np.asarray(quantize_image(img, pal, mode="replace"))
+    got = np.asarray(
+        fused_quantize(img, pal, jnp.float32(0), mode="replace", interpret=True)
+    )
+    np.testing.assert_array_equal(got, expected)

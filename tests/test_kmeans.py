@@ -1,0 +1,81 @@
+"""K-means model tests: seeding, Lloyd convergence, reference protocol."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kmeans_tpu.models import kmeans as km
+
+
+def _blobs(n_per=500, seed=0):
+    """Three tight, well-separated Lab blobs."""
+    rng = np.random.default_rng(seed)
+    centers = np.array([[20.0, 0.0, 0.0], [60.0, 40.0, -30.0], [90.0, -50.0, 50.0]])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, size=(n_per, 3)) for c in centers]
+    ).astype(np.float32)
+    return jnp.asarray(pts), centers
+
+
+def test_reference_seed_index_deterministic_and_in_range():
+    for w, h in [(256, 256), (256, 144), (1, 1), (100, 7)]:
+        idx = km.reference_seed_index(w, h)
+        assert 0 <= idx < w * h
+        assert idx == km.reference_seed_index(w, h)
+
+
+def test_plusplus_init_spreads():
+    pts, centers = _blobs()
+    cents = np.asarray(km.plusplus_init(pts, 3, 0))
+    # Farthest-point seeding must land one seed in each blob.
+    dists = np.linalg.norm(cents[:, None, :] - centers[None, :, :], axis=2)
+    assert set(dists.argmin(axis=1).tolist()) == {0, 1, 2}
+
+
+def test_fit_recovers_blobs():
+    pts, centers = _blobs()
+    cents, iters = km.fit(pts, 3, 0)
+    cents = np.asarray(cents)
+    order = np.linalg.norm(cents[:, None, :] - centers[None, :, :], axis=2).argmin(1)
+    assert sorted(order.tolist()) == [0, 1, 2]
+    np.testing.assert_allclose(cents, centers[order], atol=0.2)
+    assert int(iters) < km.MAX_ITERATIONS
+
+
+def test_convergence_check_cadence():
+    # On trivially-stable data, the loop must exit at the first check point
+    # (iteration 8 completed -> i == 9), matching the reference protocol of
+    # checking only every 8th iteration (core/src/modules.rs:802-804).
+    pts, _ = _blobs(n_per=100)
+    _, iters = km.fit(pts, 3, 0)
+    assert int(iters) == 9
+
+
+def test_k_equals_one():
+    pts, _ = _blobs()
+    cents, _ = km.fit(pts, 1, 0)
+    # Single cluster converges to the global mean.
+    np.testing.assert_allclose(
+        np.asarray(cents)[0], np.asarray(pts).mean(0), atol=0.5
+    )
+
+
+def test_k_active_masking_matches_unpadded():
+    pts, _ = _blobs()
+    full, _ = km.fit(pts, 3, 0)
+    padded, _ = km.fit(pts, 8, 0, k_active=3)
+    np.testing.assert_allclose(np.asarray(padded)[:3], np.asarray(full), atol=1e-4)
+
+
+def test_more_clusters_than_points():
+    pts = jnp.asarray(np.array([[10.0, 0, 0], [50.0, 0, 0]], np.float32))
+    cents, _ = km.fit(pts, 4, 0)
+    # Two clusters get the two points; the others stay wherever seeded
+    # (duplicates), like the reference's empty-cluster behavior.
+    assert np.isfinite(np.asarray(cents)).all()
+
+
+def test_assign_clusters_nearest():
+    pts = jnp.asarray(np.array([[20.0, 0, 0], [90.0, 0, 0]], np.float32))
+    cents = jnp.asarray(np.array([[85.0, 0, 0], [25.0, 0, 0]], np.float32))
+    assign = np.asarray(km.assign_clusters(pts, cents))
+    np.testing.assert_array_equal(assign, [1, 0])
