@@ -28,6 +28,7 @@ TPU-first extensions beyond the reference:
 
 from __future__ import annotations
 
+import logging
 from enum import Enum
 from functools import partial
 
@@ -35,11 +36,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+log = logging.getLogger("kmeans_tpu")
+
 from kmeans_tpu.image import Image
 from kmeans_tpu.models import kmeans as kmeans_model
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
-from kmeans_tpu.ops.quantize import quantize_image
+from kmeans_tpu.ops.kernels import fused_quantize
+from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
 
 # Training-image shrink cap (`core/src/structures.rs:23`).
@@ -95,6 +99,52 @@ def _train_jit(
     return centroids, iters
 
 
+@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas"))
+def _reduce_jit(
+    pixels_u8: jnp.ndarray,
+    k: int,
+    train_shape: tuple[int, int],
+    first_index: int,
+    convergence: float,
+    mode: str,
+    use_pallas: bool,
+):
+    """The flagship path as ONE executable: shrink -> Lab -> seed -> Lloyd ->
+    full-res quantize. A single host->device transfer of the uint8 image and
+    a single device->host transfer of the result — vs the reference's
+    per-iteration host syncs and multi-pass texture pipeline
+    (`core/src/modules.rs:790-791`, `core/src/operations.rs:215-271`)."""
+    sh, sw = train_shape
+    train_u8 = (
+        resize_uint8(pixels_u8, sh, sw)
+        if (pixels_u8.shape[0], pixels_u8.shape[1]) != (sh, sw)
+        else pixels_u8
+    )
+    work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+    centroids, _ = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    if use_pallas:
+        threshold = (
+            dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+        )
+        out = fused_quantize(pixels_u8, centroids, threshold, mode=mode)
+    else:
+        out = quantize_image(pixels_u8, centroids, mode=mode)
+    return out, centroids
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
+    """Fused quantize with the dither threshold computed in-executable."""
+    threshold = dither_threshold(palette_lab) if mode == "dither" else jnp.float32(0.0)
+    return fused_quantize(pixels_u8, palette_lab, threshold, mode=mode)
+
+
+def _pallas_available() -> bool:
+    """Use the hand-fused Pallas kernel on real TPU backends only (the CPU
+    interpreter is correct but slow; XLA's fusion is the right CPU path)."""
+    return jax.default_backend() == "tpu"
+
+
 @jax.jit
 def _lab_palette_to_u8(centroids: jnp.ndarray) -> jnp.ndarray:
     """Palette readback: Lab -> RGBA8 + the L* sort key recomputed from the
@@ -136,8 +186,10 @@ class ImageProcessor:
     `kmeans_tpu.parallel`.
     """
 
-    def __init__(self, devices=None):
+    def __init__(self, devices=None, fused: bool | None = None):
         self.devices = list(devices) if devices is not None else jax.devices()
+        # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere).
+        self.fused = _pallas_available() if fused is None else bool(fused)
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -156,7 +208,7 @@ class ImageProcessor:
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
         first = kmeans_model.reference_seed_index(sw, sh)
-        centroids, _ = _train_jit(
+        centroids, iters = _train_jit(
             jnp.asarray(image.pixels),
             k,
             (sh, sw),
@@ -164,6 +216,12 @@ class ImageProcessor:
             color_space.convergence,
             lab=color_space is ColorSpace.LAB,
         )
+        if log.isEnabledFor(logging.DEBUG):
+            # Debug centroid dump, like the reference's log-gated readback
+            # (`core/src/modules.rs:842-870`, convergence log :829).
+            log.debug("converged after %d iterations", int(iters))
+            for i, c in enumerate(np.asarray(centroids)):
+                log.debug("Centroid %d = %s", i, c.tolist())
         return centroids
 
     def _octree_palette_u8(self, image: Image, k: int) -> np.ndarray:
@@ -204,9 +262,7 @@ class ImageProcessor:
         (`core/src/lib.rs:79-114`)."""
         image = _as_image(image)
         palette_lab = _colors_to_lab(_colors_rgba(colors))
-        out = quantize_image(
-            jnp.asarray(image.pixels), palette_lab, mode=reduce_mode.value
-        )
+        out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
     def reduce(
@@ -221,18 +277,54 @@ class ImageProcessor:
         image = _as_image(image)
         _validate_k(color_count)
         if algo is Algorithm.KMEANS:
-            palette_lab = self.extract_palette_kmeans(image, color_count)
+            w, h = image.dimensions
+            sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+            first = kmeans_model.reference_seed_index(sw, sh)
+            out, _ = _reduce_jit(
+                jnp.asarray(image.pixels),
+                color_count,
+                (sh, sw),
+                first,
+                ColorSpace.LAB.convergence,
+                reduce_mode.value,
+                self.fused,
+            )
         else:
             palette_u8 = self._octree_palette_u8(image, color_count)
             palette_lab = _colors_to_lab(palette_u8)
-        out = quantize_image(
-            jnp.asarray(image.pixels), palette_lab, mode=reduce_mode.value
-        )
+            out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
+
+    def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
+        palette_lab = jnp.asarray(palette_lab, jnp.float32)
+        if self.fused:
+            return _quantize_fused_jit(pixels_u8, palette_lab, reduce_mode.value)
+        return quantize_image(pixels_u8, palette_lab, mode=reduce_mode.value)
 
     # ------------------------------------------------------------------ #
     # TPU-first extensions
     # ------------------------------------------------------------------ #
+
+    def find_batch(
+        self,
+        images,
+        colors,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Apply a fixed palette to a batch of same-sized frames (e.g. GIF
+        frames) in one vmapped executable — the batched variant of `find`
+        for BASELINE config 5."""
+        frames = [_as_image(im) for im in images]
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        palette_lab = jnp.asarray(_colors_to_lab(_colors_rgba(colors)))
+        outs = np.asarray(
+            _find_batch_jit(stack, palette_lab, reduce_mode.value)
+        )
+        return [Image(dims, outs[i]) for i in range(len(frames))]
 
     def reduce_batch(
         self,
@@ -263,6 +355,11 @@ class ImageProcessor:
             )
         )
         return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _find_batch_jit(frames_u8, palette_lab, mode: str):
+    return jax.vmap(lambda f: quantize_image(f, palette_lab, mode=mode))(frames_u8)
 
 
 @partial(jax.jit, static_argnames=("kmax", "train_shape", "mode"))

@@ -72,8 +72,15 @@ def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lab_f(t: jnp.ndarray) -> jnp.ndarray:
-    """CIELAB cube-root with linear toe (rgb_to_lab.wgsl:48-58)."""
-    return jnp.where(t > _LAB_EPS, jnp.cbrt(t), _LAB_SLOPE * t + _LAB_OFFSET)
+    """CIELAB cube-root with linear toe (rgb_to_lab.wgsl:48-58).
+
+    Uses pow(t, 1/3) like the reference WGSL (`pow(x, 1.0/3.0)`), not
+    jnp.cbrt — also keeps the Pallas kernel (no cbrt in Mosaic) bit-
+    identical to this path. t >= 0 always (XYZ of non-negative linear RGB).
+    """
+    return jnp.where(
+        t > _LAB_EPS, jnp.maximum(t, 0.0) ** (1.0 / 3.0), _LAB_SLOPE * t + _LAB_OFFSET
+    )
 
 
 def _lab_f_inv(t: jnp.ndarray) -> jnp.ndarray:
@@ -157,7 +164,7 @@ def srgb8_to_lab_np(rgb8: "_np.ndarray") -> "_np.ndarray":
         planes.append(
             _np.where(
                 t > _LAB_EPS,
-                _np.cbrt(t),
+                _np.maximum(t, 0) ** _np.float32(1.0 / 3.0),
                 _np.float32(_LAB_SLOPE) * t + _np.float32(_LAB_OFFSET),
             )
         )

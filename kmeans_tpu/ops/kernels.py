@@ -59,7 +59,13 @@ def _srgb_to_lab_planes(r, g, b):
     planes = []
     for row, wp in zip(cs.RGB_TO_XYZ, cs.WHITE_POINT):
         t = (row[0] * r + row[1] * g + row[2] * b) / wp
-        planes.append(jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0))
+        planes.append(
+            jnp.where(
+                t > 0.008856,
+                jnp.maximum(t, 0.0) ** (1.0 / 3.0),
+                7.787 * t + 16.0 / 116.0,
+            )
+        )
     fx, fy, fz = planes
     return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
 
@@ -132,6 +138,9 @@ def _quantize_kernel(
     width = scalar_ref[1]
     threshold = thr_ref[0]
 
+    # Packed pixels travel as int32 (Mosaic has no u32<->f32 casts); the
+    # byte masks make every extracted channel a small non-negative int32,
+    # and the arithmetic >> before & 0xFF is harmless.
     x = in_ref[:]
     r = (x & 0xFF).astype(jnp.float32) / 255.0
     g = ((x >> 8) & 0xFF).astype(jnp.float32) / 255.0
@@ -216,10 +225,11 @@ def _quantize_kernel(
         ob = jnp.where(is1, cb, ob)
 
     orr, og, obb = _lab_to_srgb_planes(ol, oa, ob)
-    r8 = jnp.round(orr * 255.0).astype(jnp.uint32)
-    g8 = jnp.round(og * 255.0).astype(jnp.uint32)
-    b8 = jnp.round(obb * 255.0).astype(jnp.uint32)
-    out_ref[:] = r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(0xFF000000)
+    r8 = jnp.round(orr * 255.0).astype(jnp.int32)
+    g8 = jnp.round(og * 255.0).astype(jnp.int32)
+    b8 = jnp.round(obb * 255.0).astype(jnp.int32)
+    # 0xFF000000 as signed int32 (alpha = 255).
+    out_ref[:] = r8 | (g8 << 8) | (b8 << 16) | jnp.int32(-16777216)
 
 
 # ------------------------------------------------------------------ #
@@ -254,7 +264,7 @@ def fused_quantize(
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
 
     packed = jax.lax.bitcast_convert_type(
-        rgba_u8.reshape(n, 4), jnp.uint32
+        rgba_u8.reshape(n, 4), jnp.int32
     )  # [N]
     n_pad = _round_up(n, TILE_ROWS * LANES)
     packed = jnp.pad(packed, (0, n_pad - n))
@@ -266,7 +276,7 @@ def fused_quantize(
 
     out = pl.pallas_call(
         functools.partial(_quantize_kernel, kp=kp, mode=mode),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

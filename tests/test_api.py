@@ -88,3 +88,14 @@ def test_rgb_colorspace_internal(blobs_image):
     arr = np.asarray(cents)
     assert arr.shape == (4, 3)
     assert (arr >= 0).all() and (arr <= 1).all()
+
+
+def test_find_batch_matches_single(blobs_image):
+    image, _ = blobs_image
+    colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8)
+    p = ImageProcessor()
+    outs = p.find_batch([image, image], colors, ReduceMode.DITHER)
+    single = p.find(image, colors, ReduceMode.DITHER)
+    assert len(outs) == 2
+    np.testing.assert_array_equal(outs[0].pixels, single.pixels)
+    np.testing.assert_array_equal(outs[1].pixels, single.pixels)
