@@ -42,7 +42,7 @@ from kmeans_tpu.image import Image
 from kmeans_tpu.models import kmeans as kmeans_model
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
-from kmeans_tpu.ops.kernels import fused_quantize
+from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
 
@@ -132,6 +132,40 @@ def _reduce_jit(
     return out, centroids
 
 
+@partial(jax.jit, static_argnames=("k", "train_shape", "mode"))
+def _reduce_indexed_jit(
+    pixels_u8: jnp.ndarray,
+    k: int,
+    train_shape: tuple[int, int],
+    first_index: int,
+    convergence: float,
+    mode: str,
+):
+    """Reduce with indexed readback: train, then return the per-pixel
+    palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
+    reconstructs `palette[idx]` — 4x less device->host traffic than raw
+    RGBA, exact for replace/dither (every output pixel IS a palette color)."""
+    sh, sw = train_shape
+    train_u8 = (
+        resize_uint8(pixels_u8, sh, sw)
+        if (pixels_u8.shape[0], pixels_u8.shape[1]) != (sh, sw)
+        else pixels_u8
+    )
+    work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+    centroids, _ = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+    idx = fused_assign(pixels_u8, centroids, threshold, mode=mode)
+    palette_rgba, _ = _lab_palette_to_u8(centroids)
+    return idx, palette_rgba
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _assign_indexed_jit(pixels_u8, palette_lab, mode: str):
+    """Fixed-palette indexed assignment (the `find` fast path)."""
+    threshold = dither_threshold(palette_lab) if mode == "dither" else jnp.float32(0.0)
+    return fused_assign(pixels_u8, palette_lab, threshold, mode=mode)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
     """Fused quantize with the dither threshold computed in-executable."""
@@ -186,10 +220,19 @@ class ImageProcessor:
     `kmeans_tpu.parallel`.
     """
 
-    def __init__(self, devices=None, fused: bool | None = None):
+    def __init__(
+        self,
+        devices=None,
+        fused: bool | None = None,
+        train_max_size: int = MAX_IMAGE_DIMENSION,
+    ):
         self.devices = list(devices) if devices is not None else jax.devices()
         # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere).
         self.fused = _pallas_available() if fused is None else bool(fused)
+        # Training-shrink cap. The reference hard-codes 256
+        # (`core/src/structures.rs:23`); raising it trades time for
+        # palette fidelity — a capability the reference lacks.
+        self.train_max_size = int(train_max_size)
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -206,7 +249,7 @@ class ImageProcessor:
         (`core/src/operations.rs:15-88`): shrink to <=256px long side,
         convert, seed, Lloyd."""
         w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         centroids, iters = _train_jit(
             jnp.asarray(image.pixels),
@@ -278,17 +321,32 @@ class ImageProcessor:
         _validate_k(color_count)
         if algo is Algorithm.KMEANS:
             w, h = image.dimensions
-            sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+            sw, sh = shrunk_dimensions(w, h, self.train_max_size)
             first = kmeans_model.reference_seed_index(sw, sh)
-            out, _ = _reduce_jit(
-                jnp.asarray(image.pixels),
-                color_count,
-                (sh, sw),
-                first,
-                ColorSpace.LAB.convergence,
-                reduce_mode.value,
-                self.fused,
-            )
+            if (
+                self.fused
+                and reduce_mode is not ReduceMode.MELD
+                and color_count <= 256
+            ):
+                idx, palette_rgba = _reduce_indexed_jit(
+                    jnp.asarray(image.pixels),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    reduce_mode.value,
+                )
+                out = np.asarray(palette_rgba)[np.asarray(idx)]
+            else:
+                out, _ = _reduce_jit(
+                    jnp.asarray(image.pixels),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    reduce_mode.value,
+                    self.fused,
+                )
         else:
             palette_u8 = self._octree_palette_u8(image, color_count)
             palette_lab = _colors_to_lab(palette_u8)
@@ -298,6 +356,15 @@ class ImageProcessor:
     def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
         palette_lab = jnp.asarray(palette_lab, jnp.float32)
         if self.fused:
+            if (
+                reduce_mode is not ReduceMode.MELD
+                and palette_lab.shape[0] <= 256
+            ):
+                idx = _assign_indexed_jit(
+                    pixels_u8, palette_lab, reduce_mode.value
+                )
+                palette_rgba, _ = _lab_palette_to_u8(palette_lab)
+                return np.asarray(palette_rgba)[np.asarray(idx)]
             return _quantize_fused_jit(pixels_u8, palette_lab, reduce_mode.value)
         return quantize_image(pixels_u8, palette_lab, mode=reduce_mode.value)
 
@@ -342,7 +409,7 @@ class ImageProcessor:
             _validate_k(k)
         kmax = max(ks)
         w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, MAX_IMAGE_DIMENSION)
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         outs = np.asarray(
             _reduce_batch_jit(

@@ -128,11 +128,12 @@ def _quantize_kernel(
     scalar_ref,  # SMEM [2] i32: k_active, width
     thr_ref,  # SMEM [1] f32: dither threshold
     cents_ref,  # SMEM [KP, 3] f32 Lab centroids
-    in_ref,  # VMEM [TILE_ROWS, 128] u32 packed RGBA
-    out_ref,  # VMEM [TILE_ROWS, 128] u32 packed RGBA
+    in_ref,  # VMEM [TILE_ROWS, 128] i32 packed RGBA
+    out_ref,  # VMEM [TILE_ROWS, 128] i32: packed RGBA, or palette index
     *,
     kp: int,
     mode: str,
+    emit_index: bool = False,
 ):
     k_active = scalar_ref[0]
     width = scalar_ref[1]
@@ -170,21 +171,28 @@ def _quantize_kernel(
     if mode in ("replace", "dither"):
 
         def body(k, carry):
-            best_d, bl, ba, bb = carry
+            best_d, best_k, bl, ba, bb = carry
             cl, ca, cb = centroid(k)
             d = _cie94_sq_planes(l_p, a_p, b_p, cl, ca, cb)
             d = jnp.where(k < k_active, d, big)
             take = d < best_d
             return (
                 jnp.where(take, d, best_d),
+                jnp.where(take, k, best_k),
                 jnp.where(take, cl, bl),
                 jnp.where(take, ca, ba),
                 jnp.where(take, cb, bb),
             )
 
-        _, ol, oa, ob = jax.lax.fori_loop(
-            0, kp, body, (jnp.full_like(l_p, big), zero, zero, zero)
+        _, best_k, ol, oa, ob = jax.lax.fori_loop(
+            0,
+            kp,
+            body,
+            (jnp.full_like(l_p, big), jnp.zeros(l_p.shape, jnp.int32), zero, zero, zero),
         )
+        if emit_index:
+            out_ref[:] = best_k
+            return
     else:  # meld (mix_colors.wgsl:29-47,85-90)
 
         def body(k, carry):
@@ -295,3 +303,56 @@ def fused_quantize(
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
     return rgba.reshape(h, w, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def fused_assign(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    threshold: jnp.ndarray,
+    k_active=None,
+    mode: str = "replace",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Like `fused_quantize` but returns the per-pixel palette index
+    `[H, W]` uint8 instead of recolored pixels — 1 B/px device->host
+    traffic instead of 4 B/px; the host reconstructs `palette[idx]`.
+    Valid for replace/dither (meld blends colors, so it has no index
+    representation). Requires k <= 256."""
+    if mode not in ("replace", "dither"):
+        raise ValueError("fused_assign supports replace/dither only")
+    h, w = rgba_u8.shape[0], rgba_u8.shape[1]
+    n = h * w
+    kp = centroids_lab.shape[0]
+    if kp > 256:
+        raise ValueError("indexed output requires k <= 256")
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+
+    packed = jax.lax.bitcast_convert_type(rgba_u8.reshape(n, 4), jnp.int32)
+    n_pad = _round_up(n, TILE_ROWS * LANES)
+    packed = jnp.pad(packed, (0, n_pad - n))
+    tiles = packed.reshape(n_pad // LANES, LANES)
+    grid = (n_pad // (TILE_ROWS * LANES),)
+
+    scalars = jnp.stack([k_act, jnp.int32(w)])
+    thr = jnp.asarray(threshold, jnp.float32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_quantize_kernel, kp=kp, mode=mode, emit_index=True),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(scalars, thr, jnp.asarray(centroids_lab, jnp.float32), tiles)
+
+    return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

@@ -152,3 +152,18 @@ def test_cli_reduce_octree_dither(sample_png, tmp_path):
         == 0
     )
     assert os.path.exists(out)
+
+
+def test_palette_swatch_roundtrip_through_find(sample_png, tmp_path):
+    # The reference's "model checkpoint" analogue: a palette swatch image
+    # can be re-consumed by `find -p` (cli/src/main.rs:221-239,
+    # cli/src/args.rs:197-216).
+    assert cli.main(["palette", "-i", sample_png, "-c", "3", "-s", "1"]) == 0
+    swatch = sample_png.replace("sample.png", "sample-palette-c3-kmeans-s1.png")
+    assert os.path.exists(swatch)
+    out = str(tmp_path / "roundtrip.png")
+    assert cli.main(["find", "-i", sample_png, "-p", swatch, "-o", out]) == 0
+    img = load_image(out)
+    swatch_colors = set(map(tuple, load_image(swatch).pixels.reshape(-1, 4)))
+    out_colors = set(map(tuple, img.pixels.reshape(-1, 4)))
+    assert out_colors <= swatch_colors

@@ -62,3 +62,23 @@ def test_fused_nonaligned_total():
         fused_quantize(img, pal, jnp.float32(0), mode="replace", interpret=True)
     )
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither"])
+def test_fused_assign_indexed_matches(mode):
+    img = _image(19, 37, 8)
+    pal = _palette(6, seed=9)
+    thr = dither_threshold(pal)
+    from kmeans_tpu.ops.kernels import fused_assign
+    from kmeans_tpu.ops.colorspace import lab_to_srgb8
+
+    idx = np.asarray(fused_assign(img, pal, thr, mode=mode, interpret=True))
+    assert idx.shape == (19, 37) and idx.dtype == np.uint8
+    # Reconstructing palette[idx] must equal the full fused output.
+    rgb8 = np.asarray(lab_to_srgb8(pal))
+    palette_rgba = np.concatenate(
+        [rgb8, np.full((len(rgb8), 1), 255, np.uint8)], axis=1
+    )
+    recon = palette_rgba[idx]
+    full = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
+    np.testing.assert_array_equal(recon, full)
