@@ -95,8 +95,19 @@ def _train_jit(
         pixels_u8 = resize_uint8(pixels_u8, sh, sw)
     rgb = pixels_u8[..., :3].reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
-    centroids, iters = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    centroids, iters = _fit_auto(work, k, first_index, convergence)
     return centroids, iters
+
+
+# Above this many training pixels, the matmul update's [N, K] one-hot
+# intermediate dominates HBM; switch to the Pallas tile accumulator.
+_LARGE_TRAIN_PIXELS = 1 << 20
+
+
+def _fit_auto(work, k, first_index, convergence):
+    large = work.shape[0] > _LARGE_TRAIN_PIXELS and _pallas_available()
+    fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
+    return fit_fn(work, k, first_index, convergence=convergence)
 
 
 @partial(jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas"))
@@ -121,7 +132,7 @@ def _reduce_jit(
         else pixels_u8
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-    centroids, _ = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    centroids, _ = _fit_auto(work, k, first_index, convergence)
     if use_pallas:
         threshold = (
             dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
@@ -152,7 +163,7 @@ def _reduce_indexed_jit(
         else pixels_u8
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-    centroids, _ = kmeans_model.fit(work, k, first_index, convergence=convergence)
+    centroids, _ = _fit_auto(work, k, first_index, convergence)
     threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
     idx = fused_assign(pixels_u8, centroids, threshold, mode=mode)
     palette_rgba, _ = _lab_palette_to_u8(centroids)

@@ -202,6 +202,79 @@ def lloyd(
     return centroids, iters
 
 
+def lloyd_pallas(
+    pixels: jnp.ndarray,
+    centroids: jnp.ndarray,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lloyd loop backed by the Pallas tile accumulator
+    (`ops.kernels.lloyd_accumulate`): assignment + per-cluster (sum, count)
+    in one bandwidth-floor pass per iteration, no [N, K] one-hot. Same
+    termination protocol as `lloyd`; f32 totals differ from the matmul path
+    only by summation order. Intended for full-resolution training where
+    the one-hot intermediate would dominate HBM."""
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+
+    k = centroids.shape[0]
+    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_active
+    planes, n_valid = pack_lab_planes(pixels)
+
+    def cond(carry):
+        _, converged, i = carry
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < max_iterations, jnp.logical_not(jnp.logical_and(checked, converged))
+        )
+
+    def body(carry):
+        centroids, _, i = carry
+        totals = lloyd_accumulate(
+            planes, centroids, n_valid, k_active=k_active, interpret=interpret
+        )  # [K, 4]
+        sums, counts = totals[:, :3], totals[:, 3]
+        nonempty = counts > 0
+        new_centroids = jnp.where(
+            nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        moved = distance_cie94(new_centroids, centroids)
+        votes = jnp.logical_and(nonempty, moved < convergence)
+        converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
+        return new_centroids, converged, i + 1
+
+    centroids, _, iters = jax.lax.while_loop(
+        cond, body, (centroids, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+@partial(jax.jit, static_argnames=("k", "max_iterations", "interpret"))
+def fit_large(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """fit() for large pixel counts: XLA farthest-point seeding (pure
+    elementwise + argmax streams, no big intermediates) + Pallas Lloyd."""
+    centroids = plusplus_init(pixels, k, first_index, k_active=k_active)
+    return lloyd_pallas(
+        pixels,
+        centroids,
+        convergence=convergence,
+        max_iterations=max_iterations,
+        k_active=k_active,
+        interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "max_iterations"))
 def fit(
     pixels: jnp.ndarray,

@@ -305,6 +305,100 @@ def fused_quantize(
     return rgba.reshape(h, w, 4)
 
 
+def _lloyd_acc_kernel(
+    scalar_ref,  # SMEM [2] i32: k_active, n_valid
+    cents_ref,  # SMEM [KP, 3] f32
+    lab_ref,  # VMEM [3, TILE_ROWS, 128] f32 (L, a, b planes)
+    out_ref,  # VMEM [KP, 4, 128] f32 lane-partial (sumL, suma, sumb, count)
+    *,
+    kp: int,
+):
+    """One tile of the Lloyd update: assign each pixel to its nearest
+    centroid (CIE94) and emit per-centroid lane-partial (sum, count)
+    accumulators. Replaces choose_centroid.wgsl's decoupled-lookback global
+    scan: each grid step reduces its tile to [KP, 4, 128] partials; XLA sums
+    partials over tiles+lanes outside. No [N, K] one-hot ever exists, so
+    full-resolution training stays at the bandwidth floor (12 B/px/iter)."""
+    k_active = scalar_ref[0]
+    n_valid = scalar_ref[1]
+    l_p = lab_ref[0]
+    a_p = lab_ref[1]
+    b_p = lab_ref[2]
+
+    tile = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, l_p.shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, l_p.shape, 1)
+    flat = (tile * TILE_ROWS + rows) * LANES + lanes
+    valid = flat < n_valid
+
+    big = jnp.float32(3.4e38)
+    best_d = jnp.full_like(l_p, big)
+    best_k = jnp.zeros(l_p.shape, jnp.int32)
+    # kp is small and static: unroll (VPU-friendly, no loop-carried VMEM).
+    for k in range(kp):
+        d = _cie94_sq_planes(
+            l_p, a_p, b_p, cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
+        )
+        d = jnp.where(k < k_active, d, big)
+        take = d < best_d
+        best_d = jnp.where(take, d, best_d)
+        best_k = jnp.where(take, k, best_k)
+
+    for k in range(kp):
+        mask = jnp.logical_and(best_k == k, valid)
+        maskf = mask.astype(jnp.float32)
+        out_ref[0, k, 0, :] = jnp.sum(l_p * maskf, axis=0)
+        out_ref[0, k, 1, :] = jnp.sum(a_p * maskf, axis=0)
+        out_ref[0, k, 2, :] = jnp.sum(b_p * maskf, axis=0)
+        out_ref[0, k, 3, :] = jnp.sum(maskf, axis=0)
+
+
+def lloyd_accumulate(
+    lab_planes: jnp.ndarray,  # [3, M, 128] f32
+    centroids: jnp.ndarray,  # [KP, 3] f32
+    n_valid,
+    k_active=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-cluster (sumL, suma, sumb, count) totals `[KP, 4]` over all valid
+    pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`."""
+    kp = centroids.shape[0]
+    if kp > 64:
+        raise ValueError("training kernel supports k <= 64")
+    m = lab_planes.shape[1]
+    grid = (m // TILE_ROWS,)
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+    scalars = jnp.stack([k_act, jnp.asarray(n_valid, jnp.int32)])
+
+    partials = pl.pallas_call(
+        functools.partial(_lloyd_acc_kernel, kp=kp),
+        out_shape=jax.ShapeDtypeStruct((grid[0], kp, 4, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (3, TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp, 4, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(scalars, jnp.asarray(centroids, jnp.float32), lab_planes)
+
+    return partials.sum(axis=(0, 3))  # [KP, 4]
+
+
+def pack_lab_planes(lab: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    """`[N, 3]` Lab -> padded plane layout `[3, M, 128]` + valid count."""
+    n = lab.shape[0]
+    n_pad = _round_up(n, TILE_ROWS * LANES)
+    padded = jnp.pad(lab, ((0, n_pad - n), (0, 0)))
+    planes = padded.T.reshape(3, n_pad // LANES, LANES)
+    return planes, n
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def fused_assign(
     rgba_u8: jnp.ndarray,

@@ -82,3 +82,36 @@ def test_fused_assign_indexed_matches(mode):
     recon = palette_rgba[idx]
     full = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
     np.testing.assert_array_equal(recon, full)
+
+
+def test_lloyd_accumulate_matches_matmul():
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+    from kmeans_tpu.models.kmeans import _update_centroids, assign_clusters
+
+    rng = np.random.default_rng(10)
+    pix = jnp.asarray(rng.normal(50, 25, (5000, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(50, 25, (6, 3)).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    totals = np.asarray(
+        lloyd_accumulate(planes, cents, n, interpret=True)
+    )
+    assign = assign_clusters(pix, cents)
+    sums, counts = _update_centroids(pix, assign, 6)
+    np.testing.assert_allclose(totals[:, :3], np.asarray(sums), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(totals[:, 3], np.asarray(counts), atol=0)
+
+
+def test_fit_large_matches_fit():
+    from kmeans_tpu.models.kmeans import fit, fit_large
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[20.0, 0, 0], [60.0, 40, -30], [90.0, -50, 50]])
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 3, 3000)] + rng.normal(0, 0.5, (3000, 3))).astype(
+            np.float32
+        )
+    )
+    c1, i1 = fit(pix, 3, 0)
+    c2, i2 = fit_large(pix, 3, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+    assert int(i1) == int(i2)
