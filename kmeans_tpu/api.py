@@ -404,6 +404,33 @@ class ImageProcessor:
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
+    def reduce_images(
+        self,
+        images,
+        color_count: int,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Quantize a batch of same-sized frames at one k in a single
+        vmapped executable (each frame trains its own palette) — per-device
+        frame batching, the 'batch multiple images/gif frames per device'
+        capability."""
+        frames = [_as_image(im) for im in images]
+        _validate_k(color_count)
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        w, h = dims
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        outs = np.asarray(
+            _reduce_images_jit(
+                stack, color_count, (sh, sw), first, reduce_mode.value
+            )
+        )
+        return [Image(dims, outs[i]) for i in range(len(frames))]
+
     def reduce_batch(
         self,
         image,
@@ -433,6 +460,22 @@ class ImageProcessor:
             )
         )
         return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
+
+
+@partial(jax.jit, static_argnames=("k", "train_shape", "mode"))
+def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
+    def one(frame):
+        sh, sw = train_shape
+        train_u8 = (
+            resize_uint8(frame, sh, sw)
+            if (frame.shape[0], frame.shape[1]) != (sh, sw)
+            else frame
+        )
+        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+        centroids, _ = kmeans_model.fit(work, k, first_index)
+        return quantize_image(frame, centroids, mode=mode)
+
+    return jax.vmap(one)(frames_u8)
 
 
 @partial(jax.jit, static_argnames=("mode",))

@@ -99,3 +99,14 @@ def test_find_batch_matches_single(blobs_image):
     assert len(outs) == 2
     np.testing.assert_array_equal(outs[0].pixels, single.pixels)
     np.testing.assert_array_equal(outs[1].pixels, single.pixels)
+
+
+def test_reduce_images_batch(blobs_image):
+    image, _ = blobs_image
+    other = Image(image.dimensions, image.pixels[::-1].copy())
+    p = ImageProcessor()
+    outs = p.reduce_images([image, other], 3)
+    single = p.reduce(3, image)
+    assert len(outs) == 2
+    np.testing.assert_array_equal(outs[0].pixels, single.pixels)
+    assert len(np.unique(outs[1].pixels.reshape(-1, 4), axis=0)) <= 3

@@ -75,3 +75,15 @@ def test_quantize_sharded_matches_unsharded():
     sharded_img = jax.device_put(img, NamedSharding(mesh, P(PIXEL_AXIS)))
     got = np.asarray(quantize_image(sharded_img, pal, mode="dither"))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_quantize_image_sharded_helper():
+    from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    pal = srgb8_to_lab(jnp.asarray(np.array([[10, 200, 30], [240, 10, 90]], np.uint8)))
+    mesh = make_mesh(jax.devices(), data=1)
+    got = np.asarray(quantize_image_sharded(mesh, img, pal, mode="replace"))
+    want = np.asarray(quantize_image(jnp.asarray(img), pal, mode="replace"))
+    np.testing.assert_array_equal(got, want)
