@@ -604,6 +604,319 @@ done:
 }
 
 /* ------------------------------------------------------------------ */
+/* GIF decoder (GIF87a/89a): full-canvas compositing with disposal and
+ * transparency, LZW decompression per the spec.                       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const unsigned char *p;
+    size_t len;
+    size_t pos;
+} gif_reader;
+
+static int
+gif_need(gif_reader *r, size_t n)
+{
+    return r->pos + n <= r->len;
+}
+
+static unsigned int
+gif_u16(gif_reader *r)
+{
+    unsigned int v = r->p[r->pos] | (r->p[r->pos + 1] << 8);
+    r->pos += 2;
+    return v;
+}
+
+/* Decode one image's LZW data (sub-blocks at r->pos) into indices[npx]. */
+static int
+gif_lzw_decode(gif_reader *r, int min_code_size, unsigned char *out, size_t npx)
+{
+    int clear = 1 << min_code_size;
+    int end = clear + 1;
+    /* code -> (prefix code, appended byte, length) */
+    static int prefix[LZW_MAX_CODE];
+    static unsigned char append[LZW_MAX_CODE];
+    static unsigned char stack[LZW_MAX_CODE];
+
+    int code_size = min_code_size + 1;
+    int next_code = end + 1;
+    int prev = -1;
+    size_t out_pos = 0;
+
+    unsigned int bit_buf = 0;
+    int bit_count = 0;
+    int block_rem = 0;
+
+    for (int i = 0; i < clear; i++) {
+        prefix[i] = -1;
+        append[i] = (unsigned char)i;
+    }
+
+    while (out_pos < npx) {
+        while (bit_count < code_size) {
+            if (block_rem == 0) {
+                if (!gif_need(r, 1))
+                    return -1;
+                block_rem = r->p[r->pos++];
+                if (block_rem == 0)
+                    return out_pos == npx ? 0 : -1;
+            }
+            if (!gif_need(r, 1))
+                return -1;
+            bit_buf |= (unsigned int)r->p[r->pos++] << bit_count;
+            bit_count += 8;
+            block_rem--;
+        }
+        int code = (int)(bit_buf & ((1u << code_size) - 1));
+        bit_buf >>= code_size;
+        bit_count -= code_size;
+
+        if (code == clear) {
+            code_size = min_code_size + 1;
+            next_code = end + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == end)
+            break;
+
+        int emit_code = code;
+        int stack_len = 0;
+        if (code >= next_code) {
+            if (prev < 0 || code > next_code)
+                return -1;
+            /* KwKwK case: emit prev + first(prev). */
+            stack[stack_len++] = 0; /* placeholder for first char */
+            emit_code = prev;
+        }
+        while (emit_code >= 0) {
+            if (stack_len >= LZW_MAX_CODE)
+                return -1;
+            stack[stack_len++] = append[emit_code];
+            emit_code = prefix[emit_code];
+        }
+        unsigned char first = stack[stack_len - 1];
+        if (code >= next_code)
+            stack[0] = first; /* fill placeholder */
+        for (int i = stack_len - 1; i >= 0 && out_pos < npx; i--)
+            out[out_pos++] = stack[i];
+
+        if (prev >= 0 && next_code < LZW_MAX_CODE) {
+            prefix[next_code] = prev;
+            append[next_code] = first;
+            next_code++;
+            if (next_code == (1 << code_size) && code_size < 12)
+                code_size++;
+        }
+        prev = code;
+    }
+    /* Skip the rest of the current sub-block, then remaining sub-blocks
+     * up to the terminator. */
+    if (block_rem > 0) {
+        if (!gif_need(r, (size_t)block_rem))
+            return -1;
+        r->pos += block_rem;
+    }
+    while (gif_need(r, 1)) {
+        int n = r->p[r->pos++];
+        if (n == 0)
+            break;
+        if (!gif_need(r, n))
+            return -1;
+        r->pos += n;
+    }
+    return 0;
+}
+
+static PyObject *
+imagio_decode_gif(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+
+    gif_reader r = {(const unsigned char *)buf.buf, (size_t)buf.len, 0};
+    PyObject *frames = NULL;
+    unsigned char *canvas = NULL, *prev_canvas = NULL, *indices = NULL;
+    unsigned char gct[256 * 3];
+    int gct_size = 0;
+
+#define FAIL(msg)                                                              \
+    do {                                                                       \
+        PyErr_SetString(PyExc_ValueError, msg);                                \
+        goto fail;                                                             \
+    } while (0)
+
+    if (!gif_need(&r, 13) || memcmp(r.p, "GIF8", 4) != 0)
+        FAIL("not a GIF file");
+    r.pos = 6;
+    unsigned int width = gif_u16(&r);
+    unsigned int height = gif_u16(&r);
+    unsigned char flags = r.p[r.pos++];
+    r.pos += 2; /* bg color index + aspect */
+    if (flags & 0x80) {
+        gct_size = 2 << (flags & 0x07);
+        if (!gif_need(&r, (size_t)gct_size * 3))
+            FAIL("truncated GIF global color table");
+        memcpy(gct, r.p + r.pos, (size_t)gct_size * 3);
+        r.pos += (size_t)gct_size * 3;
+    }
+
+    size_t npx = (size_t)width * height;
+    canvas = (unsigned char *)calloc(npx * 4, 1);
+    prev_canvas = (unsigned char *)malloc(npx * 4);
+    indices = (unsigned char *)malloc(npx);
+    frames = PyList_New(0);
+    if (!canvas || !prev_canvas || !indices || !frames) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+
+    int transparent = -1;
+    int disposal = 0;
+
+    while (gif_need(&r, 1)) {
+        unsigned char block = r.p[r.pos++];
+        if (block == 0x3B)
+            break; /* trailer */
+        if (block == 0x21) {
+            /* extension */
+            if (!gif_need(&r, 1))
+                FAIL("truncated GIF extension");
+            unsigned char label = r.p[r.pos++];
+            if (label == 0xF9) {
+                if (!gif_need(&r, 6))
+                    FAIL("truncated GCE");
+                unsigned char len = r.p[r.pos++];
+                unsigned char gflags = r.p[r.pos];
+                disposal = (gflags >> 2) & 0x07;
+                transparent = (gflags & 1) ? r.p[r.pos + 3] : -1;
+                r.pos += len;
+                if (!gif_need(&r, 1) || r.p[r.pos++] != 0)
+                    FAIL("bad GCE terminator");
+            } else {
+                /* skip sub-blocks */
+                while (gif_need(&r, 1)) {
+                    unsigned char n = r.p[r.pos++];
+                    if (n == 0)
+                        break;
+                    if (!gif_need(&r, n))
+                        FAIL("truncated extension");
+                    r.pos += n;
+                }
+            }
+            continue;
+        }
+        if (block != 0x2C)
+            FAIL("unexpected GIF block");
+
+        if (!gif_need(&r, 9))
+            FAIL("truncated image descriptor");
+        unsigned int ix = gif_u16(&r);
+        unsigned int iy = gif_u16(&r);
+        unsigned int iw = gif_u16(&r);
+        unsigned int ih = gif_u16(&r);
+        unsigned char iflags = r.p[r.pos++];
+        int interlaced = iflags & 0x40;
+        const unsigned char *table = gct;
+        int table_size = gct_size;
+        unsigned char lct[256 * 3];
+        if (iflags & 0x80) {
+            table_size = 2 << (iflags & 0x07);
+            if (!gif_need(&r, (size_t)table_size * 3))
+                FAIL("truncated local color table");
+            memcpy(lct, r.p + r.pos, (size_t)table_size * 3);
+            r.pos += (size_t)table_size * 3;
+            table = lct;
+        }
+        if (table_size == 0)
+            FAIL("GIF image with no color table");
+        if (ix + iw > width || iy + ih > height)
+            FAIL("GIF frame outside canvas");
+
+        if (!gif_need(&r, 1))
+            FAIL("truncated LZW header");
+        int mcs = r.p[r.pos++];
+        if (mcs < 2 || mcs > 11)
+            FAIL("bad LZW min code size");
+        size_t fpx = (size_t)iw * ih;
+        if (gif_lzw_decode(&r, mcs, indices, fpx) != 0)
+            FAIL("corrupt GIF LZW data");
+
+        memcpy(prev_canvas, canvas, npx * 4);
+
+        for (size_t i = 0; i < fpx; i++) {
+            size_t row = i / iw, col = i % iw;
+            if (interlaced) {
+                /* interlace pass reordering */
+                static const size_t start[4] = {0, 4, 2, 1};
+                static const size_t step[4] = {8, 8, 4, 2};
+                size_t y = 0, rem = row;
+                for (int pass = 0; pass < 4; pass++) {
+                    size_t rows_in_pass = (ih + step[pass] - 1 - start[pass]) / step[pass];
+                    if (rem < rows_in_pass) {
+                        y = start[pass] + rem * step[pass];
+                        break;
+                    }
+                    rem -= rows_in_pass;
+                }
+                row = y;
+            }
+            int idx = indices[i];
+            if (idx == transparent)
+                continue;
+            if (idx >= table_size)
+                idx = 0;
+            unsigned char *dst = canvas + (((size_t)(iy + row)) * width + ix + col) * 4;
+            dst[0] = table[idx * 3 + 0];
+            dst[1] = table[idx * 3 + 1];
+            dst[2] = table[idx * 3 + 2];
+            dst[3] = 0xFF;
+        }
+
+        PyObject *frame = PyBytes_FromStringAndSize((const char *)canvas,
+                                                    (Py_ssize_t)(npx * 4));
+        if (!frame)
+            goto fail;
+        if (PyList_Append(frames, frame) != 0) {
+            Py_DECREF(frame);
+            goto fail;
+        }
+        Py_DECREF(frame);
+
+        /* Disposal for next frame. */
+        if (disposal == 2) {
+            for (unsigned int y = iy; y < iy + ih; y++)
+                memset(canvas + ((size_t)y * width + ix) * 4, 0, (size_t)iw * 4);
+        } else if (disposal == 3) {
+            memcpy(canvas, prev_canvas, npx * 4);
+        }
+        transparent = -1;
+        disposal = 0;
+    }
+#undef FAIL
+
+    {
+        PyObject *result =
+            Py_BuildValue("IIN", width, height, frames); /* N steals frames */
+        free(canvas);
+        free(prev_canvas);
+        free(indices);
+        PyBuffer_Release(&buf);
+        return result;
+    }
+
+fail:
+    Py_XDECREF(frames);
+    free(canvas);
+    free(prev_canvas);
+    free(indices);
+    PyBuffer_Release(&buf);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
 
 static PyMethodDef imagio_methods[] = {
     {"decode_png", imagio_decode_png, METH_VARARGS,
@@ -617,6 +930,8 @@ static PyMethodDef imagio_methods[] = {
     {"encode_gif", imagio_encode_gif, METH_VARARGS,
      "encode_gif(width, height, [(palette, indices), ...], delay_cs=100, loop=True)"
      " -> gif_bytes"},
+    {"decode_gif", imagio_decode_gif, METH_VARARGS,
+     "decode_gif(data) -> (width, height, [rgba_bytes, ...])"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef imagio_module = {

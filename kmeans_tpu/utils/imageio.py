@@ -75,6 +75,20 @@ def save_image(image: Image, path: str | os.PathLike, quality: int = 90) -> None
         f.write(data)
 
 
+def load_gif(path: str | os.PathLike) -> list[Image]:
+    """Decode an animated GIF into full-canvas RGBA8 frames (disposal and
+    transparency composited by the native decoder)."""
+    if not HAVE_NATIVE:
+        raise RuntimeError("GIF support requires the native runtime")
+    with open(os.fspath(path), "rb") as f:
+        data = f.read()
+    w, h, frames = _imagio.decode_gif(data)
+    return [
+        Image((w, h), np.frombuffer(buf, np.uint8).reshape(h, w, 4))
+        for buf in frames
+    ]
+
+
 def save_gif(
     frames: list[Image], path: str | os.PathLike, delay_cs: int = 100, loop: bool = True
 ) -> None:

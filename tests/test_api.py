@@ -110,3 +110,28 @@ def test_reduce_images_batch(blobs_image):
     assert len(outs) == 2
     np.testing.assert_array_equal(outs[0].pixels, single.pixels)
     assert len(np.unique(outs[1].pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_tiny_and_degenerate_images():
+    p = ImageProcessor()
+    # 1x1 image, k=1
+    one = Image((1, 1), np.full((1, 1, 4), 200, np.uint8))
+    out = p.reduce(1, one)
+    assert out.pixels.shape == (1, 1, 4)
+    pal = p.palette(1, one)
+    assert pal.shape == (1, 4)
+    # extreme aspect ratio (shrink clamps short side to >= 1)
+    wide = Image((1024, 2), np.random.default_rng(0).integers(
+        0, 256, (2, 1024, 4), dtype=np.uint8))
+    out = p.reduce(3, wide)
+    assert out.dimensions == (1024, 2)
+
+
+def test_find_duplicate_palette_colors(blobs_image):
+    image, _ = blobs_image
+    colors = np.array(
+        [[255, 255, 255, 255], [255, 255, 255, 255], [0, 0, 0, 255]], np.uint8
+    )
+    out = ImageProcessor().find(image, colors)
+    uniq = np.unique(out.pixels.reshape(-1, 4), axis=0)
+    assert len(uniq) <= 2

@@ -167,3 +167,16 @@ def test_palette_swatch_roundtrip_through_find(sample_png, tmp_path):
     swatch_colors = set(map(tuple, load_image(swatch).pixels.reshape(-1, 4)))
     out_colors = set(map(tuple, img.pixels.reshape(-1, 4)))
     assert out_colors <= swatch_colors
+
+
+def test_cli_jpg_end_to_end(sample_png, tmp_path):
+    from kmeans_tpu.utils import imageio as iio
+    if not iio.HAVE_NATIVE:
+        pytest.skip("jpeg requires native runtime")
+    # Convert the sample to jpg, then reduce it via the CLI.
+    img = load_image(sample_png)
+    jpg = str(tmp_path / "sample.jpg")
+    save_image(img, jpg)
+    out = str(tmp_path / "out.png")
+    assert cli.main(["reduce", "-i", jpg, "-c", "3", "-o", out]) == 0
+    assert load_image(out).dimensions == img.dimensions

