@@ -180,6 +180,28 @@ def build_parser() -> argparse.ArgumentParser:
         "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
     )
 
+    # TPU-first extensions beyond the reference CLI: batched GIF pipelines
+    # (all frames processed in one vmapped executable).
+    rgif = sub.add_parser(
+        "reduce-gif", help="Quantize every frame of an animated GIF (batched)."
+    )
+    rgif.add_argument("-c", "--colorcount", type=validate_k, required=True)
+    rgif.add_argument("-i", "--input", required=True)
+    rgif.add_argument("-o", "--output")
+    rgif.add_argument(
+        "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
+    )
+
+    fgif = sub.add_parser(
+        "find-gif", help="Recolor every frame of an animated GIF with a fixed palette."
+    )
+    fgif.add_argument("-i", "--input", required=True)
+    fgif.add_argument("-o", "--output")
+    fgif.add_argument("-p", "--palette", type=validate_palette, required=True)
+    fgif.add_argument(
+        "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
+    )
+
     return parser
 
 
@@ -226,7 +248,31 @@ def main(argv=None) -> int:
                 args.colorcount, args.algo, args.mode, args.output, args.input
             ),
         )
+    elif args.command == "reduce-gif":
+        from kmeans_tpu.utils.imageio import load_gif, save_gif
+
+        frames = load_gif(args.input)
+        outs = processor.reduce_images(
+            frames, args.colorcount, ReduceMode(args.mode)
+        )
+        out_path = args.output or _gif_out_path(
+            args.input, f"reduce-c{args.colorcount}-{args.mode}"
+        )
+        save_gif(outs, out_path)
+    elif args.command == "find-gif":
+        from kmeans_tpu.utils.imageio import load_gif, save_gif
+
+        frames = load_gif(args.input)
+        outs = processor.find_batch(frames, args.palette, ReduceMode(args.mode))
+        out_path = args.output or _gif_out_path(args.input, f"find-{args.mode}")
+        save_gif(outs, out_path)
     return 0
+
+
+def _gif_out_path(input_path: str, tag: str) -> str:
+    parent = os.path.dirname(input_path)
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    return os.path.join(parent, f"{stem}-{tag}.gif")
 
 
 if __name__ == "__main__":

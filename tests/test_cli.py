@@ -180,3 +180,35 @@ def test_cli_jpg_end_to_end(sample_png, tmp_path):
     out = str(tmp_path / "out.png")
     assert cli.main(["reduce", "-i", jpg, "-c", "3", "-o", out]) == 0
     assert load_image(out).dimensions == img.dimensions
+
+
+def test_cli_gif_subcommands(tmp_path):
+    from kmeans_tpu.utils import imageio as iio
+    if not iio.HAVE_NATIVE:
+        pytest.skip("gif requires native runtime")
+    # Build a small 3-frame gif.
+    rng = np.random.default_rng(12)
+    frames = []
+    for i in range(3):
+        base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+        idx = rng.integers(0, 3, size=(16, 16))
+        rgb = np.clip(base[idx] + rng.integers(-9, 10, (16, 16, 3)), 0, 255)
+        rgba = np.concatenate(
+            [rgb.astype(np.uint8), np.full((16, 16, 1), 255, np.uint8)], -1
+        )
+        frames.append(Image((16, 16), rgba))
+    src = str(tmp_path / "anim.gif")
+    iio.save_gif(frames, src)
+
+    assert cli.main(["reduce-gif", "-i", src, "-c", "2"]) == 0
+    out = str(tmp_path / "anim-reduce-c2-replace.gif")
+    assert os.path.exists(out)
+    back = iio.load_gif(out)
+    assert len(back) == 3
+    for f in back:
+        assert len(np.unique(f.pixels.reshape(-1, 4), axis=0)) <= 2
+
+    assert cli.main(["find-gif", "-i", src, "-p", "#ff0000,#00ff00", "-o",
+                     str(tmp_path / "f.gif")]) == 0
+    back = iio.load_gif(str(tmp_path / "f.gif"))
+    assert len(back) == 3
