@@ -115,3 +115,27 @@ def test_fit_large_matches_fit():
     c2, i2 = fit_large(pix, 3, 0, interpret=True)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
     assert int(i1) == int(i2)
+
+
+def test_fused_fuzz_shapes_modes():
+    # Randomized sweep: arbitrary dims / k / k_active across all modes must
+    # stay bit-identical between the Pallas kernel and the XLA formulas.
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        k = int(rng.integers(1, 12))
+        k_active = int(rng.integers(1, k + 1))
+        mode = ["replace", "dither", "meld"][trial % 3]
+        img = jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        pal = _palette(k, seed=100 + trial)
+        thr = dither_threshold(pal, k_active=k_active)
+        want = np.asarray(quantize_image(img, pal, mode=mode, k_active=k_active))
+        got = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=k_active, mode=mode, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial={trial} {h}x{w} k={k}/{k_active} {mode}"
+        )
