@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import logging
 from enum import Enum
-from functools import partial
+from functools import partial, wraps
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +105,11 @@ _LARGE_TRAIN_PIXELS = 1 << 20
 
 
 def _fit_auto(work, k, first_index, convergence):
-    large = work.shape[0] > _LARGE_TRAIN_PIXELS and _pallas_available()
+    # The Pallas trainer unrolls its centroid loop and supports k <= 64;
+    # larger k falls back to the one-hot matmul path regardless of size.
+    large = (
+        work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and _pallas_available()
+    )
     fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
     return fit_fn(work, k, first_index, convergence=convergence)
 
@@ -201,6 +205,20 @@ def _lab_palette_to_u8(centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb8, alpha], axis=1), lightness
 
 
+def _on_device(method):
+    """Run an ImageProcessor entry point with computation pinned to the
+    processor's selected device (`jax.default_device`)."""
+
+    @wraps(method)
+    def wrapper(self, *args, **kwargs):
+        if self._device is None:
+            return method(self, *args, **kwargs)
+        with jax.default_device(self._device):
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
 def _as_image(image) -> Image:
     if isinstance(image, Image):
         return image
@@ -238,6 +256,10 @@ class ImageProcessor:
         train_max_size: int = MAX_IMAGE_DIMENSION,
     ):
         self.devices = list(devices) if devices is not None else jax.devices()
+        # All single-device work is pinned to devices[0] (jax.default_device
+        # around each entry point); multi-device sharding lives in
+        # kmeans_tpu.parallel.
+        self._device = self.devices[0] if self.devices else None
         # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere).
         self.fused = _pallas_available() if fused is None else bool(fused)
         # Training-shrink cap. The reference hard-codes 256
@@ -249,6 +271,7 @@ class ImageProcessor:
     # Internal palette extraction
     # ------------------------------------------------------------------ #
 
+    @_on_device
     def extract_palette_kmeans(
         self,
         image: Image,
@@ -293,6 +316,7 @@ class ImageProcessor:
     # Public entry points (parity with core/src/lib.rs)
     # ------------------------------------------------------------------ #
 
+    @_on_device
     def palette(
         self, color_count: int, image, algo: Algorithm = Algorithm.KMEANS
     ) -> np.ndarray:
@@ -309,6 +333,7 @@ class ImageProcessor:
         order = np.argsort(np.asarray(lightness), kind="stable")
         return np.asarray(rgba)[order]
 
+    @_on_device
     def find(
         self, image, colors, reduce_mode: ReduceMode = ReduceMode.REPLACE
     ) -> Image:
@@ -319,6 +344,7 @@ class ImageProcessor:
         out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
+    @_on_device
     def reduce(
         self,
         color_count: int,
@@ -383,6 +409,7 @@ class ImageProcessor:
     # TPU-first extensions
     # ------------------------------------------------------------------ #
 
+    @_on_device
     def find_batch(
         self,
         images,
@@ -393,6 +420,8 @@ class ImageProcessor:
         frames) in one vmapped executable — the batched variant of `find`
         for BASELINE config 5."""
         frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
         dims = frames[0].dimensions
         for f in frames:
             if f.dimensions != dims:
@@ -404,6 +433,7 @@ class ImageProcessor:
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
+    @_on_device
     def reduce_images(
         self,
         images,
@@ -415,6 +445,8 @@ class ImageProcessor:
         frame batching, the 'batch multiple images/gif frames per device'
         capability."""
         frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
         _validate_k(color_count)
         dims = frames[0].dimensions
         for f in frames:
@@ -431,6 +463,7 @@ class ImageProcessor:
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
+    @_on_device
     def reduce_batch(
         self,
         image,

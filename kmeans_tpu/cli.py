@@ -251,6 +251,13 @@ def main(argv=None) -> int:
     elif args.command == "reduce-gif":
         from kmeans_tpu.utils.imageio import load_gif, save_gif
 
+        if args.mode == "meld":
+            raise SystemExit(
+                "reduce-gif does not support meld: melded frames blend "
+                "colors continuously and cannot be GIF-encoded (<=256 colors)"
+            )
+        if args.colorcount > 256:
+            raise SystemExit("reduce-gif requires a color count <= 256")
         frames = load_gif(args.input)
         outs = processor.reduce_images(
             frames, args.colorcount, ReduceMode(args.mode)
@@ -262,6 +269,13 @@ def main(argv=None) -> int:
     elif args.command == "find-gif":
         from kmeans_tpu.utils.imageio import load_gif, save_gif
 
+        if args.mode == "meld":
+            raise SystemExit(
+                "find-gif does not support meld: melded frames blend colors "
+                "continuously and cannot be GIF-encoded (<=256 colors)"
+            )
+        if len(args.palette) > 256:
+            raise SystemExit("find-gif requires a palette of <= 256 colors")
         frames = load_gif(args.input)
         outs = processor.find_batch(frames, args.palette, ReduceMode(args.mode))
         out_path = args.output or _gif_out_path(args.input, f"find-{args.mode}")

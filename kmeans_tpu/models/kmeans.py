@@ -102,9 +102,9 @@ def plusplus_init(
     """Farthest-point seeding. `pixels[N,3]` Lab, returns `[k,3]` centroids.
 
     `first_index` is the flat pixel index of centroid 0 (see
-    `reference_seed_index`). With `k_active < k`, trailing centroids are
-    left as copies of the last active pick (they are masked out of every
-    subsequent computation).
+    `reference_seed_index`). With `k_active < k`, trailing centroid rows
+    stay at their zero initialization — they are meaningless and must be
+    masked out (pass the same `k_active` to every downstream consumer).
     """
     n = pixels.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)

@@ -504,6 +504,9 @@ imagio_encode_gif(PyObject *self, PyObject *args)
 
     byte_vec out = {NULL, 0, 0};
     PyObject *result = NULL;
+    /* Frame buffer views currently held; released on every exit path. */
+    Py_buffer pal = {0}, idx = {0};
+    int views_held = 0;
 
 #define CHECK(expr)                                                            \
     do {                                                                       \
@@ -531,15 +534,13 @@ imagio_encode_gif(PyObject *self, PyObject *args)
 
     for (Py_ssize_t i = 0; i < PyList_Size(frames); i++) {
         PyObject *item = PyList_GetItem(frames, i);
-        Py_buffer pal, idx;
         if (!PyArg_ParseTuple(item, "y*y*", &pal, &idx)) {
             goto done;
         }
+        views_held = 1;
         size_t ncolors = (size_t)pal.len / 3;
         if (pal.len % 3 != 0 || ncolors == 0 || ncolors > 256 ||
             (size_t)idx.len != (size_t)w * h) {
-            PyBuffer_Release(&pal);
-            PyBuffer_Release(&idx);
             PyErr_SetString(PyExc_ValueError,
                             "frame must be (palette rgb bytes <=256*3, w*h index bytes)");
             goto done;
@@ -578,8 +579,6 @@ imagio_encode_gif(PyObject *self, PyObject *args)
         CHECK(byte_vec_push(&out, &mcs, 1));
         if (lzw_compress(&out, (const unsigned char *)idx.buf, (size_t)idx.len,
                          min_code_size) != 0) {
-            PyBuffer_Release(&pal);
-            PyBuffer_Release(&idx);
             PyErr_NoMemory();
             goto done;
         }
@@ -589,6 +588,7 @@ imagio_encode_gif(PyObject *self, PyObject *args)
         }
         PyBuffer_Release(&pal);
         PyBuffer_Release(&idx);
+        views_held = 0;
     }
     {
         unsigned char trailer = 0x3B;
@@ -599,6 +599,10 @@ imagio_encode_gif(PyObject *self, PyObject *args)
     result = PyBytes_FromStringAndSize((const char *)out.data, (Py_ssize_t)out.size);
 
 done:
+    if (views_held) {
+        PyBuffer_Release(&pal);
+        PyBuffer_Release(&idx);
+    }
     free(out.data);
     return result;
 }

@@ -46,7 +46,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     width = height = 0
     bit_depth = color_type = 0
     palette = None
-    trns = None
+    trns_raw = None
     idat = bytearray()
 
     for ctype, chunk in _chunks(data):
@@ -59,11 +59,26 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            trns = np.frombuffer(chunk, np.uint8)
+            trns_raw = chunk
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
             break
+
+    # tRNS per color type: palette alpha (type 3, u8 per entry) or a
+    # color key (type 0: one u16 gray sample; type 2: three u16 samples).
+    trns = None
+    color_key = None
+    if trns_raw is not None:
+        if color_type == 3:
+            trns = np.frombuffer(trns_raw, np.uint8)
+        elif color_type in (0, 2):
+            samples = struct.unpack(f">{len(trns_raw) // 2}H", trns_raw)
+            if bit_depth == 16:
+                color_key = tuple(s >> 8 for s in samples)
+            else:
+                maxv = (1 << bit_depth) - 1
+                color_key = tuple(s * 255 // maxv for s in samples)
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     sample_bytes = 2 if bit_depth == 16 else 1
@@ -142,14 +157,19 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         rgba = np.concatenate([rgb, alpha], axis=2)
     elif color_type == 0:
         g = px[..., :1]
-        rgba = np.concatenate([g, g, g, np.full_like(g, 255)], axis=2)
+        alpha = np.full_like(g, 255)
+        if color_key is not None:
+            alpha = np.where(g == color_key[0], 0, 255).astype(np.uint8)
+        rgba = np.concatenate([g, g, g, alpha], axis=2)
     elif color_type == 4:
         g, a = px[..., :1], px[..., 1:2]
         rgba = np.concatenate([g, g, g, a], axis=2)
     elif color_type == 2:
-        rgba = np.concatenate(
-            [px, np.full((height, width, 1), 255, np.uint8)], axis=2
-        )
+        alpha = np.full((height, width, 1), 255, np.uint8)
+        if color_key is not None:
+            keyed = (px == np.asarray(color_key, px.dtype)).all(axis=2)
+            alpha = np.where(keyed, 0, 255).astype(np.uint8)[..., None]
+        rgba = np.concatenate([px, alpha], axis=2)
     else:  # 6
         rgba = px
 
