@@ -87,3 +87,15 @@ def test_quantize_image_sharded_helper():
     got = np.asarray(quantize_image_sharded(mesh, img, pal, mode="replace"))
     want = np.asarray(quantize_image(jnp.asarray(img), pal, mode="replace"))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_dryrun_multichip_topologies(n):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(n)
