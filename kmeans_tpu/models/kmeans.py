@@ -38,7 +38,6 @@ share one compiled executable (vmap over `k_active`).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

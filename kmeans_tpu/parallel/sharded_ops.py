@@ -26,8 +26,19 @@ def quantize_image_sharded(
     k_active=None,
 ):
     """Quantize `[H, W, 4]` uint8 with rows sharded over the mesh's pixel
-    axis. Returns the sharded output array (gather with np.asarray)."""
-    sharded = jax.device_put(
-        jnp.asarray(rgba_u8), NamedSharding(mesh, P(PIXEL_AXIS, None, None))
+    axis. Rows are padded up to the shard count and sliced back, so any
+    height works. Returns the output array (gather with np.asarray)."""
+    rgba_u8 = jnp.asarray(rgba_u8)
+    h = rgba_u8.shape[0]
+    d = mesh.shape[PIXEL_AXIS]
+    h_pad = (h + d - 1) // d * d
+    padded = (
+        jnp.pad(rgba_u8, ((0, h_pad - h), (0, 0), (0, 0))) if h_pad != h else rgba_u8
     )
-    return quantize_image(sharded, jnp.asarray(palette_lab), mode=mode, k_active=k_active)
+    sharded = jax.device_put(
+        padded, NamedSharding(mesh, P(PIXEL_AXIS, None, None))
+    )
+    out = quantize_image(
+        sharded, jnp.asarray(palette_lab), mode=mode, k_active=k_active
+    )
+    return out[:h]
