@@ -1,0 +1,106 @@
+"""Benchmark harness: run every BASELINE.json config and record timings.
+
+The reference publishes no numbers (BASELINE.md), so this harness measures
+this framework on the exact reference workloads (`samples.sh:3-8` +
+BASELINE.json configs) and writes `benchmarks/results.json`:
+
+1. reduce tokyo.png -c 8                 (k-means + replace)
+2. reduce tokyo.png -c 8 -m dither
+3. palette tokyo.png -c 8 -s 40          (+ swatch)
+4. find -p '#050505,#ffffff,#ff0000'     (replace + dither)
+5. find with palette image (apollo-1x.png) over batched turtles.gif frames
+
+Each config is timed end-to-end (decode -> compute -> encode), after one
+warmup to exclude XLA compilation. Usage: python benchmarks/run_configs.py
+[--gfx DIR] [--out results.json].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(fn, reps=3):
+    fn()  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gfx", default="/root/reference/gfx")
+    parser.add_argument(
+        "--out", default=os.path.join(os.path.dirname(__file__), "results.json")
+    )
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
+    from kmeans_tpu.cli import parse_colors, parse_palette_image, render_swatch
+    from kmeans_tpu.utils import imageio
+    from kmeans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    tokyo = imageio.load_image(os.path.join(args.gfx, "tokyo.png"))
+    w, h = tokyo.dimensions
+    mpix = w * h / 1e6
+    p = ImageProcessor()
+    hex3 = parse_colors("#050505,#ffffff,#ff0000")
+    apollo = parse_palette_image(os.path.join(args.gfx, "apollo-1x.png"))
+
+    results = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "image": f"tokyo.png {w}x{h}",
+        "configs": {},
+    }
+
+    def record(name, fn, pixels_m=mpix):
+        t = _timed(fn, args.reps)
+        results["configs"][name] = {
+            "seconds": round(t, 4),
+            "mpix_s": round(pixels_m / t, 2),
+        }
+        print(f"{name:40s} {t*1e3:8.1f} ms  {pixels_m/t:8.2f} Mpix/s", file=sys.stderr)
+
+    record("reduce c8 replace", lambda: p.reduce(8, tokyo))
+    record(
+        "reduce c8 dither",
+        lambda: p.reduce(8, tokyo, Algorithm.KMEANS, ReduceMode.DITHER),
+    )
+    record("palette c8 + swatch", lambda: render_swatch(p.palette(8, tokyo), 40))
+    record("find 3 colors replace", lambda: p.find(tokyo, hex3))
+    record(
+        "find 3 colors dither", lambda: p.find(tokyo, hex3, ReduceMode.DITHER)
+    )
+
+    gif_path = os.path.join(args.gfx, "turtles.gif")
+    if imageio.HAVE_NATIVE and os.path.exists(gif_path):
+        frames = imageio.load_gif(gif_path)
+        fw, fh = frames[0].dimensions
+        record(
+            "find apollo over 14 gif frames",
+            lambda: p.find_batch(frames, apollo, ReduceMode.DITHER),
+            pixels_m=len(frames) * fw * fh / 1e6,
+        )
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
