@@ -139,3 +139,9 @@ def test_fused_fuzz_shapes_modes():
         np.testing.assert_array_equal(
             got, want, err_msg=f"trial={trial} {h}x{w} k={k}/{k_active} {mode}"
         )
+
+
+def test_validate_kernels_module():
+    from kmeans_tpu.ops.validate import validate_kernels
+
+    assert validate_kernels(verbose=False)
