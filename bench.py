@@ -60,7 +60,7 @@ def _load_4k_image() -> np.ndarray:
     )
 
 
-def _probe_device(timeout_s: int = 180) -> bool:
+def _probe_device(timeout_s: int = 480) -> bool:
     """Tiny upload+readback under a SIGALRM watchdog: the TPU tunnel in this
     harness can wedge (all transfers hang); better to report than to hang."""
     import signal
