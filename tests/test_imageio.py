@@ -106,3 +106,53 @@ def test_gif_decode_roundtrip(tmp_path):
     assert len(back) == 4
     for a, b in zip(frames, back):
         np.testing.assert_array_equal(a.pixels, b.pixels)
+
+
+def test_png_py_color_key_transparency():
+    # Hand-build a truecolor PNG with a tRNS color key; the fallback
+    # decoder must produce alpha=0 for keyed pixels (like libpng).
+    import struct
+    import zlib
+
+    w, h = 3, 1
+    rows = b"\x00" + bytes([255, 0, 0, 10, 20, 30, 255, 0, 0])
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">HHH", 255, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, rgba = png_py.decode_png(data)
+    px = np.frombuffer(rgba, np.uint8).reshape(1, 3, 4)
+    assert (dw, dh) == (3, 1)
+    np.testing.assert_array_equal(px[0, :, 3], [0, 255, 0])
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_png_color_key_native_matches_fallback():
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    rows = b"\x00" + bytes([255, 0, 0, 10, 20, 30])
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">HHH", 255, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    from kmeans_tpu.runtime import _imagio
+
+    _, _, a = _imagio.decode_png(data)
+    _, _, b = png_py.decode_png(data)
+    assert a == b
