@@ -464,6 +464,61 @@ class ImageProcessor:
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
     @_on_device
+    def reduce_pipelined(
+        self,
+        images,
+        color_count: int,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Streaming variant of `reduce` over many images: dispatch every
+        frame's upload+compute first (JAX async dispatch overlaps the
+        host<->device transfers of frame i+1 with the compute of frame i),
+        then gather results. Unlike `reduce_images`, frames may differ in
+        size and memory use stays at one frame per in-flight step."""
+        _validate_k(color_count)
+        use_indexed = (
+            self.fused
+            and reduce_mode is not ReduceMode.MELD
+            and color_count <= 256
+        )
+        pending = []
+        for im in images:
+            image = _as_image(im)
+            w, h = image.dimensions
+            sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+            first = kmeans_model.reference_seed_index(sw, sh)
+            if use_indexed:
+                idx, palette_rgba = _reduce_indexed_jit(
+                    jnp.asarray(image.pixels),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    reduce_mode.value,
+                )
+                pending.append((image.dimensions, idx, palette_rgba))
+            else:
+                out, _ = _reduce_jit(
+                    jnp.asarray(image.pixels),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    reduce_mode.value,
+                    self.fused,
+                )
+                pending.append((image.dimensions, out, None))
+        results = []
+        for dims, out, palette in pending:
+            if palette is not None:
+                results.append(
+                    Image(dims, np.asarray(palette)[np.asarray(out)])
+                )
+            else:
+                results.append(Image(dims, np.asarray(out)))
+        return results
+
+    @_on_device
     def reduce_batch(
         self,
         image,

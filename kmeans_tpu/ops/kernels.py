@@ -125,18 +125,19 @@ def _bayer_value(x, y):
 
 
 def _quantize_kernel(
-    scalar_ref,  # SMEM [2] i32: k_active, width
+    scalar_ref,  # SMEM [1] i32: k_active
     thr_ref,  # SMEM [1] f32: dither threshold
     cents_ref,  # SMEM [KP, 3] f32 Lab centroids
+    pal_ref,  # SMEM [KP] i32 packed RGBA palette colors (replace/dither out)
     in_ref,  # VMEM [TILE_ROWS, 128] i32 packed RGBA
     out_ref,  # VMEM [TILE_ROWS, 128] i32: packed RGBA, or palette index
     *,
     kp: int,
     mode: str,
+    width: int,
     emit_index: bool = False,
 ):
     k_active = scalar_ref[0]
-    width = scalar_ref[1]
     threshold = thr_ref[0]
 
     # Packed pixels travel as int32 (Mosaic has no u32<->f32 casts); the
@@ -155,6 +156,8 @@ def _quantize_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         flat = (tile * TILE_ROWS + rows) * LANES + lanes
+        # width is compile-time static: Mosaic strength-reduces the div/mod
+        # into multiply-shift instead of a per-pixel integer divide.
         px = flat % width
         py = flat // width
         adjust = threshold * _bayer_value(px, py)
@@ -168,37 +171,61 @@ def _quantize_kernel(
     def centroid(k):
         return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
 
+    # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist the
+    # chroma sqrt and S weights out of the centroid loop (bit-identical to
+    # recomputing them per k — same inputs, same expressions).
+    c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
+    sc_p = 1.0 + _K1 * c1_p
+    sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
+
+    def dist_sq(cl, ca, cb):
+        dl = l_p - cl
+        da = a_p - ca
+        db = b_p - cb
+        c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
+        dcab = c1_p - c2
+        dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+        t = dcab / sc_p
+        return dl * dl + t * t + dhab_sq / sh2_p
+
     if mode in ("replace", "dither"):
 
         def body(k, carry):
-            best_d, best_k, bl, ba, bb = carry
+            best_d, best_k, best_packed = carry
             cl, ca, cb = centroid(k)
-            d = _cie94_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+            d = dist_sq(cl, ca, cb)
             d = jnp.where(k < k_active, d, big)
             take = d < best_d
             return (
                 jnp.where(take, d, best_d),
                 jnp.where(take, k, best_k),
-                jnp.where(take, cl, bl),
-                jnp.where(take, ca, ba),
-                jnp.where(take, cb, bb),
+                jnp.where(take, pal_ref[k], best_packed),
             )
 
-        _, best_k, ol, oa, ob = jax.lax.fori_loop(
+        _, best_k, best_packed = jax.lax.fori_loop(
             0,
             kp,
             body,
-            (jnp.full_like(l_p, big), jnp.zeros(l_p.shape, jnp.int32), zero, zero, zero),
+            (
+                jnp.full_like(l_p, big),
+                jnp.zeros(l_p.shape, jnp.int32),
+                jnp.zeros(l_p.shape, jnp.int32),
+            ),
         )
         if emit_index:
             out_ref[:] = best_k
             return
+        # k == 1 short-circuit is a no-op here (argmin already yields
+        # centroid 0); emit the precomputed packed palette color directly —
+        # no per-pixel Lab->sRGB reversion needed for these modes.
+        out_ref[:] = best_packed
+        return
     else:  # meld (mix_colors.wgsl:29-47,85-90)
 
         def body(k, carry):
             d1, l1, a1, b1, d2, l2, a2, b2 = carry
             cl, ca, cb = centroid(k)
-            d = _cie94_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+            d = dist_sq(cl, ca, cb)
             d = jnp.where(k < k_active, d, big)
             first = d < d1
             second = jnp.logical_and(jnp.logical_not(first), d < d2)
@@ -249,6 +276,16 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _packed_palette(centroids_lab: jnp.ndarray) -> jnp.ndarray:
+    """Palette entries as packed RGBA int32 (alpha 255), converted with the
+    SAME XLA Lab->sRGB code the unfused path applies per pixel — so emitting
+    these via select in the kernel is bit-identical to per-pixel reversion."""
+    rgb8 = cs.lab_to_srgb8(centroids_lab).astype(jnp.int32)
+    return (
+        rgb8[:, 0] | (rgb8[:, 1] << 8) | (rgb8[:, 2] << 16) | jnp.int32(-16777216)
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("mode", "interpret")
 )
@@ -279,14 +316,15 @@ def fused_quantize(
     tiles = packed.reshape(n_pad // LANES, LANES)
     grid = (n_pad // (TILE_ROWS * LANES),)
 
-    scalars = jnp.stack([k_act, jnp.int32(w)])
+    scalars = jnp.stack([k_act])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
 
     out = pl.pallas_call(
-        functools.partial(_quantize_kernel, kp=kp, mode=mode),
+        functools.partial(_quantize_kernel, kp=kp, mode=mode, width=w),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -298,7 +336,13 @@ def fused_quantize(
             (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(scalars, thr, jnp.asarray(centroids_lab, jnp.float32), tiles)
+    )(
+        scalars,
+        thr,
+        jnp.asarray(centroids_lab, jnp.float32),
+        _packed_palette(centroids_lab),
+        tiles,
+    )
 
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
@@ -428,14 +472,17 @@ def fused_assign(
     tiles = packed.reshape(n_pad // LANES, LANES)
     grid = (n_pad // (TILE_ROWS * LANES),)
 
-    scalars = jnp.stack([k_act, jnp.int32(w)])
+    scalars = jnp.stack([k_act])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
 
     out = pl.pallas_call(
-        functools.partial(_quantize_kernel, kp=kp, mode=mode, emit_index=True),
+        functools.partial(
+            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=True
+        ),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -447,6 +494,12 @@ def fused_assign(
             (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(scalars, thr, jnp.asarray(centroids_lab, jnp.float32), tiles)
+    )(
+        scalars,
+        thr,
+        jnp.asarray(centroids_lab, jnp.float32),
+        _packed_palette(centroids_lab),
+        tiles,
+    )
 
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

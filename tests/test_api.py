@@ -135,3 +135,12 @@ def test_find_duplicate_palette_colors(blobs_image):
     out = ImageProcessor().find(image, colors)
     uniq = np.unique(out.pixels.reshape(-1, 4), axis=0)
     assert len(uniq) <= 2
+
+
+def test_reduce_pipelined_matches_reduce(blobs_image):
+    image, _ = blobs_image
+    other = Image((64, 48), image.pixels[:48, :64].copy())
+    p = ImageProcessor()
+    outs = p.reduce_pipelined([image, other], 3)
+    np.testing.assert_array_equal(outs[0].pixels, p.reduce(3, image).pixels)
+    np.testing.assert_array_equal(outs[1].pixels, p.reduce(3, other).pixels)
