@@ -463,6 +463,50 @@ class ImageProcessor:
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
+    def reduce_sharded(
+        self,
+        color_count: int,
+        image,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        mesh=None,
+    ) -> Image:
+        """Multi-chip reduce: training sharded over the mesh's pixel axis
+        (psum/all_gather collectives over ICI) and the full-resolution
+        quantize sharded row-wise. Semantically equivalent to `reduce`
+        modulo f32 reduction reordering in the psum'd centroid sums."""
+        from kmeans_tpu.parallel.distributed import fit_sharded
+        from kmeans_tpu.parallel.mesh import make_mesh
+        from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
+
+        image = _as_image(image)
+        _validate_k(color_count)
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+
+        pixels_u8 = jnp.asarray(image.pixels)
+        train_u8 = (
+            resize_uint8(pixels_u8, sh, sw) if (sw, sh) != (w, h) else pixels_u8
+        )
+        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+        n = work.shape[0]
+        d = mesh.devices.size
+        n_pad = (n + d - 1) // d * d
+        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
+        weight = jnp.concatenate(
+            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
+        )
+        centroids, _ = fit_sharded(
+            mesh, work, weight, color_count, first,
+            convergence=ColorSpace.LAB.convergence,
+        )
+        out = quantize_image_sharded(
+            mesh, image.pixels, centroids, mode=reduce_mode.value
+        )
+        return Image(image.dimensions, np.asarray(out))
+
     @_on_device
     def reduce_pipelined(
         self,

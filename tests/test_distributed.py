@@ -99,3 +99,22 @@ def test_dryrun_multichip_topologies(n):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(n)
+
+
+def test_reduce_sharded_api_matches_single():
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(7)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    idx = rng.integers(0, 3, size=(96, 120))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((96, 120, 1), 255, np.uint8)], -1
+    )
+    p = ImageProcessor()
+    single = p.reduce(3, rgba)
+    sharded = p.reduce_sharded(3, rgba)
+    # psum reordering can shift centroids by ~1e-3 Lab; outputs should be
+    # nearly identical pixel-wise.
+    frac = (single.pixels == sharded.pixels).all(axis=-1).mean()
+    assert frac > 0.999
