@@ -40,6 +40,7 @@ log = logging.getLogger("kmeans_tpu")
 
 from kmeans_tpu.image import Image
 from kmeans_tpu.models import kmeans as kmeans_model
+from kmeans_tpu.models.mediancut import extract_palette_mediancut
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
@@ -64,10 +65,12 @@ class ColorSpace(Enum):
 
 
 class Algorithm(Enum):
-    """Palette algorithm (`core/src/lib.rs:216-233`)."""
+    """Palette algorithm (`core/src/lib.rs:216-233`), plus the additive
+    MEDIANCUT family (not in the reference)."""
 
     KMEANS = "kmeans"
     OCTREE = "octree"
+    MEDIANCUT = "mediancut"
 
 
 class ReduceMode(Enum):
@@ -301,15 +304,19 @@ class ImageProcessor:
                 log.debug("Centroid %d = %s", i, c.tolist())
         return centroids
 
-    def _octree_palette_u8(self, image: Image, k: int) -> np.ndarray:
-        """`octree_palette` (`core/src/lib.rs:288-331`): shrink to <=128px,
-        octree-reduce on CPU, sort by L*."""
+    def _cpu_palette_u8(self, image: Image, k: int, algo) -> np.ndarray:
+        """CPU palette algorithms (`octree_palette`, `core/src/lib.rs:288-331`,
+        plus median cut): shrink to <=128px, reduce on CPU, sort by L*."""
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
         pixels_u8 = image.pixels
         if (sw, sh) != (w, h):
             pixels_u8 = np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
-        colors = extract_palette_octree(pixels_u8[..., :3].reshape(-1, 3), k)
+        rgb = pixels_u8[..., :3].reshape(-1, 3)
+        if algo is Algorithm.MEDIANCUT:
+            colors = extract_palette_mediancut(rgb, k)
+        else:
+            colors = extract_palette_octree(rgb, k)
         return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
 
     # ------------------------------------------------------------------ #
@@ -324,8 +331,8 @@ class ImageProcessor:
         ascending (`core/src/lib.rs:67-77,255-331`)."""
         image = _as_image(image)
         _validate_k(color_count)
-        if algo is Algorithm.OCTREE:
-            return self._octree_palette_u8(image, color_count)
+        if algo is not Algorithm.KMEANS:
+            return self._cpu_palette_u8(image, color_count, algo)
         centroids = self.extract_palette_kmeans(image, color_count)
         # `CentroidsBuffer::pull_values` (`core/src/structures.rs:581-617`):
         # Lab -> sRGB8 on readback, then the L* sort.
@@ -385,7 +392,7 @@ class ImageProcessor:
                     self.fused,
                 )
         else:
-            palette_u8 = self._octree_palette_u8(image, color_count)
+            palette_u8 = self._cpu_palette_u8(image, color_count, algo)
             palette_lab = _colors_to_lab(palette_u8)
             out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))

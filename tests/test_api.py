@@ -144,3 +144,21 @@ def test_reduce_pipelined_matches_reduce(blobs_image):
     outs = p.reduce_pipelined([image, other], 3)
     np.testing.assert_array_equal(outs[0].pixels, p.reduce(3, image).pixels)
     np.testing.assert_array_equal(outs[1].pixels, p.reduce(3, other).pixels)
+
+
+def test_mediancut_algorithm(blobs_image):
+    from kmeans_tpu.models.mediancut import extract_palette_mediancut
+
+    image, base = blobs_image
+    pal = ImageProcessor().palette(4, image, Algorithm.MEDIANCUT)
+    assert 1 <= pal.shape[0] <= 4
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - base[None, :, :], axis=2
+    )
+    assert (d.min(axis=1) < 60).all()
+    out = ImageProcessor().reduce(4, image, Algorithm.MEDIANCUT)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+
+    # degenerate: fewer unique colors than k
+    two = np.asarray([[10, 10, 10], [200, 200, 200]] * 5, np.uint8)
+    assert len(extract_palette_mediancut(two, 8)) == 2

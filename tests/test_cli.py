@@ -212,3 +212,9 @@ def test_cli_gif_subcommands(tmp_path):
                      str(tmp_path / "f.gif")]) == 0
     back = iio.load_gif(str(tmp_path / "f.gif"))
     assert len(back) == 3
+
+
+def test_cli_mediancut(sample_png, tmp_path):
+    out = str(tmp_path / "mc.png")
+    assert cli.main(["reduce", "-i", sample_png, "-c", "3", "-a", "mediancut", "-o", out]) == 0
+    assert len(np.unique(load_image(out).pixels.reshape(-1, 4), axis=0)) <= 3
