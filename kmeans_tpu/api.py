@@ -258,6 +258,16 @@ class ImageProcessor:
         fused: bool | None = None,
         train_max_size: int = MAX_IMAGE_DIMENSION,
     ):
+        # Persistent XLA compile cache: on remote-compile TPU deployments a
+        # fresh process otherwise pays the full compile for every
+        # executable (~minutes). Opt out with KMEANS_TPU_NO_CACHE=1.
+        import os as _os
+
+        if not _os.environ.get("KMEANS_TPU_NO_CACHE"):
+            from kmeans_tpu.utils.cache import enable_compilation_cache
+
+            enable_compilation_cache()
+
         self.devices = list(devices) if devices is not None else jax.devices()
         # All single-device work is pinned to devices[0] (jax.default_device
         # around each entry point); multi-device sharding lives in

@@ -103,12 +103,23 @@ def save_gif(
     for frame in frames:
         if frame.dimensions != (w, h):
             raise ValueError("all frames must share dimensions")
-        rgb = frame.pixels[..., :3].reshape(-1, 3)
-        colors, indices = np.unique(rgb, axis=0, return_inverse=True)
-        if len(colors) > 256:
+        rgb = frame.pixels[..., :3].astype(np.uint32)
+        packed = (
+            (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
+        ).reshape(-1)
+        colors_packed, indices = np.unique(packed, return_inverse=True)
+        if len(colors_packed) > 256:
             raise ValueError(
-                f"frame has {len(colors)} unique colors; quantize to <=256 first"
+                f"frame has {len(colors_packed)} unique colors; quantize to <=256 first"
             )
+        colors = np.stack(
+            [
+                (colors_packed >> 16) & 0xFF,
+                (colors_packed >> 8) & 0xFF,
+                colors_packed & 0xFF,
+            ],
+            axis=1,
+        )
         payload.append(
             (colors.astype(np.uint8).tobytes(), indices.astype(np.uint8).tobytes())
         )
