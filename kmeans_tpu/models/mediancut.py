@@ -34,6 +34,8 @@ def extract_palette_mediancut(
         | rgb[:, 2].astype(np.uint32)
     )
     uniq, counts = np.unique(packed, return_counts=True)
+    if len(uniq) == 0:
+        return []
     colors = np.stack(
         [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
     ).astype(np.int64)

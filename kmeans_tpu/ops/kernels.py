@@ -303,14 +303,28 @@ def fused_quantize(
     computed by `ops.quantize.dither_threshold` on the tiny palette.
     `interpret=True` runs the Pallas interpreter (for CPU tests).
     """
+    if mode not in ("replace", "dither", "meld"):
+        raise ValueError(f"unknown mode {mode!r}")
+    h, w = rgba_u8.shape[0], rgba_u8.shape[1]
+    n = h * w
+    out = _run_quantize_kernel(
+        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False
+    )
+    out_flat = out.reshape(-1)[:n]
+    rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
+    return rgba.reshape(h, w, 4)
+
+
+def _run_quantize_kernel(
+    rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index
+):
+    """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign."""
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     kp = centroids_lab.shape[0]
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
 
-    packed = jax.lax.bitcast_convert_type(
-        rgba_u8.reshape(n, 4), jnp.int32
-    )  # [N]
+    packed = jax.lax.bitcast_convert_type(rgba_u8.reshape(n, 4), jnp.int32)
     n_pad = _round_up(n, TILE_ROWS * LANES)
     packed = jnp.pad(packed, (0, n_pad - n))
     tiles = packed.reshape(n_pad // LANES, LANES)
@@ -319,8 +333,10 @@ def fused_quantize(
     scalars = jnp.stack([k_act])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
 
-    out = pl.pallas_call(
-        functools.partial(_quantize_kernel, kp=kp, mode=mode, width=w),
+    return pl.pallas_call(
+        functools.partial(
+            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index
+        ),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
         in_specs=[
@@ -343,10 +359,6 @@ def fused_quantize(
         _packed_palette(centroids_lab),
         tiles,
     )
-
-    out_flat = out.reshape(-1)[:n]
-    rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
-    return rgba.reshape(h, w, 4)
 
 
 def _lloyd_acc_kernel(
@@ -410,6 +422,11 @@ def lloyd_accumulate(
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
     m = lab_planes.shape[1]
+    if m % TILE_ROWS != 0:
+        raise ValueError(
+            f"lab_planes rows ({m}) must be a multiple of {TILE_ROWS}; "
+            "use pack_lab_planes"
+        )
     grid = (m // TILE_ROWS,)
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
     scalars = jnp.stack([k_act, jnp.asarray(n_valid, jnp.int32)])
@@ -459,47 +476,11 @@ def fused_assign(
     representation). Requires k <= 256."""
     if mode not in ("replace", "dither"):
         raise ValueError("fused_assign supports replace/dither only")
+    if centroids_lab.shape[0] > 256:
+        raise ValueError("indexed output requires k <= 256")
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
-    kp = centroids_lab.shape[0]
-    if kp > 256:
-        raise ValueError("indexed output requires k <= 256")
-    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
-
-    packed = jax.lax.bitcast_convert_type(rgba_u8.reshape(n, 4), jnp.int32)
-    n_pad = _round_up(n, TILE_ROWS * LANES)
-    packed = jnp.pad(packed, (0, n_pad - n))
-    tiles = packed.reshape(n_pad // LANES, LANES)
-    grid = (n_pad // (TILE_ROWS * LANES),)
-
-    scalars = jnp.stack([k_act])
-    thr = jnp.asarray(threshold, jnp.float32).reshape(1)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=True
-        ),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(
-        scalars,
-        thr,
-        jnp.asarray(centroids_lab, jnp.float32),
-        _packed_palette(centroids_lab),
-        tiles,
+    out = _run_quantize_kernel(
+        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True
     )
-
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

@@ -178,7 +178,7 @@ def fit_sharded(
         axis_name=PIXEL_AXIS,
     )
     fn = jax.shard_map(
-        lambda px, wt: local(px, wt),
+        local,
         mesh=mesh,
         in_specs=(P(PIXEL_AXIS, None), P(PIXEL_AXIS)),
         out_specs=(P(), P()),

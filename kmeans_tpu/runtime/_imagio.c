@@ -98,8 +98,9 @@ imagio_decode_png(PyObject *self, PyObject *args)
 
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
     png_infop info = png ? png_create_info_struct(png) : NULL;
-    png_bytep *rows = NULL;
-    unsigned char *out = NULL;
+    /* volatile: read after longjmp (C11 7.13.2.1) */
+    png_bytep *volatile rows = NULL;
+    unsigned char *volatile out = NULL;
     PyObject *result = NULL;
 
     if (!png || !info) {
@@ -175,8 +176,12 @@ imagio_encode_png(PyObject *self, PyObject *args)
 
     png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
     png_infop info = png ? png_create_info_struct(png) : NULL;
-    png_bytep *rows = NULL;
-    byte_vec vec = {NULL, 0, 0};
+    /* volatile: read after longjmp */
+    png_bytep *volatile rows = NULL;
+    static _Thread_local byte_vec vec;  /* stable storage across longjmp */
+    vec.data = NULL;
+    vec.size = 0;
+    vec.cap = 0;
     PyObject *result = NULL;
 
     if (!png || !info) {
@@ -239,9 +244,11 @@ imagio_decode_jpeg(PyObject *self, PyObject *args)
 
     struct jpeg_decompress_struct cinfo;
     struct imagio_jpeg_error jerr;
-    unsigned char *out = NULL;
+    /* volatile: read after longjmp (C11 7.13.2.1) */
+    unsigned char *volatile out = NULL;
+    unsigned char *volatile row = NULL;
     PyObject *result = NULL;
-    int created = 0;
+    volatile int created = 0;
 
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = imagio_jpeg_error_exit;
@@ -260,15 +267,14 @@ imagio_decode_jpeg(PyObject *self, PyObject *args)
     size_t w = cinfo.output_width, h = cinfo.output_height;
     size_t row_rgb = w * 3;
     out = (unsigned char *)malloc(w * h * 4);
-    unsigned char *row = (unsigned char *)malloc(row_rgb);
+    row = (unsigned char *)malloc(row_rgb);
     if (!out || !row) {
-        free(row);
         PyErr_NoMemory();
         goto done;
     }
     while (cinfo.output_scanline < cinfo.output_height) {
         size_t y = cinfo.output_scanline;
-        JSAMPROW rp = row;
+        JSAMPROW rp = (JSAMPROW)row;
         jpeg_read_scanlines(&cinfo, &rp, 1);
         unsigned char *dst = out + y * w * 4;
         for (size_t x = 0; x < w; x++) {
@@ -278,7 +284,6 @@ imagio_decode_jpeg(PyObject *self, PyObject *args)
             dst[x * 4 + 3] = 0xFF;
         }
     }
-    free(row);
     jpeg_finish_decompress(&cinfo);
 
     result = Py_BuildValue("IIy#", (unsigned int)w, (unsigned int)h,
@@ -287,6 +292,7 @@ imagio_decode_jpeg(PyObject *self, PyObject *args)
 done:
     if (created)
         jpeg_destroy_decompress(&cinfo);
+    free(row);
     free(out);
     PyBuffer_Release(&buf);
     return result;
@@ -308,11 +314,12 @@ imagio_encode_jpeg(PyObject *self, PyObject *args)
 
     struct jpeg_compress_struct cinfo;
     struct imagio_jpeg_error jerr;
-    unsigned char *mem = NULL;
+    /* volatile: read after longjmp */
+    unsigned char *volatile mem = NULL;
     unsigned long mem_size = 0;
-    unsigned char *row = NULL;
+    unsigned char *volatile row = NULL;
     PyObject *result = NULL;
-    int created = 0;
+    volatile int created = 0;
 
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = imagio_jpeg_error_exit;
@@ -323,7 +330,7 @@ imagio_encode_jpeg(PyObject *self, PyObject *args)
 
     jpeg_create_compress(&cinfo);
     created = 1;
-    jpeg_mem_dest(&cinfo, &mem, &mem_size);
+    jpeg_mem_dest(&cinfo, (unsigned char **)&mem, &mem_size);
     cinfo.image_width = w;
     cinfo.image_height = h;
     cinfo.input_components = 3;
@@ -345,7 +352,7 @@ imagio_encode_jpeg(PyObject *self, PyObject *args)
             row[x * 3 + 1] = src[x * 4 + 1];
             row[x * 3 + 2] = src[x * 4 + 2];
         }
-        JSAMPROW rp = row;
+        JSAMPROW rp = (JSAMPROW)row;
         jpeg_write_scanlines(&cinfo, &rp, 1);
     }
     jpeg_finish_compress(&cinfo);
@@ -409,6 +416,8 @@ lzw_put_code(lzw_writer *w, unsigned int code, int width)
 static int
 lzw_compress(byte_vec *out, const unsigned char *pixels, size_t n, int min_code_size)
 {
+    if (n == 0)
+        return -1;
     int clear_code = 1 << min_code_size;
     int end_code = clear_code + 1;
 
@@ -539,11 +548,22 @@ imagio_encode_gif(PyObject *self, PyObject *args)
         }
         views_held = 1;
         size_t ncolors = (size_t)pal.len / 3;
-        if (pal.len % 3 != 0 || ncolors == 0 || ncolors > 256 ||
-            (size_t)idx.len != (size_t)w * h) {
+        if (pal.len % 3 != 0 || ncolors == 0 || ncolors > 256 || w == 0 ||
+            h == 0 || (size_t)idx.len != (size_t)w * h) {
             PyErr_SetString(PyExc_ValueError,
-                            "frame must be (palette rgb bytes <=256*3, w*h index bytes)");
+                            "frame must be (palette rgb bytes <=256*3, w*h index bytes)"
+                            " with nonzero dimensions");
             goto done;
+        }
+        {
+            const unsigned char *ip = (const unsigned char *)idx.buf;
+            for (Py_ssize_t q = 0; q < idx.len; q++) {
+                if (ip[q] >= ncolors) {
+                    PyErr_SetString(PyExc_ValueError,
+                                    "frame index out of palette range");
+                    goto done;
+                }
+            }
         }
         /* Color table size: power of two >= ncolors, >= 2. */
         int bits = 1;

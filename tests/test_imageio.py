@@ -156,3 +156,29 @@ def test_png_color_key_native_matches_fallback():
     _, _, a = _imagio.decode_png(data)
     _, _, b = png_py.decode_png(data)
     assert a == b
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_gif_encode_rejects_bad_frames():
+    from kmeans_tpu.runtime import _imagio
+
+    # index out of palette range
+    with pytest.raises(ValueError):
+        _imagio.encode_gif(2, 1, [(bytes([255, 0, 0, 0, 255, 0]), bytes([0, 5]))], 100, True)
+    # zero-size frame
+    with pytest.raises(ValueError):
+        _imagio.encode_gif(0, 0, [(bytes([1, 2, 3]), b"")], 100, True)
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_decoders_reject_corrupt_data():
+    from kmeans_tpu.runtime import _imagio
+
+    good_png = _imagio.encode_png(4, 4, bytes(64))
+    with pytest.raises(ValueError):
+        _imagio.decode_png(good_png[: len(good_png) // 2])  # truncated mid-IDAT
+    good_jpg = _imagio.encode_jpeg(4, 4, bytes(64), 90)
+    with pytest.raises(ValueError):
+        _imagio.decode_jpeg(good_jpg[: len(good_jpg) // 2])
+    with pytest.raises(ValueError):
+        _imagio.decode_gif(b"GIF89a\x00")

@@ -145,3 +145,24 @@ def test_validate_kernels_module():
     from kmeans_tpu.ops.validate import validate_kernels
 
     assert validate_kernels(verbose=False)
+
+
+def test_fused_rejects_unknown_mode():
+    img = _image(4, 4)
+    pal = _palette(2)
+    with pytest.raises(ValueError):
+        fused_quantize(img, pal, jnp.float32(0), mode="swap", interpret=True)
+
+
+def test_lloyd_accumulate_rejects_unpacked_layout():
+    from kmeans_tpu.ops.kernels import lloyd_accumulate
+
+    bad = jnp.zeros((3, 100, 128), jnp.float32)  # 100 not a TILE_ROWS multiple
+    with pytest.raises(ValueError):
+        lloyd_accumulate(bad, jnp.zeros((2, 3)), 100 * 128, interpret=True)
+
+
+def test_mediancut_empty_input():
+    from kmeans_tpu.models.mediancut import extract_palette_mediancut
+
+    assert extract_palette_mediancut(np.zeros((0, 3), np.uint8), 8) == []
