@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kmeans_tpu.ops import colorspace as cs
 
-TILE_ROWS = 256  # [256, 128] u32 tile = 32768 px, 128 KiB in + out per step
+TILE_ROWS = 128  # [128, 128] i32 tile: best measured pipelining on v5e (see docs/perf.md)
 LANES = 128
 
 _K1 = 0.045
