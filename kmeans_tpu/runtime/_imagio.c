@@ -219,6 +219,98 @@ done:
     return result;
 }
 
+static PyObject *
+imagio_encode_png_indexed(PyObject *self, PyObject *args)
+{
+    /* Palette (color type 3) PNG: 1 byte/px — ~4x faster to deflate and
+     * much smaller than RGBA for quantized images (<= 256 colors). */
+    unsigned int w, h;
+    Py_buffer pal, idx;
+    if (!PyArg_ParseTuple(args, "IIy*y*", &w, &h, &pal, &idx))
+        return NULL;
+    size_t ncolors = (size_t)pal.len / 4;
+    if (pal.len % 4 != 0 || ncolors == 0 || ncolors > 256 ||
+        (size_t)idx.len != (size_t)w * h || w == 0 || h == 0) {
+        PyBuffer_Release(&pal);
+        PyBuffer_Release(&idx);
+        PyErr_SetString(PyExc_ValueError,
+                        "expected (w, h, rgba palette <=256*4, w*h index bytes)");
+        return NULL;
+    }
+    {
+        const unsigned char *ip = (const unsigned char *)idx.buf;
+        for (size_t q = 0; q < (size_t)idx.len; q++) {
+            if (ip[q] >= ncolors) {
+                PyBuffer_Release(&pal);
+                PyBuffer_Release(&idx);
+                PyErr_SetString(PyExc_ValueError, "index out of palette range");
+                return NULL;
+            }
+        }
+    }
+
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+    png_infop info = png ? png_create_info_struct(png) : NULL;
+    png_bytep *volatile rows = NULL;
+    static _Thread_local byte_vec vec;
+    vec.data = NULL;
+    vec.size = 0;
+    vec.cap = 0;
+    PyObject *result = NULL;
+
+    if (!png || !info) {
+        PyErr_SetString(PyExc_MemoryError, "libpng init failed");
+        goto done;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        PyErr_SetString(PyExc_ValueError, "PNG encode failed");
+        goto done;
+    }
+
+    png_set_write_fn(png, &vec, png_mem_write, png_mem_flush);
+    png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_PALETTE, PNG_INTERLACE_NONE,
+                 PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+    {
+        png_color plte[256];
+        png_byte trns[256];
+        int has_alpha = 0;
+        const unsigned char *pp = (const unsigned char *)pal.buf;
+        for (size_t i = 0; i < ncolors; i++) {
+            plte[i].red = pp[i * 4 + 0];
+            plte[i].green = pp[i * 4 + 1];
+            plte[i].blue = pp[i * 4 + 2];
+            trns[i] = pp[i * 4 + 3];
+            if (trns[i] != 0xFF)
+                has_alpha = 1;
+        }
+        png_set_PLTE(png, info, plte, (int)ncolors);
+        if (has_alpha)
+            png_set_tRNS(png, info, trns, (int)ncolors, NULL);
+    }
+    png_write_info(png, info);
+
+    rows = (png_bytep *)malloc(sizeof(png_bytep) * h);
+    if (!rows) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (unsigned int y = 0; y < h; y++)
+        rows[y] = (png_bytep)((unsigned char *)idx.buf + (size_t)y * w);
+    png_write_image(png, rows);
+    png_write_end(png, NULL);
+
+    result = PyBytes_FromStringAndSize((const char *)vec.data, (Py_ssize_t)vec.size);
+
+done:
+    if (png)
+        png_destroy_write_struct(&png, info ? &info : NULL);
+    free(rows);
+    free(vec.data);
+    PyBuffer_Release(&pal);
+    PyBuffer_Release(&idx);
+    return result;
+}
+
 /* ------------------------------------------------------------------ */
 /* JPEG                                                                */
 /* ------------------------------------------------------------------ */
@@ -947,6 +1039,8 @@ static PyMethodDef imagio_methods[] = {
      "decode_png(data) -> (width, height, rgba_bytes)"},
     {"encode_png", imagio_encode_png, METH_VARARGS,
      "encode_png(width, height, rgba_bytes) -> png_bytes"},
+    {"encode_png_indexed", imagio_encode_png_indexed, METH_VARARGS,
+     "encode_png_indexed(width, height, rgba_palette, index_bytes) -> png_bytes"},
     {"decode_jpeg", imagio_decode_jpeg, METH_VARARGS,
      "decode_jpeg(data) -> (width, height, rgba_bytes)"},
     {"encode_jpeg", imagio_encode_jpeg, METH_VARARGS,

@@ -57,22 +57,46 @@ def save_image(image: Image, path: str | os.PathLike, quality: int = 90) -> None
     """Encode an RGBA8 `Image` to .png or .jpg based on the extension."""
     path = os.fspath(path)
     w, h = image.dimensions
-    rgba = np.ascontiguousarray(image.pixels, dtype=np.uint8).tobytes()
     ext = os.path.splitext(path)[1].lower()
     if ext == ".png":
-        data = (
-            _imagio.encode_png(w, h, rgba)
-            if HAVE_NATIVE
-            else png_py.encode_png(w, h, rgba)
+        data = _encode_png_auto(image) if HAVE_NATIVE else png_py.encode_png(
+            w, h, np.ascontiguousarray(image.pixels, dtype=np.uint8).tobytes()
         )
     elif ext in (".jpg", ".jpeg"):
         if not HAVE_NATIVE:
             raise RuntimeError("JPEG support requires the native runtime")
+        rgba = np.ascontiguousarray(image.pixels, dtype=np.uint8).tobytes()
         data = _imagio.encode_jpeg(w, h, rgba, quality)
     else:
         raise ValueError("Only support png or jpg files.")
     with open(path, "wb") as f:
         f.write(data)
+
+
+def _encode_png_auto(image: Image) -> bytes:
+    """Quantized outputs (<= 256 unique colors) encode as palette PNGs —
+    1 B/px, ~4x faster to deflate and far smaller than RGBA. A cheap sample
+    gate avoids the full unique() scan for true-color images."""
+    w, h = image.dimensions
+    pixels = np.ascontiguousarray(image.pixels, dtype=np.uint8)
+    packed = pixels.reshape(-1, 4).view(np.uint32).reshape(-1)
+    # Seed the palette from a sample (a full unique() with inverse over
+    # megapixels costs seconds); extend with any colors the sample missed.
+    colors = np.unique(packed[:: max(1, packed.size // 4096)])
+    if len(colors) <= 256:
+        for _ in range(2):
+            idx = np.searchsorted(colors, packed)
+            idx_c = np.minimum(idx, len(colors) - 1)
+            miss = colors[idx_c] != packed
+            if not miss.any():
+                pal_rgba = colors.view(np.uint8).reshape(-1, 4)
+                return _imagio.encode_png_indexed(
+                    w, h, pal_rgba.tobytes(), idx_c.astype(np.uint8).tobytes()
+                )
+            colors = np.union1d(colors, np.unique(packed[miss]))
+            if len(colors) > 256:
+                break
+    return _imagio.encode_png(w, h, pixels.tobytes())
 
 
 def load_gif(path: str | os.PathLike) -> list[Image]:
