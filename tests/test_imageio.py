@@ -182,3 +182,17 @@ def test_decoders_reject_corrupt_data():
         _imagio.decode_jpeg(good_jpg[: len(good_jpg) // 2])
     with pytest.raises(ValueError):
         _imagio.decode_gif(b"GIF89a\x00")
+
+
+def test_png_py_rejects_truncated_data():
+    rgba = _random_image(12, 9, 7)
+    data = png_py.encode_png(12, 9, rgba.tobytes())
+    for cut in (8, 20, len(data) // 2, len(data) - 5):
+        try:
+            png_py.decode_png(data[:cut])
+        except Exception as e:
+            # must fail with a clean exception, never hang or segfault
+            assert isinstance(e, (ValueError, struct.error, Exception))
+
+
+import struct  # noqa: E402
