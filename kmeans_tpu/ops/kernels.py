@@ -19,7 +19,11 @@ entire chain in ONE pass at the memory-bandwidth floor:
 
 The math matches `ops/quantize.py` (same formulas, same reference WGSL
 citations); `tests/test_kernels.py` checks bit-equality of the uint8
-outputs against the XLA path.
+outputs against the XLA path. Caveat: replace/dither emit discrete palette
+colors and match the XLA path bit-for-bit in practice, but meld's
+continuous blend can differ by 1 u8 step on ~1e-4 of pixels — XLA chooses
+FMA contractions per fusion context, so cross-compilation bit-equality of
+float expressions is empirical, not guaranteed.
 
 Layout: the [H, W, 4] u8 image is bitcast to flat u32 [N], padded to a
 multiple of (TILE_ROWS * 128) and tiled as [M, 128]; the grid walks row

