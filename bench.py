@@ -150,22 +150,31 @@ def main() -> None:
     first = km.reference_seed_index(sw, sh)
     fused = _pallas_available()
 
-    def dev_once():
-        if fused:
-            idx, _ = _reduce_indexed_jit(img_dev, K, (sh, sw), first, 1.0, "replace")
-            onp.asarray(idx[0, 0])
-        else:
-            out, _ = _reduce_jit(img_dev, K, (sh, sw), first, 1.0, "replace", False)
-            onp.asarray(out[0, 0])
+    # In-jit loop: N full reduces per dispatch, so the ~30 ms tunnel call
+    # latency amortizes away instead of dominating the ~2 ms signal.
+    import jax
 
-    def lat_once():
-        onp.asarray(jnp.asarray(onp.zeros(8, onp.uint8)))
+    LOOP = 20
 
-    dev_once()
-    lat = min((_timed(lat_once) for _ in range(5)))
-    dev = min((_timed(dev_once) for _ in range(REPS)))
-    device_s = max(dev - lat, 1e-6)
-    log(f"bench: device {device_s*1e3:.0f} ms (latency {lat*1e3:.0f} ms)")
+    @jax.jit
+    def dev_loop(img):
+        def body(i, acc):
+            if fused:
+                idx, _ = _reduce_indexed_jit(
+                    img, K, (sh, sw), first, 1.0 + acc * 0.0, "replace"
+                )
+                return acc + idx[0, 0].astype(jnp.float32)
+            out, _ = _reduce_jit(
+                img, K, (sh, sw), first, 1.0 + acc * 0.0, "replace", False
+            )
+            return acc + out[0, 0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
+
+    onp.asarray(dev_loop(img_dev))
+    loop_t = min((_timed(lambda: onp.asarray(dev_loop(img_dev))) for _ in range(3)))
+    device_s = max((loop_t - 0.030) / LOOP, 1e-6)
+    log(f"bench: device {device_s*1e3:.2f} ms/reduce ({LOOP}-loop)")
 
     print(
         json.dumps(
