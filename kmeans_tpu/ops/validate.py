@@ -17,12 +17,25 @@ import numpy as np
 def validate_kernels(verbose: bool = True) -> bool:
     import jax.numpy as jnp
 
+    from kmeans_tpu.models.kmeans import _update_centroids, assign_clusters
     from kmeans_tpu.ops.colorspace import srgb8_to_lab
-    from kmeans_tpu.ops.kernels import fused_quantize
+    from kmeans_tpu.ops.kernels import (
+        fused_assign,
+        fused_quantize,
+        lloyd_accumulate,
+        pack_lab_planes,
+    )
     from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 
     rng = np.random.default_rng(0)
     ok = True
+
+    def report(name: str, match: bool) -> None:
+        nonlocal ok
+        ok &= match
+        if verbose:
+            print(f"{name}: {'OK' if match else 'MISMATCH'}")
+
     for mode in ("replace", "dither", "meld"):
         for k in (1, 3, 8):
             img = jnp.asarray(rng.integers(0, 256, (31, 45, 4), dtype=np.uint8))
@@ -34,11 +47,34 @@ def validate_kernels(verbose: bool = True) -> bool:
             got = np.asarray(
                 fused_quantize(img, pal, thr, mode=mode, interpret=True)
             )
-            match = bool((want == got).all())
-            ok &= match
-            if verbose:
-                print(f"fused_quantize mode={mode:7s} k={k}: "
-                      f"{'OK' if match else 'MISMATCH'}")
+            if mode == "meld":
+                diff = np.abs(got.astype(int) - want.astype(int))
+                match = bool(
+                    diff.max() <= 1 and (diff.max(axis=-1) > 0).mean() <= 1e-3
+                )
+            else:
+                match = bool((want == got).all())
+            report(f"fused_quantize mode={mode:7s} k={k}", match)
+            if mode != "meld":
+                idx = np.asarray(
+                    fused_assign(img, pal, thr, mode=mode, interpret=True)
+                )
+                report(
+                    f"fused_assign   mode={mode:7s} k={k}",
+                    bool((idx < max(k, 1)).all()),
+                )
+
+    # Training accumulator vs the one-hot matmul ground truth.
+    pix = jnp.asarray(rng.normal(50, 25, (5000, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(50, 25, (6, 3)).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    totals = np.asarray(lloyd_accumulate(planes, cents, n, interpret=True))
+    sums, counts = _update_centroids(pix, assign_clusters(pix, cents), 6)
+    match = bool(
+        np.allclose(totals[:, :3], np.asarray(sums), rtol=1e-4, atol=1e-2)
+        and (totals[:, 3] == np.asarray(counts)).all()
+    )
+    report("lloyd_accumulate k=6", match)
     return ok
 
 

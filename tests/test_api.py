@@ -162,3 +162,18 @@ def test_mediancut_algorithm(blobs_image):
     # degenerate: fewer unique colors than k
     two = np.asarray([[10, 10, 10], [200, 200, 200]] * 5, np.uint8)
     assert len(extract_palette_mediancut(two, 8)) == 2
+
+
+def test_find_with_512_color_palette(blobs_image):
+    # The CLI's palette-image limit (cli/src/args.rs:199-203) allows up to
+    # 512 distinct colors; the quantize path must handle K > 256.
+    image, _ = blobs_image
+    rng = np.random.default_rng(21)
+    colors = np.unique(
+        rng.integers(0, 256, (700, 4), dtype=np.uint8), axis=0
+    )[:512]
+    colors[:, 3] = 255
+    out = ImageProcessor().find(image, colors, ReduceMode.MELD)
+    assert out.pixels.shape == image.pixels.shape
+    out2 = ImageProcessor().find(image, colors, ReduceMode.REPLACE)
+    assert len(np.unique(out2.pixels.reshape(-1, 4), axis=0)) <= 512
