@@ -59,3 +59,17 @@ def test_weighted_add_matches_per_pixel():
         tree.add_color(r, g, b)
     p2 = tree.reduce(6)
     assert p1 == p2
+
+
+def test_scan_order_with_heavy_ties():
+    # Small color space forces duplicate colors and merge-priority ties,
+    # exercising the node_id (insertion-order) tie-break; aggregated
+    # add_pixels must equal per-pixel scan-order insertion exactly.
+    rng = np.random.default_rng(13)
+    for k in (2, 5, 9):
+        pixels = rng.integers(0, 5, size=(300, 3), dtype=np.uint8) * 50
+        a = extract_palette_octree(pixels, k)
+        tree = ColorTree()
+        for r, g, b in pixels.tolist():
+            tree.add_color(r, g, b)
+        assert a == tree.reduce(k)
