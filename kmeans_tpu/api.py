@@ -107,12 +107,12 @@ def _train_jit(
 _LARGE_TRAIN_PIXELS = 1 << 20
 
 
-def _fit_auto(work, k, first_index, convergence):
+def _fit_auto(work, k, first_index, convergence, use_pallas=None):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
-    large = (
-        work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and _pallas_available()
-    )
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    large = work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and use_pallas
     fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
     return fit_fn(work, k, first_index, convergence=convergence)
 
@@ -139,7 +139,7 @@ def _reduce_jit(
         else pixels_u8
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-    centroids, _ = _fit_auto(work, k, first_index, convergence)
+    centroids, _ = _fit_auto(work, k, first_index, convergence, use_pallas)
     if use_pallas:
         threshold = (
             dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
@@ -191,9 +191,13 @@ def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
     return fused_quantize(pixels_u8, palette_lab, threshold, mode=mode)
 
 
-def _pallas_available() -> bool:
-    """Use the hand-fused Pallas kernel on real TPU backends only (the CPU
-    interpreter is correct but slow; XLA's fusion is the right CPU path)."""
+def _pallas_available(device=None) -> bool:
+    """Use the hand-fused Pallas kernels on real TPU devices only (the CPU
+    interpreter is correct but slow; XLA's fusion is the right CPU path).
+    With `device`, decide for that device's platform rather than the
+    process default backend."""
+    if device is not None:
+        return getattr(device, "platform", "") == "tpu"
     return jax.default_backend() == "tpu"
 
 
@@ -273,8 +277,12 @@ class ImageProcessor:
         # around each entry point); multi-device sharding lives in
         # kmeans_tpu.parallel.
         self._device = self.devices[0] if self.devices else None
-        # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere).
-        self.fused = _pallas_available() if fused is None else bool(fused)
+        # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere),
+        # decided for the SELECTED device (e.g. devices=jax.devices("cpu")
+        # on a TPU host must take the XLA path).
+        self.fused = (
+            _pallas_available(self._device) if fused is None else bool(fused)
+        )
         # Training-shrink cap. The reference hard-codes 256
         # (`core/src/structures.rs:23`); raising it trades time for
         # palette fidelity — a capability the reference lacks.
@@ -357,7 +365,10 @@ class ImageProcessor:
         """Recolor with a fixed palette — no training
         (`core/src/lib.rs:79-114`)."""
         image = _as_image(image)
-        palette_lab = _colors_to_lab(_colors_rgba(colors))
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        palette_lab = _colors_to_lab(palette_rgba)
         out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
@@ -542,8 +553,20 @@ class ImageProcessor:
             and reduce_mode is not ReduceMode.MELD
             and color_count <= 256
         )
+        WINDOW = 4  # bounded in-flight frames: overlap without HBM blowup
         pending = []
+        results = []
+
+        def drain_one():
+            dims, out, palette = pending.pop(0)
+            if palette is not None:
+                results.append(Image(dims, np.asarray(palette)[np.asarray(out)]))
+            else:
+                results.append(Image(dims, np.asarray(out)))
+
         for im in images:
+            if len(pending) >= WINDOW:
+                drain_one()
             image = _as_image(im)
             w, h = image.dimensions
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
@@ -569,14 +592,8 @@ class ImageProcessor:
                     self.fused,
                 )
                 pending.append((image.dimensions, out, None))
-        results = []
-        for dims, out, palette in pending:
-            if palette is not None:
-                results.append(
-                    Image(dims, np.asarray(palette)[np.asarray(out)])
-                )
-            else:
-                results.append(Image(dims, np.asarray(out)))
+        while pending:
+            drain_one()
         return results
 
     @_on_device
@@ -592,6 +609,8 @@ class ImageProcessor:
         axis; inactive clusters are masked."""
         image = _as_image(image)
         ks = [int(k) for k in color_counts]
+        if not ks:
+            raise ValueError("need at least one color count")
         for k in ks:
             _validate_k(k)
         kmax = max(ks)

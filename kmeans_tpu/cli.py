@@ -70,11 +70,15 @@ def parse_palette_image(path: str) -> np.ndarray:
     w, h = image.dimensions
     pixel_count = w * h
     if pixel_count > MAX_PALETTE_PIXELS:
-        raise SystemExit("Trying to load a palette with more than 512 colors")
+        raise argparse.ArgumentTypeError(
+            "Trying to load a palette with more than 512 colors"
+        )
     colors = image.pixels.reshape(-1, 4)
     uniq = np.unique(colors, axis=0)  # sorted lexicographically, like Vec::sort
     if len(uniq) < pixel_count:
-        raise SystemExit("Trying to load a palette with recuring colors")
+        raise argparse.ArgumentTypeError(
+            "Trying to load a palette with recuring colors"
+        )
     return uniq
 
 
@@ -258,14 +262,14 @@ def main(argv=None) -> int:
             )
         if args.colorcount > 256:
             raise SystemExit("reduce-gif requires a color count <= 256")
-        frames = load_gif(args.input)
+        frames, delays = load_gif(args.input, with_delays=True)
         outs = processor.reduce_images(
             frames, args.colorcount, ReduceMode(args.mode)
         )
         out_path = args.output or _gif_out_path(
             args.input, f"reduce-c{args.colorcount}-{args.mode}"
         )
-        save_gif(outs, out_path)
+        save_gif(outs, out_path, delays=delays)
     elif args.command == "find-gif":
         from kmeans_tpu.utils.imageio import load_gif, save_gif
 
@@ -276,10 +280,10 @@ def main(argv=None) -> int:
             )
         if len(args.palette) > 256:
             raise SystemExit("find-gif requires a palette of <= 256 colors")
-        frames = load_gif(args.input)
+        frames, delays = load_gif(args.input, with_delays=True)
         outs = processor.find_batch(frames, args.palette, ReduceMode(args.mode))
         out_path = args.output or _gif_out_path(args.input, f"find-{args.mode}")
-        save_gif(outs, out_path)
+        save_gif(outs, out_path, delays=delays)
     return 0
 
 

@@ -118,28 +118,34 @@ class ColorTree:
         if color_count == 0:
             return []
 
-        # Populated nodes, kept sorted ascending by sort_key; the reference
-        # sorts descending and pops from the back — same merge order.
+        # Populated nodes sorted DESCENDING by sort_key (like the
+        # reference's VecDeque) so the least-important node pops from the
+        # back in O(1). bisect works on ascending sequences, so the keys
+        # list stores component-negated tuples.
+        def neg_key(node: _Node):
+            a, b, c = node.sort_key()
+            return (-a, -b, -c)
+
         queue = sorted(
-            (n for n in self.nodes if n.count > 0), key=_Node.sort_key
+            (n for n in self.nodes if n.count > 0), key=neg_key
         )
-        keys = [n.sort_key() for n in queue]
+        keys = [neg_key(n) for n in queue]
 
         def remove_node(node: _Node) -> None:
-            i = bisect.bisect_left(keys, node.sort_key())
+            i = bisect.bisect_left(keys, neg_key(node))
             if i < len(keys) and queue[i] is node:
                 del queue[i]
                 del keys[i]
 
         def insert_node(node: _Node) -> None:
-            key = node.sort_key()
+            key = neg_key(node)
             i = bisect.bisect_left(keys, key)
             queue.insert(i, node)
             keys.insert(i, key)
 
         while len(queue) > color_count:
-            node = queue.pop(0)
-            keys.pop(0)
+            node = queue.pop()
+            keys.pop()
             if node.parent is None:
                 continue
             parent = self.nodes[node.parent]

@@ -635,7 +635,8 @@ imagio_encode_gif(PyObject *self, PyObject *args)
 
     for (Py_ssize_t i = 0; i < PyList_Size(frames); i++) {
         PyObject *item = PyList_GetItem(frames, i);
-        if (!PyArg_ParseTuple(item, "y*y*", &pal, &idx)) {
+        int frame_delay = delay_cs;
+        if (!PyArg_ParseTuple(item, "y*y*|i", &pal, &idx, &frame_delay)) {
             goto done;
         }
         views_held = 1;
@@ -665,8 +666,8 @@ imagio_encode_gif(PyObject *self, PyObject *args)
 
         /* Graphic control extension (delay). */
         unsigned char gce[8] = {0x21, 0xF9, 0x04, 0x00,
-                                (unsigned char)(delay_cs & 0xFF),
-                                (unsigned char)((delay_cs >> 8) & 0xFF), 0x00, 0x00};
+                                (unsigned char)(frame_delay & 0xFF),
+                                (unsigned char)((frame_delay >> 8) & 0xFF), 0x00, 0x00};
         CHECK(byte_vec_push(&out, gce, sizeof(gce)));
 
         /* Image descriptor with local color table. */
@@ -854,6 +855,7 @@ imagio_decode_gif(PyObject *self, PyObject *args)
 
     gif_reader r = {(const unsigned char *)buf.buf, (size_t)buf.len, 0};
     PyObject *frames = NULL;
+    PyObject *delays = NULL;
     unsigned char *canvas = NULL, *prev_canvas = NULL, *indices = NULL;
     unsigned char gct[256 * 3];
     int gct_size = 0;
@@ -891,6 +893,12 @@ imagio_decode_gif(PyObject *self, PyObject *args)
 
     int transparent = -1;
     int disposal = 0;
+    int delay_cs = 0;
+    delays = PyList_New(0);
+    if (!delays) {
+        PyErr_NoMemory();
+        goto fail;
+    }
 
     while (gif_need(&r, 1)) {
         unsigned char block = r.p[r.pos++];
@@ -907,6 +915,7 @@ imagio_decode_gif(PyObject *self, PyObject *args)
                 unsigned char len = r.p[r.pos++];
                 unsigned char gflags = r.p[r.pos];
                 disposal = (gflags >> 2) & 0x07;
+                delay_cs = r.p[r.pos + 1] | (r.p[r.pos + 2] << 8);
                 transparent = (gflags & 1) ? r.p[r.pos + 3] : -1;
                 r.pos += len;
                 if (!gif_need(&r, 1) || r.p[r.pos++] != 0)
@@ -1000,6 +1009,14 @@ imagio_decode_gif(PyObject *self, PyObject *args)
             goto fail;
         }
         Py_DECREF(frame);
+        {
+            PyObject *d = PyLong_FromLong(delay_cs);
+            if (!d || PyList_Append(delays, d) != 0) {
+                Py_XDECREF(d);
+                goto fail;
+            }
+            Py_DECREF(d);
+        }
 
         /* Disposal for next frame. */
         if (disposal == 2) {
@@ -1014,8 +1031,8 @@ imagio_decode_gif(PyObject *self, PyObject *args)
 #undef FAIL
 
     {
-        PyObject *result =
-            Py_BuildValue("IIN", width, height, frames); /* N steals frames */
+        PyObject *result = Py_BuildValue("IINN", width, height, frames,
+                                         delays); /* N steals refs */
         free(canvas);
         free(prev_canvas);
         free(indices);
@@ -1024,6 +1041,7 @@ imagio_decode_gif(PyObject *self, PyObject *args)
     }
 
 fail:
+    Py_XDECREF(delays);
     Py_XDECREF(frames);
     free(canvas);
     free(prev_canvas);
@@ -1046,10 +1064,10 @@ static PyMethodDef imagio_methods[] = {
     {"encode_jpeg", imagio_encode_jpeg, METH_VARARGS,
      "encode_jpeg(width, height, rgba_bytes, quality=90) -> jpeg_bytes"},
     {"encode_gif", imagio_encode_gif, METH_VARARGS,
-     "encode_gif(width, height, [(palette, indices), ...], delay_cs=100, loop=True)"
-     " -> gif_bytes"},
+     "encode_gif(width, height, [(palette, indices[, delay_cs]), ...],"
+     " delay_cs=100, loop=True) -> gif_bytes"},
     {"decode_gif", imagio_decode_gif, METH_VARARGS,
-     "decode_gif(data) -> (width, height, [rgba_bytes, ...])"},
+     "decode_gif(data) -> (width, height, [rgba_bytes, ...], [delay_cs, ...])"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef imagio_module = {

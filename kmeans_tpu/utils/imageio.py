@@ -40,15 +40,13 @@ def load_image(path: str | os.PathLike) -> Image:
             w, h, rgba = _imagio.decode_png(data)
         else:
             w, h, rgba = png_py.decode_png(data)
-    elif ext in (".jpg", ".jpeg"):
+    else:  # .jpg/.jpeg — extension already validated above
         if not HAVE_NATIVE:
             raise RuntimeError(
                 "JPEG support requires the native runtime; build it with "
                 "`python setup.py build_ext --inplace`"
             )
         w, h, rgba = _imagio.decode_jpeg(data)
-    else:
-        raise ValueError("Only support png or jpg files.")
     pixels = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
     return Image((w, h), pixels)
 
@@ -99,32 +97,43 @@ def _encode_png_auto(image: Image) -> bytes:
     return _imagio.encode_png(w, h, pixels.tobytes())
 
 
-def load_gif(path: str | os.PathLike) -> list[Image]:
+def load_gif(
+    path: str | os.PathLike, with_delays: bool = False
+) -> list[Image] | tuple[list[Image], list[int]]:
     """Decode an animated GIF into full-canvas RGBA8 frames (disposal and
-    transparency composited by the native decoder)."""
+    transparency composited by the native decoder). With `with_delays=True`
+    also returns each frame's delay in centiseconds."""
     if not HAVE_NATIVE:
         raise RuntimeError("GIF support requires the native runtime")
     with open(os.fspath(path), "rb") as f:
         data = f.read()
-    w, h, frames = _imagio.decode_gif(data)
-    return [
+    w, h, frames, delays = _imagio.decode_gif(data)
+    images = [
         Image((w, h), np.frombuffer(buf, np.uint8).reshape(h, w, 4))
         for buf in frames
     ]
+    return (images, list(delays)) if with_delays else images
 
 
 def save_gif(
-    frames: list[Image], path: str | os.PathLike, delay_cs: int = 100, loop: bool = True
+    frames: list[Image],
+    path: str | os.PathLike,
+    delay_cs: int = 100,
+    loop: bool = True,
+    delays: list[int] | None = None,
 ) -> None:
     """Encode already-quantized frames (each <= 256 unique colors) as an
-    animated GIF — the output format of `core/examples/gif.rs`."""
+    animated GIF — the output format of `core/examples/gif.rs`. `delays`
+    (centiseconds, one per frame) overrides the uniform `delay_cs`."""
     if not HAVE_NATIVE:
         raise RuntimeError("GIF support requires the native runtime")
     if not frames:
         raise ValueError("need at least one frame")
+    if delays is not None and len(delays) != len(frames):
+        raise ValueError("delays must have one entry per frame")
     w, h = frames[0].dimensions
     payload = []
-    for frame in frames:
+    for fi, frame in enumerate(frames):
         if frame.dimensions != (w, h):
             raise ValueError("all frames must share dimensions")
         rgb = frame.pixels[..., :3].astype(np.uint32)
@@ -144,9 +153,10 @@ def save_gif(
             ],
             axis=1,
         )
-        payload.append(
-            (colors.astype(np.uint8).tobytes(), indices.astype(np.uint8).tobytes())
-        )
+        entry = (colors.astype(np.uint8).tobytes(), indices.astype(np.uint8).tobytes())
+        if delays is not None:
+            entry = entry + (int(delays[fi]),)
+        payload.append(entry)
     data = _imagio.encode_gif(w, h, payload, delay_cs, loop)
     with open(os.fspath(path), "wb") as f:
         f.write(data)

@@ -69,14 +69,18 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     # color key (type 0: one u16 gray sample; type 2: three u16 samples).
     trns = None
     color_key = None
+    color_key16 = None
+    keyed16 = None
     if trns_raw is not None:
         if color_type == 3:
             trns = np.frombuffer(trns_raw, np.uint8)
         elif color_type in (0, 2):
             samples = struct.unpack(f">{len(trns_raw) // 2}H", trns_raw)
             if bit_depth == 16:
+                color_key16 = tuple(samples)
                 color_key = tuple(s >> 8 for s in samples)
             else:
+                color_key16 = None
                 maxv = (1 << bit_depth) - 1
                 color_key = tuple(s * 255 // maxv for s in samples)
 
@@ -139,6 +143,14 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             px = (vals * 255 // maxv).reshape(height, width, channels).astype(np.uint8)
     elif bit_depth == 16:
         arr = out.reshape(height, width, channels, 2)
+        if color_key is not None and color_type in (0, 2):
+            # PNG color keys match the EXACT 16-bit sample; evaluate before
+            # stripping to 8 bits.
+            full = arr[..., 0].astype(np.uint16) << 8 | arr[..., 1]
+            key16 = np.asarray(color_key16, np.uint16)
+            keyed16 = (full == key16).all(axis=2)
+        else:
+            keyed16 = None
         px = arr[..., 0]  # high byte ~ value/257
     else:
         px = out.reshape(height, width, channels)
@@ -158,7 +170,9 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     elif color_type == 0:
         g = px[..., :1]
         alpha = np.full_like(g, 255)
-        if color_key is not None:
+        if keyed16 is not None:
+            alpha = np.where(keyed16[..., None], 0, 255).astype(np.uint8)
+        elif color_key is not None:
             alpha = np.where(g == color_key[0], 0, 255).astype(np.uint8)
         rgba = np.concatenate([g, g, g, alpha], axis=2)
     elif color_type == 4:
@@ -166,7 +180,9 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         rgba = np.concatenate([g, g, g, a], axis=2)
     elif color_type == 2:
         alpha = np.full((height, width, 1), 255, np.uint8)
-        if color_key is not None:
+        if keyed16 is not None:
+            alpha = np.where(keyed16, 0, 255).astype(np.uint8)[..., None]
+        elif color_key is not None:
             keyed = (px == np.asarray(color_key, px.dtype)).all(axis=2)
             alpha = np.where(keyed, 0, 255).astype(np.uint8)[..., None]
         rgba = np.concatenate([px, alpha], axis=2)

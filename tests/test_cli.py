@@ -65,7 +65,7 @@ def test_parse_palette_image_rejects_recurring(tmp_path):
     rgba[..., 3] = 255
     p = str(tmp_path / "dup.png")
     save_image(Image((2, 2), rgba), p)
-    with pytest.raises(SystemExit):
+    with pytest.raises(argparse.ArgumentTypeError):
         cli.parse_palette_image(p)
 
 

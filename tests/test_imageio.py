@@ -196,3 +196,18 @@ def test_png_py_rejects_truncated_data():
 
 
 import struct  # noqa: E402
+
+
+@pytest.mark.skipif(not imageio.HAVE_NATIVE, reason="native runtime not built")
+def test_gif_delay_roundtrip(tmp_path):
+    frames = []
+    for i in range(3):
+        rgba = np.full((6, 6, 4), i * 90, np.uint8)
+        rgba[..., 3] = 255
+        frames.append(Image((6, 6), rgba))
+    path = str(tmp_path / "d.gif")
+    imageio.save_gif(frames, path, delays=[4, 10, 250])
+    back, delays = imageio.load_gif(path, with_delays=True)
+    assert delays == [4, 10, 250]
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a.pixels, b.pixels)
