@@ -280,6 +280,11 @@ class ImageProcessor:
         # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere),
         # decided for the SELECTED device (e.g. devices=jax.devices("cpu")
         # on a TPU host must take the XLA path).
+        if fused and not _pallas_available(self._device):
+            raise ValueError(
+                "fused=True requires a TPU device (the Pallas kernels have "
+                "no compiled CPU lowering); omit `fused` for auto-selection"
+            )
         self.fused = (
             _pallas_available(self._device) if fused is None else bool(fused)
         )

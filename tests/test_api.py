@@ -177,3 +177,11 @@ def test_find_with_512_color_palette(blobs_image):
     assert out.pixels.shape == image.pixels.shape
     out2 = ImageProcessor().find(image, colors, ReduceMode.REPLACE)
     assert len(np.unique(out2.pixels.reshape(-1, 4), axis=0)) <= 512
+
+
+def test_fused_requires_tpu_device():
+    # On the CPU test backend, explicitly requesting the Pallas path must
+    # fail loudly at construction, not with a cryptic lowering error later.
+    with pytest.raises(ValueError):
+        ImageProcessor(fused=True)
+    assert ImageProcessor().fused is False  # auto-selects XLA on CPU
