@@ -185,3 +185,14 @@ def test_fused_requires_tpu_device():
     with pytest.raises(ValueError):
         ImageProcessor(fused=True)
     assert ImageProcessor().fused is False  # auto-selects XLA on CPU
+
+
+def test_reduce_pipelined_window_drain(blobs_image):
+    # More frames than the in-flight window (4) exercises mid-loop draining.
+    image, _ = blobs_image
+    frames = [image] * 6
+    outs = ImageProcessor().reduce_pipelined(frames, 3)
+    single = ImageProcessor().reduce(3, image)
+    assert len(outs) == 6
+    for o in outs:
+        np.testing.assert_array_equal(o.pixels, single.pixels)
