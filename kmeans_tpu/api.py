@@ -42,6 +42,7 @@ from kmeans_tpu.image import Image
 from kmeans_tpu.models import kmeans as kmeans_model
 from kmeans_tpu.models.mediancut import extract_palette_mediancut
 from kmeans_tpu.models.octree import extract_palette_octree
+from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
@@ -66,11 +67,12 @@ class ColorSpace(Enum):
 
 class Algorithm(Enum):
     """Palette algorithm (`core/src/lib.rs:216-233`), plus the additive
-    MEDIANCUT family (not in the reference)."""
+    MEDIANCUT and WU families (not in the reference)."""
 
     KMEANS = "kmeans"
     OCTREE = "octree"
     MEDIANCUT = "mediancut"
+    WU = "wu"
 
 
 class ReduceMode(Enum):
@@ -338,6 +340,8 @@ class ImageProcessor:
         rgb = pixels_u8[..., :3].reshape(-1, 3)
         if algo is Algorithm.MEDIANCUT:
             colors = extract_palette_mediancut(rgb, k)
+        elif algo is Algorithm.WU:
+            colors = extract_palette_wu(rgb, k)
         else:
             colors = extract_palette_octree(rgb, k)
         return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))

@@ -156,7 +156,7 @@ def build_parser() -> argparse.ArgumentParser:
     palette.add_argument("-i", "--input", type=validate_filename, required=True)
     palette.add_argument("-o", "--output")
     palette.add_argument(
-        "-a", "--algo", choices=["kmeans", "octree", "mediancut"], default="kmeans"
+        "-a", "--algo", choices=["kmeans", "octree", "mediancut", "wu"], default="kmeans"
     )
     palette.add_argument("-s", "--size", type=validate_size, default=40)
 
@@ -178,7 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
     reduce.add_argument("-i", "--input", type=validate_filename, required=True)
     reduce.add_argument("-o", "--output")
     reduce.add_argument(
-        "-a", "--algo", choices=["kmeans", "octree", "mediancut"], default="kmeans"
+        "-a", "--algo", choices=["kmeans", "octree", "mediancut", "wu"], default="kmeans"
     )
     reduce.add_argument(
         "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"

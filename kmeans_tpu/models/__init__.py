@@ -1,5 +1,6 @@
-"""Model families: k-means (TPU, device-resident) and octree (CPU)."""
+"""Model families: k-means (TPU, device-resident) plus the CPU palette
+algorithms octree, median-cut and Wu."""
 
-from kmeans_tpu.models import kmeans, octree
+from kmeans_tpu.models import kmeans, mediancut, octree, wu
 
-__all__ = ["kmeans", "octree"]
+__all__ = ["kmeans", "mediancut", "octree", "wu"]

@@ -218,3 +218,9 @@ def test_cli_mediancut(sample_png, tmp_path):
     out = str(tmp_path / "mc.png")
     assert cli.main(["reduce", "-i", sample_png, "-c", "3", "-a", "mediancut", "-o", out]) == 0
     assert len(np.unique(load_image(out).pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_cli_wu(sample_png, tmp_path):
+    out = str(tmp_path / "wu.png")
+    assert cli.main(["reduce", "-i", sample_png, "-c", "3", "-a", "wu", "-o", out]) == 0
+    assert len(np.unique(load_image(out).pixels.reshape(-1, 4), axis=0)) <= 3
