@@ -262,7 +262,7 @@ class ImageProcessor:
         self,
         devices=None,
         fused: bool | None = None,
-        train_max_size: int = MAX_IMAGE_DIMENSION,
+        train_max_size: int | None = MAX_IMAGE_DIMENSION,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -291,9 +291,14 @@ class ImageProcessor:
             _pallas_available(self._device) if fused is None else bool(fused)
         )
         # Training-shrink cap. The reference hard-codes 256
-        # (`core/src/structures.rs:23`); raising it trades time for
-        # palette fidelity — a capability the reference lacks.
-        self.train_max_size = int(train_max_size)
+        # (`core/src/structures.rs:23`); raising it — or disabling the
+        # shrink entirely with train_max_size=None — trades time for
+        # palette fidelity, a capability the reference lacks. Full-res
+        # training stays fast on TPU: the Pallas tile accumulator
+        # (`fit_large`) engages above 1M training pixels.
+        self.train_max_size = (
+            None if train_max_size is None else int(train_max_size)
+        )
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction

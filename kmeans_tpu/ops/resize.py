@@ -19,14 +19,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def shrunk_dimensions(width: int, height: int, max_size: int) -> tuple[int, int]:
+def shrunk_dimensions(
+    width: int, height: int, max_size: int | None
+) -> tuple[int, int]:
     """New (width, height) after capping the long side at `max_size`.
 
     Matches `InputTexture::resized` (`core/src/structures.rs:78-90`): the
     scaled short side is truncated toward zero and clamped to >= 1. Returns
-    the original dimensions when both sides already fit.
+    the original dimensions when both sides already fit, or always when
+    `max_size` is None (full-resolution training, no shrink).
     """
-    if width <= max_size and height <= max_size:
+    if max_size is None or (width <= max_size and height <= max_size):
         return width, height
     if width > height:
         return max_size, max(int(height * max_size / width), 1)

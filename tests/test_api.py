@@ -196,3 +196,30 @@ def test_reduce_pipelined_window_drain(blobs_image):
     assert len(outs) == 6
     for o in outs:
         np.testing.assert_array_equal(o.pixels, single.pixels)
+
+
+def test_full_resolution_training(blobs_image):
+    # train_max_size=None disables the 256px training shrink entirely: a
+    # 300px-wide image trains on all its pixels. Palette quality must still
+    # recover the true blob colors; the executable is the no-resize branch.
+    rng = np.random.default_rng(7)
+    base = np.array([[210, 40, 50], [40, 190, 70], [60, 70, 220]], np.int32)
+    idx = rng.integers(0, 3, size=(120, 300))
+    rgb = np.clip(base[idx] + rng.integers(-8, 9, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((120, 300, 1), 255, np.uint8)], -1
+    )
+    image = Image((300, 120), rgba)
+
+    full = ImageProcessor(train_max_size=None)
+    assert full.train_max_size is None
+    pal = full.palette(3, image)
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - base[None, :, :], axis=2
+    )
+    assert (d.min(axis=1) < 20).all()
+    # Same result as an explicit cap that already exceeds the image.
+    pal_cap = ImageProcessor(train_max_size=4096).palette(3, image)
+    np.testing.assert_array_equal(pal, pal_cap)
+    out = full.reduce(3, image)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
