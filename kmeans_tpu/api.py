@@ -46,7 +46,8 @@ from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
-from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
+from kmeans_tpu.ops.resize import resize_to_canvas, resize_uint8, shrunk_dimensions
+from kmeans_tpu.utils.bucketing import pad_to_bucket
 
 # Training-image shrink cap (`core/src/structures.rs:23`).
 MAX_IMAGE_DIMENSION = 256
@@ -193,6 +194,98 @@ def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
     return fused_quantize(pixels_u8, palette_lab, threshold, mode=mode)
 
 
+@partial(jax.jit, static_argnames=("k", "canvas_shape", "lab"))
+def _train_bucketed_jit(
+    padded_u8: jnp.ndarray,
+    k: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    lab: bool = True,
+):
+    """Training with bucketed (padded) input: the real image lives in the
+    top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
+    `[out_h, out_w]` corner of a static canvas; pad pixels train with
+    weight 0. One executable per (bucket shape, k) serves every image size
+    within the bucket — the serving-path answer to per-shape XLA compiles."""
+    ch, cw = canvas_shape
+    canvas, weight = resize_to_canvas(
+        padded_u8[..., :3], ch, cw, src_h, src_w, out_h, out_w
+    )
+    rgb = canvas.reshape(-1, 3)
+    work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
+    return kmeans_model.fit(
+        work, k, first_index, convergence=convergence, weight=weight.reshape(-1)
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode"))
+def _reduce_bucketed_indexed_jit(
+    padded_u8: jnp.ndarray,
+    k: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    mode: str,
+):
+    """Bucketed reduce with indexed readback (TPU fused path)."""
+    centroids, _ = _train_bucketed_jit(
+        padded_u8, k, canvas_shape, first_index, src_h, src_w, out_h, out_w,
+        convergence,
+    )
+    threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+    idx = fused_assign(padded_u8, centroids, threshold, mode=mode)
+    palette_rgba, _ = _lab_palette_to_u8(centroids)
+    return idx, palette_rgba
+
+
+@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode", "use_pallas"))
+def _reduce_bucketed_jit(
+    padded_u8: jnp.ndarray,
+    k: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    mode: str,
+    use_pallas: bool,
+):
+    """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
+    centroids, _ = _train_bucketed_jit(
+        padded_u8, k, canvas_shape, first_index, src_h, src_w, out_h, out_w,
+        convergence,
+    )
+    if use_pallas:
+        threshold = (
+            dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+        )
+        return fused_quantize(padded_u8, centroids, threshold, mode=mode)
+    return quantize_image(padded_u8, centroids, mode=mode)
+
+
+@partial(jax.jit, static_argnames=("canvas_shape",))
+def _canvas_shrink_jit(
+    padded_u8, canvas_shape: tuple[int, int], src_h, src_w, out_h, out_w
+):
+    """Bucketed shrink only (CPU palette algorithms): resize the real
+    `[src_h, src_w]` corner of a padded image into a static canvas; the
+    host crops the `[out_h, out_w]` result."""
+    ch, cw = canvas_shape
+    canvas, _ = resize_to_canvas(padded_u8, ch, cw, src_h, src_w, out_h, out_w)
+    return canvas
+
+
 def _pallas_available(device=None) -> bool:
     """Use the hand-fused Pallas kernels on real TPU devices only (the CPU
     interpreter is correct but slow; XLA's fusion is the right CPU path).
@@ -263,6 +356,7 @@ class ImageProcessor:
         devices=None,
         fused: bool | None = None,
         train_max_size: int | None = MAX_IMAGE_DIMENSION,
+        bucketing: bool = False,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -299,6 +393,13 @@ class ImageProcessor:
         self.train_max_size = (
             None if train_max_size is None else int(train_max_size)
         )
+        # Shape bucketing (serving mode): pad inputs to the {4,5,6,7}*2^k
+        # ladder so unseen image sizes reuse compiled executables (one per
+        # bucket, not one per exact shape). Outputs are bit-equal for
+        # `find` and near-identical for `reduce` (training sums reduce in
+        # a different order over the weighted canvas). See
+        # `utils/bucketing.py`.
+        self.bucketing = bool(bucketing)
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -336,12 +437,24 @@ class ImageProcessor:
 
     def _cpu_palette_u8(self, image: Image, k: int, algo) -> np.ndarray:
         """CPU palette algorithms (`octree_palette`, `core/src/lib.rs:288-331`,
-        plus median cut): shrink to <=128px, reduce on CPU, sort by L*."""
+        plus median cut and Wu): shrink to <=128px, reduce on CPU, sort by
+        L*. Under bucketing the shrink runs through the static-canvas
+        executable (same sampler, one compile per bucket)."""
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
         pixels_u8 = image.pixels
         if (sw, sh) != (w, h):
-            pixels_u8 = np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
+            if self.bucketing:
+                padded, _, _ = pad_to_bucket(pixels_u8)
+                bh, bw = padded.shape[:2]
+                canvas = (min(OCTREE_MAX_SIZE, bh), min(OCTREE_MAX_SIZE, bw))
+                pixels_u8 = np.asarray(
+                    _canvas_shrink_jit(jnp.asarray(padded), canvas, h, w, sh, sw)
+                )[:sh, :sw]
+            else:
+                pixels_u8 = np.asarray(
+                    resize_uint8(jnp.asarray(pixels_u8), sh, sw)
+                )
         rgb = pixels_u8[..., :3].reshape(-1, 3)
         if algo is Algorithm.MEDIANCUT:
             colors = extract_palette_mediancut(rgb, k)
@@ -350,6 +463,64 @@ class ImageProcessor:
         else:
             colors = extract_palette_octree(rgb, k)
         return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+
+    def _bucket_train_args(self, w: int, h: int, bw: int, bh: int):
+        """Static canvas shape, dynamic shrunk dims, and the seed pixel's
+        flat index *within the canvas* for bucketed training."""
+        cap = self.train_max_size
+        sw, sh = shrunk_dimensions(w, h, cap)
+        canvas = (bh, bw) if cap is None else (min(cap, bh), min(cap, bw))
+        seed = kmeans_model.reference_seed_index(sw, sh)
+        y, x = divmod(seed, sw)
+        return canvas, (sw, sh), y * canvas[1] + x
+
+    def _reduce_bucketed(self, image: Image, k: int, reduce_mode) -> np.ndarray:
+        """Bucketed kmeans reduce: pad to the bucket, train on the weighted
+        canvas, quantize the padded image, crop."""
+        padded, h, w = pad_to_bucket(image.pixels)
+        bh, bw = padded.shape[:2]
+        canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+        conv = ColorSpace.LAB.convergence
+        if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
+            idx, pal = _reduce_bucketed_indexed_jit(
+                jnp.asarray(padded), k, canvas, first, h, w, sh, sw, conv,
+                reduce_mode.value,
+            )
+            return np.asarray(pal)[np.asarray(idx)[:h, :w]]
+        out = _reduce_bucketed_jit(
+            jnp.asarray(padded), k, canvas, first, h, w, sh, sw, conv,
+            reduce_mode.value, self.fused,
+        )
+        return np.asarray(out)[:h, :w]
+
+    def warmup(self, sizes, color_counts, modes=(ReduceMode.REPLACE,)) -> int:
+        """Precompile bucketed reduce executables before serving traffic.
+
+        `sizes` is an iterable of representative `(width, height)` pairs;
+        each maps to its bucket, and one dummy reduce per distinct
+        (bucket, k, mode) triggers the XLA compile (minutes over a
+        remote-compile tunnel — pay it at deploy time, not per request).
+        Returns the number of executables warmed. Requires bucketing=True.
+        """
+        from kmeans_tpu.utils.bucketing import bucket_shape
+
+        if not self.bucketing:
+            raise ValueError("warmup requires ImageProcessor(bucketing=True)")
+        rng = np.random.default_rng(0)
+        seen = set()
+        for w, h in sizes:
+            bh, bw = bucket_shape(int(h), int(w))
+            for k in color_counts:
+                for mode in modes:
+                    mode = ReduceMode(mode)
+                    key = (bh, bw, int(k), mode.value)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    dummy = rng.integers(0, 256, (bh, bw, 4), dtype=np.uint8)
+                    dummy[..., 3] = 255
+                    self.reduce(int(k), Image((bw, bh), dummy), reduce_mode=mode)
+        return len(seen)
 
     # ------------------------------------------------------------------ #
     # Public entry points (parity with core/src/lib.rs)
@@ -365,7 +536,16 @@ class ImageProcessor:
         _validate_k(color_count)
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
-        centroids = self.extract_palette_kmeans(image, color_count)
+        if self.bucketing:
+            padded, h, w = pad_to_bucket(image.pixels)
+            bh, bw = padded.shape[:2]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            centroids, _ = _train_bucketed_jit(
+                jnp.asarray(padded), color_count, canvas, first, h, w, sh, sw,
+                ColorSpace.LAB.convergence,
+            )
+        else:
+            centroids = self.extract_palette_kmeans(image, color_count)
         # `CentroidsBuffer::pull_values` (`core/src/structures.rs:581-617`):
         # Lab -> sRGB8 on readback, then the L* sort.
         rgba, lightness = _lab_palette_to_u8(centroids)
@@ -383,6 +563,10 @@ class ImageProcessor:
         if palette_rgba.shape[0] == 0:
             raise ValueError("palette must contain at least one color")
         palette_lab = _colors_to_lab(palette_rgba)
+        if self.bucketing:
+            padded, h, w = pad_to_bucket(image.pixels)
+            out = self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
+            return Image(image.dimensions, np.asarray(out)[:h, :w])
         out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
@@ -399,6 +583,9 @@ class ImageProcessor:
         image = _as_image(image)
         _validate_k(color_count)
         if algo is Algorithm.KMEANS:
+            if self.bucketing:
+                out = self._reduce_bucketed(image, color_count, reduce_mode)
+                return Image(image.dimensions, out)
             w, h = image.dimensions
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
             first = kmeans_model.reference_seed_index(sw, sh)
@@ -429,7 +616,15 @@ class ImageProcessor:
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
             palette_lab = _colors_to_lab(palette_u8)
-            out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
+            if self.bucketing:
+                padded, h, w = pad_to_bucket(image.pixels)
+                out = np.asarray(
+                    self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
+                )[:h, :w]
+            else:
+                out = self._quantize(
+                    jnp.asarray(image.pixels), palette_lab, reduce_mode
+                )
         return Image(image.dimensions, np.asarray(out))
 
     def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
@@ -572,16 +767,39 @@ class ImageProcessor:
         results = []
 
         def drain_one():
-            dims, out, palette = pending.pop(0)
+            dims, out, palette, crop = pending.pop(0)
+            arr = np.asarray(out)
+            if crop is not None:
+                arr = arr[: crop[0], : crop[1]]
             if palette is not None:
-                results.append(Image(dims, np.asarray(palette)[np.asarray(out)]))
+                results.append(Image(dims, np.asarray(palette)[arr]))
             else:
-                results.append(Image(dims, np.asarray(out)))
+                results.append(Image(dims, arr))
 
         for im in images:
             if len(pending) >= WINDOW:
                 drain_one()
             image = _as_image(im)
+            if self.bucketing:
+                # Bucketed dispatch: varied frame sizes reuse per-bucket
+                # executables instead of compiling per exact shape.
+                padded, h, w = pad_to_bucket(image.pixels)
+                bh, bw = padded.shape[:2]
+                canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+                conv = ColorSpace.LAB.convergence
+                if use_indexed:
+                    idx, pal = _reduce_bucketed_indexed_jit(
+                        jnp.asarray(padded), color_count, canvas, first,
+                        h, w, sh, sw, conv, reduce_mode.value,
+                    )
+                    pending.append((image.dimensions, idx, pal, (h, w)))
+                else:
+                    out = _reduce_bucketed_jit(
+                        jnp.asarray(padded), color_count, canvas, first,
+                        h, w, sh, sw, conv, reduce_mode.value, self.fused,
+                    )
+                    pending.append((image.dimensions, out, None, (h, w)))
+                continue
             w, h = image.dimensions
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
             first = kmeans_model.reference_seed_index(sw, sh)
@@ -594,7 +812,7 @@ class ImageProcessor:
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
                 )
-                pending.append((image.dimensions, idx, palette_rgba))
+                pending.append((image.dimensions, idx, palette_rgba, None))
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(image.pixels),
@@ -605,7 +823,7 @@ class ImageProcessor:
                     reduce_mode.value,
                     self.fused,
                 )
-                pending.append((image.dimensions, out, None))
+                pending.append((image.dimensions, out, None, None))
         while pending:
             drain_one()
         return results

@@ -97,6 +97,7 @@ def plusplus_init(
     k: int,
     first_index,
     k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Farthest-point seeding. `pixels[N,3]` Lab, returns `[k,3]` centroids.
 
@@ -104,6 +105,11 @@ def plusplus_init(
     `reference_seed_index`). With `k_active < k`, trailing centroid rows
     stay at their zero initialization — they are meaningless and must be
     masked out (pass the same `k_active` to every downstream consumer).
+
+    `weight[N]` (optional) marks padding: pixels with weight <= 0 can never
+    be selected as seeds (their distance-map entry is pinned to -1, below
+    every real pixel's >= 0). Used by the shape-bucketing serving path,
+    where images are padded to a static canvas.
     """
     n = pixels.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
@@ -113,6 +119,9 @@ def plusplus_init(
     # Min squared-CIE94 distance to the chosen set (kmeans++_calc_diff.wgsl:27-31,
     # maintained incrementally instead of recomputed per round).
     dmap = distance_cie94_sq(pixels, c0[None, :])
+    if weight is not None:
+        # Once pinned to -1, the running `minimum` keeps pad entries at -1.
+        dmap = jnp.where(weight > 0, dmap, -1.0)
 
     def body(j, carry):
         centroids, dmap = carry
@@ -132,13 +141,19 @@ def plusplus_init(
 
 
 def _update_centroids(
-    pixels: jnp.ndarray, assign: jnp.ndarray, k: int
+    pixels: jnp.ndarray,
+    assign: jnp.ndarray,
+    k: int,
+    weight: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-cluster (sum, count) via one-hot matmul — the MXU replacement for
     choose_centroid.wgsl's decoupled-lookback scan. Full-f32 precision: the
     default bf16 MXU path would perturb centroid sums enough to flip
-    convergence votes."""
+    convergence votes. With `weight`, rows are scaled before accumulation
+    (0-weight pad pixels contribute exact f32 zeros)."""
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N,K]
+    if weight is not None:
+        onehot = onehot * weight[:, None]
     sums = jax.lax.dot_general(
         onehot,
         pixels,
@@ -156,12 +171,15 @@ def lloyd(
     convergence: float = LAB_CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd iterations with the reference's termination protocol.
 
     Returns (centroids [k,3], iterations_run). Fully device-resident: one
     `lax.while_loop`, no host synchronisation (vs. the reference's
     `device.poll(Wait)` per iteration, `core/src/modules.rs:790-791`).
+    `weight[N]` (optional): per-pixel accumulation weight; 0 excludes a
+    (pad) pixel from every centroid update.
     """
     k = centroids.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
@@ -182,7 +200,7 @@ def lloyd(
 
     def body(carry):
         centroids, assign, _, i = carry
-        sums, counts = _update_centroids(pixels, assign, k)
+        sums, counts = _update_centroids(pixels, assign, k, weight)
         nonempty = counts > 0
         new_centroids = jnp.where(
             nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
@@ -282,17 +300,24 @@ def fit(
     convergence: float = LAB_CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Seed + Lloyd: the full `extract_palette_kmeans` compute
     (`core/src/operations.rs:15-88`) minus the resize/convert edges.
 
-    `pixels[N,3]` Lab -> (`centroids[k,3]` Lab, iterations).
+    `pixels[N,3]` Lab -> (`centroids[k,3]` Lab, iterations). `weight[N]`
+    (optional) masks pad pixels out of seeding and updates (see
+    `plusplus_init` / `lloyd`); weighted fits always take this one-hot
+    matmul path (the Pallas accumulator has no weight input).
     """
-    centroids = plusplus_init(pixels, k, first_index, k_active=k_active)
+    centroids = plusplus_init(
+        pixels, k, first_index, k_active=k_active, weight=weight
+    )
     return lloyd(
         pixels,
         centroids,
         convergence=convergence,
         max_iterations=max_iterations,
         k_active=k_active,
+        weight=weight,
     )

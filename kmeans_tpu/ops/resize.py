@@ -70,3 +70,70 @@ def resize_uint8(image_u8: jnp.ndarray, new_height: int, new_width: int) -> jnp.
     like the Rgba8Unorm storage-texture write in the reference resize pass."""
     out = resize_bilinear(jnp.asarray(image_u8, jnp.float32) / 255.0, new_height, new_width)
     return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def resize_to_canvas(
+    image_u8: jnp.ndarray,
+    canvas_height: int,
+    canvas_width: int,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+):
+    """Dynamic-size shrink into a static canvas — the shape-bucketing
+    training path.
+
+    `image_u8[Hp, Wp, C]` holds real data in its top-left `[src_h, src_w]`
+    corner (the rest is padding). The real image is resized to
+    `[out_h, out_w]` with the same corner-aligned sampler as
+    `resize_bilinear` and written to the top-left of a static
+    `[canvas_height, canvas_width, C]` canvas. `src_h/src_w/out_h/out_w`
+    are traced int32 scalars, so ONE compiled executable serves every
+    image size within the bucket — only gather indices change.
+
+    When `out == src` along an axis the sampler is replaced by an exact
+    identity gather (the no-shrink case; blind corner-aligned sampling at
+    equal sizes would blend neighbors instead).
+
+    Returns `(canvas_u8, weight)` where `weight[canvas_height,
+    canvas_width]` is 1.0 on real output pixels and 0.0 on canvas padding.
+    """
+    image_u8 = jnp.asarray(image_u8)
+    src_h = jnp.asarray(src_h, jnp.int32)
+    src_w = jnp.asarray(src_w, jnp.int32)
+    out_h = jnp.asarray(out_h, jnp.int32)
+    out_w = jnp.asarray(out_w, jnp.int32)
+
+    def axis(n_canvas: int, n_out, n_in):
+        pos = jnp.arange(n_canvas, dtype=jnp.int32)
+        coord = (
+            pos.astype(jnp.float32)
+            / n_out.astype(jnp.float32)
+            * n_in.astype(jnp.float32)
+            - 0.5
+        )
+        i0 = jnp.floor(coord)
+        frac = coord - i0
+        lo = jnp.clip(i0.astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(i0.astype(jnp.int32) + 1, 0, n_in - 1)
+        ident = n_out == n_in
+        direct = jnp.minimum(pos, n_in - 1)
+        lo = jnp.where(ident, direct, lo)
+        hi = jnp.where(ident, direct, hi)
+        frac = jnp.where(ident, 0.0, frac)
+        return lo, hi, frac, pos < n_out
+
+    y0, y1, fy, vy = axis(canvas_height, out_h, src_h)
+    x0, x1, fx, vx = axis(canvas_width, out_w, src_w)
+
+    img = jnp.asarray(image_u8, jnp.float32) / 255.0
+    top = img[y0]
+    bot = img[y1]
+    rows = top * (1.0 - fy[:, None, None]) + bot * fy[:, None, None]
+    left = rows[:, x0]
+    right = rows[:, x1]
+    out = left * (1.0 - fx[None, :, None]) + right * fx[None, :, None]
+    canvas = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    weight = (vy[:, None] & vx[None, :]).astype(jnp.float32)
+    return canvas, weight

@@ -1,0 +1,191 @@
+"""Shape-bucketing serving mode: ladder properties, canvas resize
+correctness, output parity with the exact path, and executable reuse."""
+
+import numpy as np
+import pytest
+
+import kmeans_tpu.api as api
+from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
+from kmeans_tpu.image import Image
+from kmeans_tpu.utils.bucketing import bucket_shape, next_bucket, pad_to_bucket
+
+
+def _blob_image(w, h, seed=5):
+    rng = np.random.default_rng(seed)
+    base = np.array([[215, 45, 45], [45, 195, 65], [55, 65, 215]], np.int32)
+    idx = rng.integers(0, 3, size=(h, w))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((h, w, 1), 255, np.uint8)], -1
+    )
+    return Image((w, h), rgba)
+
+
+# ---------------------------------------------------------------------- #
+# Ladder
+# ---------------------------------------------------------------------- #
+
+
+def test_next_bucket_properties():
+    prev = 0
+    for n in range(1, 5000):
+        b = next_bucket(n)
+        assert b >= n
+        assert b >= prev  # monotone in n
+        assert b <= max(4, n) * 1.25  # bounded padding overhead
+        assert next_bucket(b) == b  # rungs are fixed points
+        prev = b
+
+
+def test_bucket_shape_and_pad():
+    im = np.arange(9 * 13 * 4, dtype=np.uint8).reshape(9, 13, 4)
+    assert bucket_shape(9, 13) == (10, 14)
+    padded, h, w = pad_to_bucket(im)
+    assert (h, w) == (9, 13)
+    assert padded.shape == (10, 14, 4)
+    np.testing.assert_array_equal(padded[:9, :13], im)
+    assert (padded[9:] == 0).all() and (padded[:, 13:] == 0).all()
+    # Already on a rung: no copy, same object.
+    onrung = np.zeros((16, 20, 4), np.uint8)
+    same, _, _ = pad_to_bucket(onrung)
+    assert same is onrung
+
+
+# ---------------------------------------------------------------------- #
+# Canvas resize
+# ---------------------------------------------------------------------- #
+
+
+def test_resize_to_canvas_matches_static_resize():
+    from kmeans_tpu.ops.resize import resize_to_canvas, resize_uint8
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (130, 210, 3), dtype=np.uint8)
+    padded, h, w = pad_to_bucket(img)
+    sh, sw = 40, 64  # dynamic shrink target
+    canvas, weight = resize_to_canvas(padded, 64, 64, h, w, sh, sw)
+    exact = resize_uint8(img, sh, sw)
+    np.testing.assert_array_equal(np.asarray(canvas)[:sh, :sw], np.asarray(exact))
+    wt = np.asarray(weight)
+    assert (wt[:sh, :sw] == 1.0).all()
+    assert wt.sum() == sh * sw  # everything outside the real region is 0
+
+
+def test_resize_to_canvas_identity_when_no_shrink():
+    from kmeans_tpu.ops.resize import resize_to_canvas
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (30, 50, 3), dtype=np.uint8)
+    padded, h, w = pad_to_bucket(img)
+    canvas, weight = resize_to_canvas(padded, 64, 64, h, w, h, w)
+    np.testing.assert_array_equal(np.asarray(canvas)[:h, :w], img)
+    assert np.asarray(weight).sum() == h * w
+
+
+# ---------------------------------------------------------------------- #
+# End-to-end parity
+# ---------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("mode", [ReduceMode.REPLACE, ReduceMode.DITHER, ReduceMode.MELD])
+def test_bucketed_find_bit_equal(mode):
+    image = _blob_image(101, 67)
+    colors = np.array(
+        [[10, 10, 10, 255], [230, 230, 230, 255], [200, 40, 40, 255]], np.uint8
+    )
+    exact = ImageProcessor().find(image, colors, mode)
+    bucketed = ImageProcessor(bucketing=True).find(image, colors, mode)
+    np.testing.assert_array_equal(bucketed.pixels, exact.pixels)
+    assert bucketed.dimensions == image.dimensions
+
+
+def test_bucketed_reduce_quality_small_image():
+    # Image below the training cap: bucketed training sees the identical
+    # pixel set (weighted), so the palette must recover the same blobs.
+    image = _blob_image(100, 75)
+    exact = ImageProcessor().reduce(3, image)
+    bucketed = ImageProcessor(bucketing=True).reduce(3, image)
+    assert bucketed.dimensions == image.dimensions
+    pe = np.unique(exact.pixels.reshape(-1, 4), axis=0).astype(np.int32)
+    pb = np.unique(bucketed.pixels.reshape(-1, 4), axis=0).astype(np.int32)
+    assert len(pb) <= 3
+    # Palettes match to within rounding of near-identical centroids.
+    d = np.abs(pe[:, None, :] - pb[None, :, :]).max(axis=2).min(axis=1)
+    assert (d <= 2).all()
+
+
+def test_bucketed_reduce_quality_shrunk_image():
+    # Image above the training cap: exercises the dynamic-shrink canvas.
+    image = _blob_image(300, 140)
+    exact = ImageProcessor().reduce(3, image)
+    bucketed = ImageProcessor(bucketing=True).reduce(3, image)
+    pe = np.unique(exact.pixels.reshape(-1, 4), axis=0).astype(np.int32)
+    pb = np.unique(bucketed.pixels.reshape(-1, 4), axis=0).astype(np.int32)
+    d = np.abs(pe[:, None, :] - pb[None, :, :]).max(axis=2).min(axis=1)
+    assert (d <= 2).all()
+
+
+def test_bucketed_palette_and_cpu_algos():
+    image = _blob_image(90, 60)
+    p = ImageProcessor(bucketing=True)
+    pal = p.palette(3, image)
+    assert pal.shape == (3, 4)
+    for algo in (Algorithm.OCTREE, Algorithm.MEDIANCUT, Algorithm.WU):
+        out = p.reduce(3, image, algo)
+        assert out.dimensions == image.dimensions
+        assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_bucketed_cpu_algo_shrink_matches_exact():
+    # >128px image: the octree shrink goes through the bucketed canvas and
+    # must reproduce the exact-resize pixels, hence the exact palette.
+    image = _blob_image(260, 120, seed=9)
+    exact = ImageProcessor().palette(4, image, Algorithm.OCTREE)
+    bucketed = ImageProcessor(bucketing=True).palette(4, image, Algorithm.OCTREE)
+    np.testing.assert_array_equal(exact, bucketed)
+
+
+def test_bucket_executable_reuse():
+    # Two different sizes in the same bucket share one compiled executable.
+    p = ImageProcessor(bucketing=True)
+    before = api._reduce_bucketed_jit._cache_size()
+    p.reduce(3, _blob_image(55, 41))  # bucket (48, 56), not used elsewhere
+    after_first = api._reduce_bucketed_jit._cache_size()
+    p.reduce(3, _blob_image(53, 44, seed=6))  # same (48, 56) bucket
+    after_second = api._reduce_bucketed_jit._cache_size()
+    assert after_first == before + 1
+    assert after_second == after_first  # no recompile
+
+
+def test_bucketed_full_resolution_training():
+    image = _blob_image(150, 90)
+    out = ImageProcessor(bucketing=True, train_max_size=None).reduce(3, image)
+    assert out.dimensions == image.dimensions
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_bucketed_reduce_pipelined_varied_sizes():
+    # Streaming frames of different sizes: each result matches the
+    # bucketed single-image reduce, cropped to its own dimensions.
+    p = ImageProcessor(bucketing=True)
+    frames = [_blob_image(100, 75), _blob_image(97, 70, seed=6), _blob_image(55, 41)]
+    outs = p.reduce_pipelined(frames, 3)
+    assert [o.dimensions for o in outs] == [f.dimensions for f in frames]
+    for frame, out in zip(frames, outs):
+        single = p.reduce(3, frame)
+        np.testing.assert_array_equal(out.pixels, single.pixels)
+
+
+def test_warmup_precompiles_buckets():
+    p = ImageProcessor(bucketing=True)
+    # (37, 29) -> bucket (32, 40): a shape no other test touches.
+    n = p.warmup([(37, 29)], [2])
+    assert n == 1
+    size_before = api._reduce_bucketed_jit._cache_size()
+    idx_before = api._reduce_bucketed_indexed_jit._cache_size()
+    p.reduce(2, _blob_image(37, 29))
+    p.reduce(2, _blob_image(35, 30, seed=8))  # same bucket
+    assert api._reduce_bucketed_jit._cache_size() == size_before
+    assert api._reduce_bucketed_indexed_jit._cache_size() == idx_before
+    with pytest.raises(ValueError):
+        ImageProcessor().warmup([(16, 16)], [2])

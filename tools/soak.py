@@ -5,7 +5,9 @@ Hunts rare mismatches across hundreds of random configurations:
 - indexed reconstruction vs full output;
 - pixel-sharded fit vs single-device fit on random blob data;
 - octree aggregated vs per-pixel insertion order;
-- PNG palette/truecolor roundtrips.
+- PNG palette/truecolor roundtrips;
+- bucketed find vs exact find (bit-equal) and bucketed reduce palette
+  sanity on random sizes.
 
 Usage: python tools/soak.py [trials] (CPU recommended; prints a summary,
 exits nonzero on any mismatch).
@@ -106,6 +108,37 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] png roundtrip trial={t}")
             failures += 1
         os.remove(path)
+
+    # bucketing: find must be bit-equal to the exact path at any size; the
+    # bucketed reduce must honor k and dimensions. Sizes are drawn small so
+    # bucket executables get reused across trials.
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+    exact_p = ImageProcessor()
+    bucket_p = ImageProcessor(bucketing=True)
+    for t in range(max(10, trials // 4)):
+        h = int(rng.integers(1, 90))
+        w = int(rng.integers(1, 90))
+        k = int(rng.integers(1, 9))
+        mode = ReduceMode(["replace", "dither", "meld"][t % 3])
+        img = Image(
+            (w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        )
+        colors = rng.integers(0, 256, (k, 4), dtype=np.uint8)
+        colors[:, 3] = 255
+        a = exact_p.find(img, colors, mode)
+        b = bucket_p.find(img, colors, mode)
+        if not (a.pixels == b.pixels).all():
+            print(f"[FAIL] bucketed find != exact trial={t} {h}x{w} k={k} {mode}")
+            failures += 1
+        if mode is not ReduceMode.MELD:
+            out = bucket_p.reduce(k, img, reduce_mode=mode)
+            uniq = len(np.unique(out.pixels.reshape(-1, 4), axis=0))
+            if out.dimensions != (w, h) or uniq > max(k, 1):
+                print(f"[FAIL] bucketed reduce trial={t} {h}x{w} k={k} uniq={uniq}")
+                failures += 1
+        if t % 10 == 0:
+            print(f"  bucketing soak {t} ok", flush=True)
 
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
