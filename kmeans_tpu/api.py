@@ -700,6 +700,55 @@ class ImageProcessor:
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
+    @_on_device
+    def palette_images(
+        self, images, color_count: int, algo: Algorithm = Algorithm.KMEANS
+    ) -> np.ndarray:
+        """One palette trained jointly over a batch of same-sized frames
+        (global GIF palette: every frame quantizes consistently, no
+        cross-frame flicker — unlike `reduce_images`, which trains each
+        frame its own palette). KMEANS trains on the concatenated shrunk
+        frames in a single executable; CPU algorithms run over the
+        concatenated shrunk pixels. Returns `[k, 4]` RGBA8, L*-sorted."""
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
+        _validate_k(color_count)
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        w, h = dims
+        if algo is not Algorithm.KMEANS:
+            rgb = np.concatenate(
+                [self._cpu_shrunk_rgb(f) for f in frames], axis=0
+            )
+            if algo is Algorithm.MEDIANCUT:
+                colors = extract_palette_mediancut(rgb, color_count)
+            elif algo is Algorithm.WU:
+                colors = extract_palette_wu(rgb, color_count)
+            else:
+                colors = extract_palette_octree(rgb, color_count)
+            return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        centroids, _ = _train_frames_jit(
+            stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
+        )
+        rgba, lightness = _lab_palette_to_u8(centroids)
+        order = np.argsort(np.asarray(lightness), kind="stable")
+        return np.asarray(rgba)[order]
+
+    def _cpu_shrunk_rgb(self, image: Image) -> np.ndarray:
+        """Shrink to the octree cap and return `[N, 3]` RGB rows."""
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
+        pixels_u8 = image.pixels
+        if (sw, sh) != (w, h):
+            pixels_u8 = np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
+        return pixels_u8[..., :3].reshape(-1, 3)
+
     def reduce_sharded(
         self,
         color_count: int,
@@ -876,6 +925,23 @@ def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
         return quantize_image(frame, centroids, mode=mode)
 
     return jax.vmap(one)(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("k", "train_shape"))
+def _train_frames_jit(frames_u8, k: int, train_shape, first_index, convergence):
+    """Joint palette over a frame stack: shrink every frame, concatenate
+    the Lab pixels, fit once. The seed index addresses frame 0 (the
+    concatenation starts with it), matching single-image semantics."""
+    sh, sw = train_shape
+
+    def shrink(frame):
+        if (frame.shape[0], frame.shape[1]) != (sh, sw):
+            return resize_uint8(frame, sh, sw)
+        return frame
+
+    shrunk = jax.vmap(shrink)(frames_u8)  # [B, sh, sw, C]
+    work = srgb8_to_lab(shrunk[..., :3].reshape(-1, 3))
+    return kmeans_model.fit(work, k, first_index, convergence=convergence)
 
 
 @partial(jax.jit, static_argnames=("mode",))

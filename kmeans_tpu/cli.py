@@ -195,6 +195,14 @@ def build_parser() -> argparse.ArgumentParser:
     rgif.add_argument(
         "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
     )
+    rgif.add_argument(
+        "--palette-mode",
+        choices=["frame", "global"],
+        default="frame",
+        help="frame: each frame trains its own palette (default); "
+        "global: one palette trained jointly over all frames "
+        "(consistent colors, no cross-frame flicker)",
+    )
 
     fgif = sub.add_parser(
         "find-gif", help="Recolor every frame of an animated GIF with a fixed palette."
@@ -263,9 +271,13 @@ def main(argv=None) -> int:
         if args.colorcount > 256:
             raise SystemExit("reduce-gif requires a color count <= 256")
         frames, delays = load_gif(args.input, with_delays=True)
-        outs = processor.reduce_images(
-            frames, args.colorcount, ReduceMode(args.mode)
-        )
+        if args.palette_mode == "global":
+            palette = processor.palette_images(frames, args.colorcount)
+            outs = processor.find_batch(frames, palette, ReduceMode(args.mode))
+        else:
+            outs = processor.reduce_images(
+                frames, args.colorcount, ReduceMode(args.mode)
+            )
         out_path = args.output or _gif_out_path(
             args.input, f"reduce-c{args.colorcount}-{args.mode}"
         )

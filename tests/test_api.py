@@ -223,3 +223,36 @@ def test_full_resolution_training(blobs_image):
     np.testing.assert_array_equal(pal, pal_cap)
     out = full.reduce(3, image)
     assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_palette_images_global(blobs_image):
+    # A joint palette over frames must cover colors that appear in ANY
+    # frame — including one exclusive to the second frame.
+    image, base = blobs_image
+    rng = np.random.default_rng(21)
+    # Second frame: one solid new color absent from frame 1.
+    other = np.full_like(image.pixels, 255)
+    other[..., :3] = [250, 120, 10]
+    frames = [image, Image(image.dimensions, other)]
+    p = ImageProcessor()
+    pal = p.palette_images(frames, 5)
+    assert pal.shape == (5, 4)
+    targets = np.vstack([base, [[250, 120, 10]]])
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - targets[None, :, :], axis=2
+    )
+    assert (d.min(axis=0) < 40).all()
+    # L*-ascending order.
+    lightness = srgb8_to_lab_np(pal[:, :3])[:, 0]
+    assert (np.diff(lightness) >= -1e-4).all()
+    # CPU algorithms accept the same batch.
+    for algo in (Algorithm.OCTREE, Algorithm.MEDIANCUT, Algorithm.WU):
+        pal2 = p.palette_images(frames, 5, algo)
+        assert 1 <= pal2.shape[0] <= 5
+    # Consistent quantization: find_batch with the global palette uses
+    # exactly the same colors in every frame.
+    outs = p.find_batch(frames, pal)
+    all_colors = np.unique(
+        np.concatenate([o.pixels.reshape(-1, 4) for o in outs]), axis=0
+    )
+    assert len(all_colors) <= 5

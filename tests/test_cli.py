@@ -224,3 +224,31 @@ def test_cli_wu(sample_png, tmp_path):
     out = str(tmp_path / "wu.png")
     assert cli.main(["reduce", "-i", sample_png, "-c", "3", "-a", "wu", "-o", out]) == 0
     assert len(np.unique(load_image(out).pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_cli_reduce_gif_global_palette(tmp_path):
+    from kmeans_tpu.utils import imageio as iio
+    if not iio.HAVE_NATIVE:
+        pytest.skip("gif requires native runtime")
+    rng = np.random.default_rng(13)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    frames = []
+    for i in range(3):
+        idx = rng.integers(0, 3, size=(16, 16))
+        rgb = np.clip(base[idx] + rng.integers(-9, 10, (16, 16, 3)), 0, 255)
+        rgba = np.concatenate(
+            [rgb.astype(np.uint8), np.full((16, 16, 1), 255, np.uint8)], -1
+        )
+        frames.append(Image((16, 16), rgba))
+    src = str(tmp_path / "ganim.gif")
+    iio.save_gif(frames, src)
+    out = str(tmp_path / "g.gif")
+    assert cli.main(
+        ["reduce-gif", "-i", src, "-c", "3", "--palette-mode", "global", "-o", out]
+    ) == 0
+    back = iio.load_gif(out)
+    # One global palette: the union of colors across frames is <= k.
+    union = np.unique(
+        np.concatenate([f.pixels.reshape(-1, 4) for f in back]), axis=0
+    )
+    assert len(union) <= 3
