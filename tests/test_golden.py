@@ -116,3 +116,44 @@ def test_turtles_gif_find_batch_pipeline():
         # every output color is (the Lab-roundtrip of) a palette color;
         # compare through the quantize path's own palette conversion
         assert len(uniq) <= len(palette_set)
+
+
+def test_reduce_dither_quality_matches_golden(tokyo):
+    # tokyo-reduce-c8-kmeans-dither.png: same quality criterion as the
+    # replace golden — dithering trades per-pixel error for perceptual
+    # smoothness, so mean CIE94 error vs the source must stay within 2%
+    # of the reference's dithered output.
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.delta_e import distance_cie94
+    from kmeans_tpu.utils.imageio import load_image
+
+    golden = load_image(f"{GFX}/tokyo-reduce-c8-kmeans-dither.png")
+    ours = ImageProcessor().reduce(8, tokyo, reduce_mode=ReduceMode.DITHER)
+
+    def mean_err(quant):
+        lo = srgb8_to_lab(jnp.asarray(tokyo.pixels[..., :3]))
+        lq = srgb8_to_lab(jnp.asarray(quant.pixels[..., :3]))
+        return float(distance_cie94(lo, lq).mean())
+
+    assert len(np.unique(ours.pixels.reshape(-1, 4), axis=0)) <= 8
+    assert mean_err(ours) <= mean_err(golden) * 1.02
+
+
+def test_bucketed_reduce_quality_matches_golden(tokyo):
+    # The serving path must hold the same quality bar as the exact path.
+    from kmeans_tpu.api import ImageProcessor
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.delta_e import distance_cie94
+    from kmeans_tpu.utils.imageio import load_image
+
+    golden = load_image(f"{GFX}/tokyo-reduce-c8-kmeans-replace.png")
+    ours = ImageProcessor(bucketing=True).reduce(8, tokyo)
+
+    def mean_err(quant):
+        lo = srgb8_to_lab(jnp.asarray(tokyo.pixels[..., :3]))
+        lq = srgb8_to_lab(jnp.asarray(quant.pixels[..., :3]))
+        return float(distance_cie94(lo, lq).mean())
+
+    assert ours.dimensions == tokyo.dimensions
+    assert mean_err(ours) <= mean_err(golden) * 1.02
