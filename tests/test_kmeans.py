@@ -79,3 +79,41 @@ def test_assign_clusters_nearest():
     cents = jnp.asarray(np.array([[85.0, 0, 0], [25.0, 0, 0]], np.float32))
     assign = np.asarray(km.assign_clusters(pts, cents))
     np.testing.assert_array_equal(assign, [1, 0])
+
+
+def test_weighted_fit_ignores_zero_weight_pixels():
+    # Appending garbage pixels with weight 0 must not change seeding or
+    # updates: same seeds (garbage can't win the argmax) and exact-zero
+    # contributions to sums. Palettes match the unweighted fit on the real
+    # pixels to float tolerance (reduction order differs with padded N).
+    import numpy as np
+
+    from kmeans_tpu.models import kmeans as km
+
+    rng = np.random.default_rng(17)
+    real = jnp.asarray(rng.uniform(0, 100, (500, 3)).astype(np.float32))
+    garbage = jnp.asarray(rng.uniform(0, 100, (123, 3)).astype(np.float32))
+    padded = jnp.concatenate([real, garbage])
+    weight = jnp.concatenate([jnp.ones(500), jnp.zeros(123)]).astype(jnp.float32)
+
+    base, iters_a = km.fit(real, 4, 7)
+    weighted, iters_b = km.fit(padded, 4, 7, weight=weight)
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(weighted), rtol=1e-5, atol=1e-4
+    )
+    assert int(iters_a) == int(iters_b)
+
+
+def test_weighted_seeding_never_picks_padding():
+    import numpy as np
+
+    from kmeans_tpu.models import kmeans as km
+
+    # Real pixels are all identical; garbage is far away and would win any
+    # unmasked farthest-point argmax.
+    real = jnp.zeros((50, 3), jnp.float32)
+    garbage = jnp.full((10, 3), 100.0, jnp.float32)
+    padded = jnp.concatenate([real, garbage])
+    weight = jnp.concatenate([jnp.ones(50), jnp.zeros(10)]).astype(jnp.float32)
+    cents = km.plusplus_init(padded, 3, 0, weight=weight)
+    np.testing.assert_array_equal(np.asarray(cents), np.zeros((3, 3)))
