@@ -147,6 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
         prog="kmeans-tpu",
         description="TPU-native k-means image color quantization",
     )
+    # TPU-first extension: shape bucketing. Pads inputs to the {4,5,6,7}*2^k
+    # ladder so differently-sized images reuse compiled executables (with
+    # the persistent compile cache this spans CLI invocations).
+    parser.add_argument(
+        "--bucketing",
+        action="store_true",
+        help="pad inputs to shape buckets so varied image sizes reuse "
+        "compiled TPU executables (see docs/serving.md)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     palette = sub.add_parser(
@@ -232,7 +241,7 @@ def main(argv=None) -> int:
     from kmeans_tpu.image import Image
     from kmeans_tpu.utils.imageio import load_image, save_image
 
-    processor = ImageProcessor()
+    processor = ImageProcessor(bucketing=args.bucketing)
 
     if args.command == "palette":
         image = load_image(args.input)

@@ -252,3 +252,13 @@ def test_cli_reduce_gif_global_palette(tmp_path):
         np.concatenate([f.pixels.reshape(-1, 4) for f in back]), axis=0
     )
     assert len(union) <= 3
+
+
+def test_cli_bucketing_flag(sample_png, tmp_path):
+    out = str(tmp_path / "b.png")
+    assert cli.main(
+        ["--bucketing", "reduce", "-i", sample_png, "-c", "3", "-o", out]
+    ) == 0
+    img = load_image(out)
+    assert img.dimensions == load_image(sample_png).dimensions
+    assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
