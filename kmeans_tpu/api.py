@@ -110,14 +110,14 @@ def _train_jit(
 _LARGE_TRAIN_PIXELS = 1 << 20
 
 
-def _fit_auto(work, k, first_index, convergence, use_pallas=None):
+def _fit_auto(work, k, first_index, convergence, use_pallas=None, weight=None):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
     if use_pallas is None:
         use_pallas = _pallas_available()
     large = work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and use_pallas
     fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
-    return fit_fn(work, k, first_index, convergence=convergence)
+    return fit_fn(work, k, first_index, convergence=convergence, weight=weight)
 
 
 @partial(jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas"))
@@ -218,8 +218,10 @@ def _train_bucketed_jit(
     )
     rgb = canvas.reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
-    return kmeans_model.fit(
-        work, k, first_index, convergence=convergence, weight=weight.reshape(-1)
+    # _fit_auto routes big canvases (bucketing + train_max_size=None on
+    # large buckets) to the weighted Pallas trainer on TPU.
+    return _fit_auto(
+        work, k, first_index, convergence, weight=weight.reshape(-1)
     )
 
 

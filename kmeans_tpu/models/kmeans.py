@@ -225,6 +225,7 @@ def lloyd_pallas(
     convergence: float = LAB_CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd loop backed by the Pallas tile accumulator
@@ -232,13 +233,19 @@ def lloyd_pallas(
     in one bandwidth-floor pass per iteration, no [N, K] one-hot. Same
     termination protocol as `lloyd`; f32 totals differ from the matmul path
     only by summation order. Intended for full-resolution training where
-    the one-hot intermediate would dominate HBM."""
-    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+    the one-hot intermediate would dominate HBM. `weight[N]` (optional)
+    scales contributions (0 = pad pixel), via the kernel's weight plane."""
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
 
     k = centroids.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
     planes, n_valid = pack_lab_planes(pixels)
+    weight_planes = None if weight is None else pack_plane(weight)
 
     def cond(carry):
         _, converged, i = carry
@@ -251,7 +258,12 @@ def lloyd_pallas(
     def body(carry):
         centroids, _, i = carry
         totals = lloyd_accumulate(
-            planes, centroids, n_valid, k_active=k_active, interpret=interpret
+            planes,
+            centroids,
+            n_valid,
+            k_active=k_active,
+            weight_planes=weight_planes,
+            interpret=interpret,
         )  # [K, 4]
         sums, counts = totals[:, :3], totals[:, 3]
         nonempty = counts > 0
@@ -277,17 +289,21 @@ def fit_large(
     convergence: float = LAB_CONVERGENCE,
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fit() for large pixel counts: XLA farthest-point seeding (pure
     elementwise + argmax streams, no big intermediates) + Pallas Lloyd."""
-    centroids = plusplus_init(pixels, k, first_index, k_active=k_active)
+    centroids = plusplus_init(
+        pixels, k, first_index, k_active=k_active, weight=weight
+    )
     return lloyd_pallas(
         pixels,
         centroids,
         convergence=convergence,
         max_iterations=max_iterations,
         k_active=k_active,
+        weight=weight,
         interpret=interpret,
     )
 
@@ -307,8 +323,8 @@ def fit(
 
     `pixels[N,3]` Lab -> (`centroids[k,3]` Lab, iterations). `weight[N]`
     (optional) masks pad pixels out of seeding and updates (see
-    `plusplus_init` / `lloyd`); weighted fits always take this one-hot
-    matmul path (the Pallas accumulator has no weight input).
+    `plusplus_init` / `lloyd`; `fit_large` supports the same via the
+    kernel's weight plane).
     """
     centroids = plusplus_init(
         pixels, k, first_index, k_active=k_active, weight=weight

@@ -369,16 +369,22 @@ def _lloyd_acc_kernel(
     scalar_ref,  # SMEM [2] i32: k_active, n_valid
     cents_ref,  # SMEM [KP, 3] f32
     lab_ref,  # VMEM [3, TILE_ROWS, 128] f32 (L, a, b planes)
-    out_ref,  # VMEM [KP, 4, 128] f32 lane-partial (sumL, suma, sumb, count)
-    *,
+    *refs,  # [weight VMEM [TILE_ROWS, 128] f32 if weighted,] out VMEM
     kp: int,
+    weighted: bool = False,
 ):
     """One tile of the Lloyd update: assign each pixel to its nearest
     centroid (CIE94) and emit per-centroid lane-partial (sum, count)
     accumulators. Replaces choose_centroid.wgsl's decoupled-lookback global
     scan: each grid step reduces its tile to [KP, 4, 128] partials; XLA sums
     partials over tiles+lanes outside. No [N, K] one-hot ever exists, so
-    full-resolution training stays at the bandwidth floor (12 B/px/iter)."""
+    full-resolution training stays at the bandwidth floor (12 B/px/iter;
+    +4 B/px with a weight plane, used by the shape-bucketing path where
+    pad pixels carry weight 0)."""
+    if weighted:
+        w_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     k_active = scalar_ref[0]
     n_valid = scalar_ref[1]
     l_p = lab_ref[0]
@@ -407,6 +413,8 @@ def _lloyd_acc_kernel(
     for k in range(kp):
         mask = jnp.logical_and(best_k == k, valid)
         maskf = mask.astype(jnp.float32)
+        if weighted:
+            maskf = maskf * w_ref[:]
         out_ref[0, k, 0, :] = jnp.sum(l_p * maskf, axis=0)
         out_ref[0, k, 1, :] = jnp.sum(a_p * maskf, axis=0)
         out_ref[0, k, 2, :] = jnp.sum(b_p * maskf, axis=0)
@@ -418,10 +426,13 @@ def lloyd_accumulate(
     centroids: jnp.ndarray,  # [KP, 3] f32
     n_valid,
     k_active=None,
+    weight_planes: jnp.ndarray | None = None,  # [M, 128] f32
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-cluster (sumL, suma, sumb, count) totals `[KP, 4]` over all valid
-    pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`."""
+    pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`;
+    `weight_planes` (from `pack_plane`, optional) scales each pixel's
+    contribution — weight-0 pixels vanish from sums and counts."""
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
@@ -435,22 +446,33 @@ def lloyd_accumulate(
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
     scalars = jnp.stack([k_act, jnp.asarray(n_valid, jnp.int32)])
 
+    weighted = weight_planes is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (3, TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [scalars, jnp.asarray(centroids, jnp.float32), lab_planes]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(jnp.asarray(weight_planes, jnp.float32))
+
     partials = pl.pallas_call(
-        functools.partial(_lloyd_acc_kernel, kp=kp),
+        functools.partial(_lloyd_acc_kernel, kp=kp, weighted=weighted),
         out_shape=jax.ShapeDtypeStruct((grid[0], kp, 4, LANES), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (3, TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, kp, 4, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(scalars, jnp.asarray(centroids, jnp.float32), lab_planes)
+    )(*operands)
 
     return partials.sum(axis=(0, 3))  # [KP, 4]
 
@@ -462,6 +484,13 @@ def pack_lab_planes(lab: jnp.ndarray) -> tuple[jnp.ndarray, int]:
     padded = jnp.pad(lab, ((0, n_pad - n), (0, 0)))
     planes = padded.T.reshape(3, n_pad // LANES, LANES)
     return planes, n
+
+
+def pack_plane(vec: jnp.ndarray) -> jnp.ndarray:
+    """`[N]` -> padded `[M, 128]` plane (matching `pack_lab_planes`)."""
+    n = vec.shape[0]
+    n_pad = _round_up(n, TILE_ROWS * LANES)
+    return jnp.pad(vec, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))

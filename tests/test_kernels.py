@@ -176,3 +176,40 @@ def test_mediancut_empty_input():
     from kmeans_tpu.models.mediancut import extract_palette_mediancut
 
     assert extract_palette_mediancut(np.zeros((0, 3), np.uint8), 8) == []
+
+
+def test_lloyd_accumulate_weighted_matches_matmul():
+    from kmeans_tpu.models.kmeans import _update_centroids, assign_clusters
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes, pack_plane
+
+    rng = np.random.default_rng(14)
+    pix = jnp.asarray(rng.normal(50, 25, (4000, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(50, 25, (5, 3)).astype(np.float32))
+    weight = jnp.asarray(
+        (rng.uniform(size=4000) > 0.3).astype(np.float32)
+    )
+    planes, n = pack_lab_planes(pix)
+    totals = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n, weight_planes=pack_plane(weight), interpret=True
+        )
+    )
+    assign = assign_clusters(pix, cents)
+    sums, counts = _update_centroids(pix, assign, 5, weight)
+    np.testing.assert_allclose(totals[:, :3], np.asarray(sums), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(totals[:, 3], np.asarray(counts), atol=0)
+
+
+def test_fit_large_weighted_matches_fit_weighted():
+    from kmeans_tpu.models.kmeans import fit, fit_large
+
+    rng = np.random.default_rng(15)
+    centers = np.array([[20.0, 0, 0], [60.0, 40, -30], [90.0, -50, 50]])
+    real = (centers[rng.integers(0, 3, 2000)] + rng.normal(0, 0.5, (2000, 3)))
+    garbage = rng.normal(0, 80, (500, 3))
+    pix = jnp.asarray(np.concatenate([real, garbage]).astype(np.float32))
+    weight = jnp.concatenate([jnp.ones(2000), jnp.zeros(500)]).astype(jnp.float32)
+    c1, i1 = fit(pix, 3, 0, weight=weight)
+    c2, i2 = fit_large(pix, 3, 0, weight=weight, interpret=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+    assert int(i1) == int(i2)
