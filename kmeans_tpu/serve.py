@@ -1,0 +1,240 @@
+"""HTTP serving daemon: quantization as a service on one TPU host.
+
+The production face of the framework (the reference stops at a one-shot
+CLI): a threaded stdlib HTTP server wrapping a bucketed `ImageProcessor`,
+so arbitrary client image sizes hit precompiled per-bucket executables
+(docs/serving.md) instead of minute-long per-shape XLA compiles.
+
+    python -m kmeans_tpu.serve --port 8080 \
+        --warmup 1920x1080,1280x720 --warmup-k 8
+
+Endpoints (request body = PNG or JPEG bytes, sniffed):
+
+    GET  /healthz                          -> 200 "ok"
+    POST /reduce?k=8&mode=replace&algo=kmeans   -> PNG
+    POST /palette?k=8&algo=kmeans               -> JSON {"palette": ["#RRGGBB", ...]}
+    POST /find?colors=RRGGBB,RRGGBB&mode=dither -> PNG
+
+Design notes:
+- IO and parsing run per-connection (ThreadingHTTPServer); device work is
+  serialized behind one lock — a single chip runs one executable at a
+  time anyway, and JAX dispatch from many threads adds nothing.
+- Device dispatch is wrapped in a watchdog-free try/except: a failed
+  request returns 4xx/500 with the error text, the server stays up.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+log = logging.getLogger("kmeans_tpu.serve")
+
+_HEX_RE = re.compile(r"^[0-9a-fA-F]{6}$")
+MAX_BODY = 256 * 1024 * 1024  # 256 MB: a 8192x8192 RGBA PNG fits comfortably
+
+
+class QuantizeService:
+    """Protocol-independent request handlers around one ImageProcessor."""
+
+    def __init__(self, processor=None):
+        if processor is None:
+            from kmeans_tpu.api import ImageProcessor
+
+            processor = ImageProcessor(bucketing=True)
+        self.processor = processor
+        self._lock = threading.Lock()
+
+    # -- request implementations (raise ValueError for 400s) -- #
+
+    def reduce(self, body: bytes, k: int, mode: str, algo: str) -> bytes:
+        from kmeans_tpu.api import Algorithm, ReduceMode
+        from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
+
+        image = decode_image_bytes(body)
+        with self._lock:
+            out = self.processor.reduce(
+                k, image, Algorithm(algo), ReduceMode(mode)
+            )
+        return encode_png_bytes(out)
+
+    def palette(self, body: bytes, k: int, algo: str) -> bytes:
+        from kmeans_tpu.api import Algorithm
+        from kmeans_tpu.cli import palette_hex
+        from kmeans_tpu.utils.imageio import decode_image_bytes
+
+        image = decode_image_bytes(body)
+        with self._lock:
+            pal = self.processor.palette(k, image, Algorithm(algo))
+        return json.dumps(
+            {"palette": palette_hex(pal).split(",")}
+        ).encode()
+
+    def find(self, body: bytes, colors: str, mode: str) -> bytes:
+        import numpy as np
+
+        from kmeans_tpu.api import ReduceMode
+        from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
+
+        parts = colors.split(",") if colors else []
+        rgba = []
+        for p in parts:
+            p = p.lstrip("#")
+            if not _HEX_RE.match(p):
+                raise ValueError(f"bad color {p!r}: want RRGGBB hex")
+            rgba.append(
+                (int(p[0:2], 16), int(p[2:4], 16), int(p[4:6], 16), 255)
+            )
+        if not rgba:
+            raise ValueError("need colors=RRGGBB[,RRGGBB...]")
+        image = decode_image_bytes(body)
+        with self._lock:
+            out = self.processor.find(
+                image, np.asarray(rgba, np.uint8), ReduceMode(mode)
+            )
+        return encode_png_bytes(out)
+
+
+def _make_handler(service: QuantizeService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            log.info("%s " + fmt, self.address_string(), *args)
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, msg: str):
+            self._reply(code, (msg + "\n").encode(), "text/plain")
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._reply(200, b"ok\n", "text/plain")
+            else:
+                self._error(404, "unknown endpoint")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    return self._error(400, "missing request body")
+                if length > MAX_BODY:
+                    return self._error(413, "request body too large")
+                body = self.rfile.read(length)
+                if url.path == "/reduce":
+                    out = service.reduce(
+                        body,
+                        k=_parse_k(q.get("k", "8")),
+                        mode=_parse_choice(q, "mode", "replace", ("replace", "dither", "meld")),
+                        algo=_parse_choice(q, "algo", "kmeans", ("kmeans", "octree", "mediancut", "wu")),
+                    )
+                    return self._reply(200, out, "image/png")
+                if url.path == "/palette":
+                    out = service.palette(
+                        body,
+                        k=_parse_k(q.get("k", "8")),
+                        algo=_parse_choice(q, "algo", "kmeans", ("kmeans", "octree", "mediancut", "wu")),
+                    )
+                    return self._reply(200, out, "application/json")
+                if url.path == "/find":
+                    out = service.find(
+                        body,
+                        colors=q.get("colors", ""),
+                        mode=_parse_choice(q, "mode", "replace", ("replace", "dither", "meld")),
+                    )
+                    return self._reply(200, out, "image/png")
+                return self._error(404, "unknown endpoint")
+            except ValueError as e:
+                return self._error(400, str(e))
+            except Exception as e:  # keep the server alive on device errors
+                log.exception("request failed")
+                return self._error(500, f"internal error: {e}")
+
+    return Handler
+
+
+def _parse_k(value: str) -> int:
+    try:
+        k = int(value)
+    except ValueError:
+        raise ValueError("k must be an integer higher than 0.")
+    if k < 1:
+        raise ValueError("k must be an integer higher than 0.")
+    return k
+
+
+def _parse_choice(q: dict, key: str, default: str, choices) -> str:
+    v = q.get(key, default)
+    if v not in choices:
+        raise ValueError(f"{key} must be one of {', '.join(choices)}")
+    return v
+
+
+def create_server(host: str = "127.0.0.1", port: int = 8080, processor=None):
+    """Build (but don't start) the HTTP server; `server.server_address[1]`
+    holds the bound port (use port=0 for ephemeral)."""
+    service = QuantizeService(processor)
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="kmeans-tpu-serve", description=__doc__.splitlines()[0]
+    )
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--warmup",
+        default="",
+        help="comma-separated WxH sizes to precompile buckets for, "
+        "e.g. 1920x1080,1280x720",
+    )
+    parser.add_argument(
+        "--warmup-k",
+        default="8",
+        help="comma-separated k values used for warmup (default 8)",
+    )
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from kmeans_tpu.api import ImageProcessor
+
+    processor = ImageProcessor(bucketing=True)
+    if args.warmup:
+        sizes = []
+        for part in args.warmup.split(","):
+            w, _, h = part.lower().partition("x")
+            sizes.append((int(w), int(h)))
+        ks = [int(k) for k in args.warmup_k.split(",")]
+        log.info("warming %d size(s) x %d k value(s)...", len(sizes), len(ks))
+        n = processor.warmup(sizes, ks)
+        log.info("warmup done: %d executable(s)", n)
+
+    server = create_server(args.host, args.port, processor)
+    log.info("serving on %s:%d", *server.server_address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -97,6 +97,36 @@ def _encode_png_auto(image: Image) -> bytes:
     return _imagio.encode_png(w, h, pixels.tobytes())
 
 
+def decode_image_bytes(data: bytes) -> Image:
+    """Decode in-memory PNG or JPEG bytes (format sniffed from the magic
+    number) into an RGBA8 `Image` — the serving-path entry that never
+    touches the filesystem."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if HAVE_NATIVE:
+            w, h, rgba = _imagio.decode_png(data)
+        else:
+            w, h, rgba = png_py.decode_png(data)
+    elif data[:2] == b"\xff\xd8":
+        if not HAVE_NATIVE:
+            raise RuntimeError("JPEG support requires the native runtime")
+        w, h, rgba = _imagio.decode_jpeg(data)
+    else:
+        raise ValueError("unrecognized image format (need PNG or JPEG)")
+    pixels = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
+    return Image((w, h), pixels)
+
+
+def encode_png_bytes(image: Image) -> bytes:
+    """Encode an RGBA8 `Image` to in-memory PNG bytes (indexed when the
+    image is palette-sized, like `save_image`)."""
+    if HAVE_NATIVE:
+        return _encode_png_auto(image)
+    w, h = image.dimensions
+    return png_py.encode_png(
+        w, h, np.ascontiguousarray(image.pixels, dtype=np.uint8).tobytes()
+    )
+
+
 def load_gif(
     path: str | os.PathLike, with_delays: bool = False
 ) -> list[Image] | tuple[list[Image], list[int]]:

@@ -1,0 +1,106 @@
+"""HTTP serving daemon tests: real server on an ephemeral port, real
+requests through http.client."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from kmeans_tpu.image import Image
+from kmeans_tpu.serve import create_server
+from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = create_server(port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def png_body():
+    rng = np.random.default_rng(31)
+    base = np.array([[220, 50, 40], [40, 200, 70], [60, 70, 220]], np.int32)
+    idx = rng.integers(0, 3, (40, 56))
+    rgb = np.clip(base[idx] + rng.integers(-8, 9, (40, 56, 3)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((40, 56, 1), 255, np.uint8)], -1
+    )
+    return encode_png_bytes(Image((56, 40), rgba))
+
+
+def _post(addr, path, body):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request("POST", path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def test_healthz(server):
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.read() == b"ok\n"
+    conn.close()
+
+
+def test_reduce_endpoint(server, png_body):
+    status, ctype, data = _post(server, "/reduce?k=3", png_body)
+    assert status == 200 and ctype == "image/png"
+    out = decode_image_bytes(data)
+    assert out.dimensions == (56, 40)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_reduce_other_size_same_bucket(server, png_body):
+    # A different size in the same bucket reuses the compiled executable.
+    rng = np.random.default_rng(32)
+    rgba = rng.integers(0, 256, (38, 50, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    body = encode_png_bytes(Image((50, 38), rgba))
+    status, _, data = _post(server, "/reduce?k=3&mode=dither", body)
+    assert status == 200
+    assert decode_image_bytes(data).dimensions == (50, 38)
+
+
+def test_palette_endpoint(server, png_body):
+    status, ctype, data = _post(server, "/palette?k=3&algo=wu", png_body)
+    assert status == 200 and ctype == "application/json"
+    pal = json.loads(data)["palette"]
+    assert 1 <= len(pal) <= 3
+    assert all(p.startswith("#") and len(p) == 7 for p in pal)
+
+
+def test_find_endpoint(server, png_body):
+    status, ctype, data = _post(
+        server, "/find?colors=ff0000,00ff00,0000ff", png_body
+    )
+    assert status == 200 and ctype == "image/png"
+    out = decode_image_bytes(data)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_errors(server, png_body):
+    status, _, data = _post(server, "/reduce?k=0", png_body)
+    assert status == 400 and b"k must be" in data
+    status, _, _ = _post(server, "/reduce?mode=bogus", png_body)
+    assert status == 400
+    status, _, _ = _post(server, "/find?colors=zzz", png_body)
+    assert status == 400
+    status, _, data = _post(server, "/reduce?k=3", b"not an image")
+    assert status == 400 and b"unrecognized" in data
+    status, _, _ = _post(server, "/nope", png_body)
+    assert status == 404
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("POST", "/reduce?k=3")  # no body
+    assert conn.getresponse().status == 400
+    conn.close()
