@@ -14,6 +14,8 @@ Endpoints (request body = PNG or JPEG bytes, sniffed):
     POST /reduce?k=8&mode=replace&algo=kmeans   -> PNG
     POST /palette?k=8&algo=kmeans               -> JSON {"palette": ["#RRGGBB", ...]}
     POST /find?colors=RRGGBB,RRGGBB&mode=dither -> PNG
+    POST /reduce-gif?k=8&mode=replace&palette_mode=frame|global  (body: GIF) -> GIF
+    POST /find-gif?colors=RRGGBB,...&mode=replace                (body: GIF) -> GIF
 
 Design notes:
 - IO and parsing run per-connection (ThreadingHTTPServer); device work is
@@ -75,28 +77,62 @@ class QuantizeService:
         ).encode()
 
     def find(self, body: bytes, colors: str, mode: str) -> bytes:
-        import numpy as np
-
         from kmeans_tpu.api import ReduceMode
         from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
 
-        parts = colors.split(",") if colors else []
-        rgba = []
-        for p in parts:
-            p = p.lstrip("#")
-            if not _HEX_RE.match(p):
-                raise ValueError(f"bad color {p!r}: want RRGGBB hex")
-            rgba.append(
-                (int(p[0:2], 16), int(p[2:4], 16), int(p[4:6], 16), 255)
-            )
-        if not rgba:
-            raise ValueError("need colors=RRGGBB[,RRGGBB...]")
         image = decode_image_bytes(body)
         with self._lock:
             out = self.processor.find(
-                image, np.asarray(rgba, np.uint8), ReduceMode(mode)
+                image, _parse_colors(colors), ReduceMode(mode)
             )
         return encode_png_bytes(out)
+
+    def reduce_gif(
+        self, body: bytes, k: int, mode: str, palette_mode: str
+    ) -> bytes:
+        from kmeans_tpu.api import ReduceMode
+        from kmeans_tpu.utils.imageio import decode_gif_bytes, encode_gif_bytes
+
+        if mode == "meld":
+            raise ValueError("GIF output cannot encode meld's continuous blends")
+        if k > 256:
+            raise ValueError("GIF output requires k <= 256")
+        frames, delays = decode_gif_bytes(body, with_delays=True)
+        with self._lock:
+            if palette_mode == "global":
+                palette = self.processor.palette_images(frames, k)
+                outs = self.processor.find_batch(frames, palette, ReduceMode(mode))
+            else:
+                outs = self.processor.reduce_images(frames, k, ReduceMode(mode))
+        return encode_gif_bytes(outs, delays=delays)
+
+    def find_gif(self, body: bytes, colors: str, mode: str) -> bytes:
+        from kmeans_tpu.api import ReduceMode
+        from kmeans_tpu.utils.imageio import decode_gif_bytes, encode_gif_bytes
+
+        if mode == "meld":
+            raise ValueError("GIF output cannot encode meld's continuous blends")
+        palette = _parse_colors(colors)
+        if palette.shape[0] > 256:
+            raise ValueError("GIF output requires a palette of <= 256 colors")
+        frames, delays = decode_gif_bytes(body, with_delays=True)
+        with self._lock:
+            outs = self.processor.find_batch(frames, palette, ReduceMode(mode))
+        return encode_gif_bytes(outs, delays=delays)
+
+
+def _parse_colors(colors: str):
+    import numpy as np
+
+    rgba = []
+    for p in colors.split(",") if colors else []:
+        p = p.lstrip("#")
+        if not _HEX_RE.match(p):
+            raise ValueError(f"bad color {p!r}: want RRGGBB hex")
+        rgba.append((int(p[0:2], 16), int(p[2:4], 16), int(p[4:6], 16), 255))
+    if not rgba:
+        raise ValueError("need colors=RRGGBB[,RRGGBB...]")
+    return np.asarray(rgba, np.uint8)
 
 
 def _make_handler(service: QuantizeService):
@@ -154,6 +190,23 @@ def _make_handler(service: QuantizeService):
                         mode=_parse_choice(q, "mode", "replace", ("replace", "dither", "meld")),
                     )
                     return self._reply(200, out, "image/png")
+                if url.path == "/reduce-gif":
+                    out = service.reduce_gif(
+                        body,
+                        k=_parse_k(q.get("k", "8")),
+                        mode=_parse_choice(q, "mode", "replace", ("replace", "dither")),
+                        palette_mode=_parse_choice(
+                            q, "palette_mode", "frame", ("frame", "global")
+                        ),
+                    )
+                    return self._reply(200, out, "image/gif")
+                if url.path == "/find-gif":
+                    out = service.find_gif(
+                        body,
+                        colors=q.get("colors", ""),
+                        mode=_parse_choice(q, "mode", "replace", ("replace", "dither")),
+                    )
+                    return self._reply(200, out, "image/gif")
                 return self._error(404, "unknown endpoint")
             except ValueError as e:
                 return self._error(400, str(e))

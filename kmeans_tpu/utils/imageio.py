@@ -133,10 +133,17 @@ def load_gif(
     """Decode an animated GIF into full-canvas RGBA8 frames (disposal and
     transparency composited by the native decoder). With `with_delays=True`
     also returns each frame's delay in centiseconds."""
-    if not HAVE_NATIVE:
-        raise RuntimeError("GIF support requires the native runtime")
     with open(os.fspath(path), "rb") as f:
         data = f.read()
+    return decode_gif_bytes(data, with_delays=with_delays)
+
+
+def decode_gif_bytes(
+    data: bytes, with_delays: bool = False
+) -> list[Image] | tuple[list[Image], list[int]]:
+    """In-memory variant of `load_gif` (serving path)."""
+    if not HAVE_NATIVE:
+        raise RuntimeError("GIF support requires the native runtime")
     w, h, frames, delays = _imagio.decode_gif(data)
     images = [
         Image((w, h), np.frombuffer(buf, np.uint8).reshape(h, w, 4))
@@ -155,6 +162,18 @@ def save_gif(
     """Encode already-quantized frames (each <= 256 unique colors) as an
     animated GIF — the output format of `core/examples/gif.rs`. `delays`
     (centiseconds, one per frame) overrides the uniform `delay_cs`."""
+    data = encode_gif_bytes(frames, delay_cs=delay_cs, loop=loop, delays=delays)
+    with open(os.fspath(path), "wb") as f:
+        f.write(data)
+
+
+def encode_gif_bytes(
+    frames: list[Image],
+    delay_cs: int = 100,
+    loop: bool = True,
+    delays: list[int] | None = None,
+) -> bytes:
+    """In-memory variant of `save_gif` (serving path)."""
     if not HAVE_NATIVE:
         raise RuntimeError("GIF support requires the native runtime")
     if not frames:
@@ -187,6 +206,4 @@ def save_gif(
         if delays is not None:
             entry = entry + (int(delays[fi]),)
         payload.append(entry)
-    data = _imagio.encode_gif(w, h, payload, delay_cs, loop)
-    with open(os.fspath(path), "wb") as f:
-        f.write(data)
+    return _imagio.encode_gif(w, h, payload, delay_cs, loop)

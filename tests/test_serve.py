@@ -104,3 +104,55 @@ def test_errors(server, png_body):
     conn.request("POST", "/reduce?k=3")  # no body
     assert conn.getresponse().status == 400
     conn.close()
+
+
+def test_gif_endpoints(server):
+    from kmeans_tpu.utils import imageio as iio
+
+    if not iio.HAVE_NATIVE:
+        pytest.skip("gif requires native runtime")
+    rng = np.random.default_rng(33)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    frames = []
+    for _ in range(3):
+        idx = rng.integers(0, 3, (16, 16))
+        rgb = np.clip(base[idx] + rng.integers(-9, 10, (16, 16, 3)), 0, 255)
+        rgba = np.concatenate(
+            [rgb.astype(np.uint8), np.full((16, 16, 1), 255, np.uint8)], -1
+        )
+        frames.append(Image((16, 16), rgba))
+    gif = iio.encode_gif_bytes(frames, delays=[5, 10, 15])
+
+    status, ctype, data = _post(
+        server, "/reduce-gif?k=3&palette_mode=global", gif
+    )
+    assert status == 200 and ctype == "image/gif"
+    back, delays = iio.decode_gif_bytes(data, with_delays=True)
+    assert len(back) == 3 and delays == [5, 10, 15]
+    union = np.unique(
+        np.concatenate([f.pixels.reshape(-1, 4) for f in back]), axis=0
+    )
+    assert len(union) <= 3
+
+    status, ctype, data = _post(server, "/find-gif?colors=ff0000,00ff00", gif)
+    assert status == 200 and ctype == "image/gif"
+    assert len(iio.decode_gif_bytes(data)) == 3
+
+    status, _, _ = _post(server, "/reduce-gif?k=3&mode=meld", gif)
+    assert status == 400
+
+
+def test_concurrent_requests(server, png_body):
+    # Burst of parallel clients: the device lock serializes compute; every
+    # request must still succeed with a correct result.
+    import concurrent.futures
+
+    def one(i):
+        status, _, data = _post(server, "/reduce?k=3", png_body)
+        assert status == 200
+        out = decode_image_bytes(data)
+        return len(np.unique(out.pixels.reshape(-1, 4), axis=0))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        counts = list(ex.map(one, range(12)))
+    assert all(c <= 3 for c in counts)
