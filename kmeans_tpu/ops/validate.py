@@ -24,6 +24,7 @@ def validate_kernels(verbose: bool = True) -> bool:
         fused_quantize,
         lloyd_accumulate,
         pack_lab_planes,
+        pack_plane,
     )
     from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 
@@ -75,6 +76,22 @@ def validate_kernels(verbose: bool = True) -> bool:
         and (totals[:, 3] == np.asarray(counts)).all()
     )
     report("lloyd_accumulate k=6", match)
+
+    # Weighted variant (shape-bucketing path): weight-0 pixels vanish.
+    weight = jnp.asarray((rng.uniform(size=5000) > 0.4).astype(np.float32))
+    totals_w = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n, weight_planes=pack_plane(weight), interpret=True
+        )
+    )
+    sums_w, counts_w = _update_centroids(
+        pix, assign_clusters(pix, cents), 6, weight
+    )
+    match = bool(
+        np.allclose(totals_w[:, :3], np.asarray(sums_w), rtol=1e-4, atol=1e-2)
+        and (totals_w[:, 3] == np.asarray(counts_w)).all()
+    )
+    report("lloyd_accumulate k=6 weighted", match)
     return ok
 
 
