@@ -442,22 +442,7 @@ class ImageProcessor:
         plus median cut and Wu): shrink to <=128px, reduce on CPU, sort by
         L*. Under bucketing the shrink runs through the static-canvas
         executable (same sampler, one compile per bucket)."""
-        w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
-        pixels_u8 = image.pixels
-        if (sw, sh) != (w, h):
-            if self.bucketing:
-                padded, _, _ = pad_to_bucket(pixels_u8)
-                bh, bw = padded.shape[:2]
-                canvas = (min(OCTREE_MAX_SIZE, bh), min(OCTREE_MAX_SIZE, bw))
-                pixels_u8 = np.asarray(
-                    _canvas_shrink_jit(jnp.asarray(padded), canvas, h, w, sh, sw)
-                )[:sh, :sw]
-            else:
-                pixels_u8 = np.asarray(
-                    resize_uint8(jnp.asarray(pixels_u8), sh, sw)
-                )
-        rgb = pixels_u8[..., :3].reshape(-1, 3)
+        rgb = self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
         if algo is Algorithm.MEDIANCUT:
             colors = extract_palette_mediancut(rgb, k)
         elif algo is Algorithm.WU:
@@ -465,6 +450,24 @@ class ImageProcessor:
         else:
             colors = extract_palette_octree(rgb, k)
         return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+
+    def _shrunk_pixels(self, image: Image, cap: int) -> np.ndarray:
+        """Host-side shrink to `cap` for the CPU palette algorithms. Under
+        bucketing the resize runs through the static-canvas executable
+        (same sampler, one compile per bucket) and the host crops."""
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, cap)
+        pixels_u8 = image.pixels
+        if (sw, sh) == (w, h):
+            return pixels_u8
+        if self.bucketing:
+            padded, _, _ = pad_to_bucket(pixels_u8)
+            bh, bw = padded.shape[:2]
+            canvas = (min(cap, bh), min(cap, bw))
+            return np.asarray(
+                _canvas_shrink_jit(jnp.asarray(padded), canvas, h, w, sh, sw)
+            )[:sh, :sw]
+        return np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
 
     def _bucket_train_args(self, w: int, h: int, bw: int, bh: int):
         """Static canvas shape, dynamic shrunk dims, and the seed pixel's
@@ -665,11 +668,21 @@ class ImageProcessor:
         for f in frames:
             if f.dimensions != dims:
                 raise ValueError("all frames must share dimensions")
-        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
         palette_lab = jnp.asarray(_colors_to_lab(_colors_rgba(colors)))
-        outs = np.asarray(
-            _find_batch_jit(stack, palette_lab, reduce_mode.value)
-        )
+        if self.bucketing:
+            # Per-pixel op: pad to the bucket, crop after — bit-equal.
+            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            h, w = frames[0].pixels.shape[:2]
+            outs = np.asarray(
+                _find_batch_jit(
+                    jnp.asarray(np.stack(padded)), palette_lab, reduce_mode.value
+                )
+            )[:, :h, :w]
+        else:
+            stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+            outs = np.asarray(
+                _find_batch_jit(stack, palette_lab, reduce_mode.value)
+            )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
     @_on_device
@@ -692,6 +705,18 @@ class ImageProcessor:
             if f.dimensions != dims:
                 raise ValueError("all frames must share dimensions")
         w, h = dims
+        if self.bucketing:
+            padded = np.stack([pad_to_bucket(f.pixels)[0] for f in frames])
+            bh, bw = padded.shape[1:3]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            outs = np.asarray(
+                _reduce_images_bucketed_jit(
+                    jnp.asarray(padded), color_count, canvas, first,
+                    h, w, sh, sw, ColorSpace.LAB.convergence,
+                    reduce_mode.value,
+                )
+            )[:, :h, :w]
+            return [Image(dims, outs[i]) for i in range(len(frames))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         stack = jnp.asarray(np.stack([f.pixels for f in frames]))
@@ -732,24 +757,28 @@ class ImageProcessor:
             else:
                 colors = extract_palette_octree(rgb, color_count)
             return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
-        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
-        first = kmeans_model.reference_seed_index(sw, sh)
-        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
-        centroids, _ = _train_frames_jit(
-            stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
-        )
+        if self.bucketing:
+            padded = np.stack([pad_to_bucket(f.pixels)[0] for f in frames])
+            bh, bw = padded.shape[1:3]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            centroids, _ = _train_frames_bucketed_jit(
+                jnp.asarray(padded), color_count, canvas, first,
+                h, w, sh, sw, ColorSpace.LAB.convergence,
+            )
+        else:
+            sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+            first = kmeans_model.reference_seed_index(sw, sh)
+            stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+            centroids, _ = _train_frames_jit(
+                stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
+            )
         rgba, lightness = _lab_palette_to_u8(centroids)
         order = np.argsort(np.asarray(lightness), kind="stable")
         return np.asarray(rgba)[order]
 
     def _cpu_shrunk_rgb(self, image: Image) -> np.ndarray:
         """Shrink to the octree cap and return `[N, 3]` RGB rows."""
-        w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, OCTREE_MAX_SIZE)
-        pixels_u8 = image.pixels
-        if (sw, sh) != (w, h):
-            pixels_u8 = np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
-        return pixels_u8[..., :3].reshape(-1, 3)
+        return self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
 
     def reduce_sharded(
         self,
@@ -927,6 +956,66 @@ def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
         return quantize_image(frame, centroids, mode=mode)
 
     return jax.vmap(one)(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode"))
+def _reduce_images_bucketed_jit(
+    frames_u8,  # [B, BH, BW, 4] bucket-padded
+    k: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    mode: str,
+):
+    """Bucketed per-frame train + quantize over a padded frame stack (the
+    GIF serving path): one executable per (bucket, frame count, k, mode)."""
+    ch, cw = canvas_shape
+
+    def one(frame):
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = kmeans_model.fit(
+            work, k, first_index, convergence=convergence,
+            weight=weight.reshape(-1),
+        )
+        return quantize_image(frame, centroids, mode=mode)
+
+    return jax.vmap(one)(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("k", "canvas_shape"))
+def _train_frames_bucketed_jit(
+    frames_u8,
+    k: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+):
+    """Bucketed joint palette: per-frame weighted canvases concatenated
+    into one weighted fit."""
+    ch, cw = canvas_shape
+
+    def shrink(frame):
+        return resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+
+    canvases, weights = jax.vmap(shrink)(frames_u8)  # [B, ch, cw, 3], [B, ch, cw]
+    work = srgb8_to_lab(canvases.reshape(-1, 3))
+    return kmeans_model.fit(
+        work, k, first_index, convergence=convergence,
+        weight=weights.reshape(-1),
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "train_shape"))

@@ -189,3 +189,43 @@ def test_warmup_precompiles_buckets():
     assert api._reduce_bucketed_indexed_jit._cache_size() == idx_before
     with pytest.raises(ValueError):
         ImageProcessor().warmup([(16, 16)], [2])
+
+
+def test_bucketed_find_batch_bit_equal():
+    frames = [_blob_image(50, 34, seed=i) for i in range(3)]
+    colors = np.array(
+        [[215, 45, 45, 255], [45, 195, 65, 255], [55, 65, 215, 255]], np.uint8
+    )
+    exact = ImageProcessor().find_batch(frames, colors)
+    bucketed = ImageProcessor(bucketing=True).find_batch(frames, colors)
+    for a, b in zip(exact, bucketed):
+        np.testing.assert_array_equal(a.pixels, b.pixels)
+
+
+def test_bucketed_reduce_images():
+    frames = [_blob_image(50, 34, seed=i) for i in range(3)]
+    p = ImageProcessor(bucketing=True)
+    outs = p.reduce_images(frames, 3)
+    assert len(outs) == 3
+    for f, o in zip(frames, outs):
+        assert o.dimensions == f.dimensions
+        assert len(np.unique(o.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_bucketed_palette_images_matches_exact():
+    # Frames below the training cap: the bucketed joint palette sees the
+    # identical pixels (weighted), so palettes agree within rounding.
+    frames = [_blob_image(50, 34, seed=i) for i in range(2)]
+    exact = ImageProcessor().palette_images(frames, 3)
+    bucketed = ImageProcessor(bucketing=True).palette_images(frames, 3)
+    d = np.abs(
+        exact.astype(int)[:, None, :] - bucketed.astype(int)[None, :, :]
+    ).max(axis=2)
+    assert (d.min(axis=1) <= 2).all()
+
+
+def test_bucketed_shrunk_image_palette_images():
+    # Frames above the cap exercise the dynamic per-frame canvas shrink.
+    frames = [_blob_image(300, 140, seed=i) for i in range(2)]
+    pal = ImageProcessor(bucketing=True).palette_images(frames, 3)
+    assert 1 <= pal.shape[0] <= 3
