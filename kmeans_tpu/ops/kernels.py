@@ -175,6 +175,17 @@ def _quantize_kernel(
     def centroid(k):
         return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
 
+    def k_loop(body, init):
+        # kp is static: unroll small palettes into straight-line VPU code
+        # (no loop-carried VMEM); large palettes keep the rolled loop to
+        # bound program size. Same operations in the same order either way.
+        if kp <= 16:
+            carry = init
+            for k in range(kp):
+                carry = body(k, carry)
+            return carry
+        return jax.lax.fori_loop(0, kp, body, init)
+
     # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist the
     # chroma sqrt and S weights out of the centroid loop (bit-identical to
     # recomputing them per k — same inputs, same expressions).
@@ -206,9 +217,7 @@ def _quantize_kernel(
                 jnp.where(take, pal_ref[k], best_packed),
             )
 
-        _, best_k, best_packed = jax.lax.fori_loop(
-            0,
-            kp,
+        _, best_k, best_packed = k_loop(
             body,
             (
                 jnp.full_like(l_p, big),
@@ -245,7 +254,7 @@ def _quantize_kernel(
             return n_d1, n_l1, n_a1, n_b1, n_d2, n_l2, n_a2, n_b2
 
         init = (jnp.full_like(l_p, big), zero, zero, zero) * 2
-        _, l1, a1, b1, _, l2, a2, b2 = jax.lax.fori_loop(0, kp, body, init)
+        _, l1, a1, b1, _, l2, a2, b2 = k_loop(body, init)
         # factor = d(color, second) / d(closest, second); CIE94 asymmetric
         # orientations per mix_colors.wgsl:86.
         num = jnp.sqrt(_cie94_sq_planes(l_p, a_p, b_p, l2, a2, b2))
