@@ -11,8 +11,10 @@ entire chain in ONE pass at the memory-bandwidth floor:
   inside the kernel;
 - sRGB -> Lab, the CIE94 argmin over centroids, the mode math (replace /
   Bayer dither / meld) and Lab -> sRGB all happen in registers/VMEM;
-- the centroid loop is a `fori_loop` over an SMEM-resident palette with a
-  `k_active` mask, so one compiled kernel serves every k <= K_pad;
+- the centroid loop walks an SMEM-resident palette with a `k_active`
+  mask, so one compiled kernel serves every k <= K_pad; for static
+  kp <= 16 it unrolls to straight-line VPU code (no loop-carried VMEM,
+  1.45x — docs/perf.md), larger palettes keep a `fori_loop`;
 - pixel coordinates for the 4x4 Bayer matrix are derived from the flat
   element index (closed form: M4[y][x] = 4*((2x+3y)&3 of low bits) +
   ((2x+3y)&3 of high bits)), no table lookup.
