@@ -106,6 +106,32 @@ class QuantizeService:
                 outs = self.processor.reduce_images(frames, k, ReduceMode(mode))
         return encode_gif_bytes(outs, delays=delays)
 
+    def deep_health(self, timeout_s: float = 10.0) -> tuple[bool, str]:
+        """Round-trip a tiny computation through the device under a
+        timeout. Catches the failure mode where the accelerator transport
+        wedges (observed on remote-tunnel TPU deployments: transfers hang
+        indefinitely) — a hung probe thread reports unhealthy instead of
+        hanging the health check itself."""
+        result: list[str] = []
+
+        def probe():
+            try:
+                import jax.numpy as jnp
+                import numpy as np
+
+                v = np.asarray(jnp.arange(4) + 1).sum()
+                result.append("ok" if int(v) == 10 else f"bad value {v}")
+            except Exception as e:  # pragma: no cover - device-dependent
+                result.append(f"device error: {e}")
+
+        t = threading.Thread(target=probe, daemon=True)
+        with self._lock:
+            t.start()
+            t.join(timeout_s)
+        if not result:
+            return False, f"device unresponsive after {timeout_s:.0f}s"
+        return result[0] == "ok", result[0]
+
     def find_gif(self, body: bytes, colors: str, mode: str) -> bytes:
         from kmeans_tpu.api import ReduceMode
         from kmeans_tpu.utils.imageio import decode_gif_bytes, encode_gif_bytes
@@ -153,7 +179,14 @@ def _make_handler(service: QuantizeService):
             self._reply(code, (msg + "\n").encode(), "text/plain")
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+                if q.get("deep"):
+                    healthy, msg = service.deep_health()
+                    return self._reply(
+                        200 if healthy else 503, (msg + "\n").encode(), "text/plain"
+                    )
                 self._reply(200, b"ok\n", "text/plain")
             else:
                 self._error(404, "unknown endpoint")

@@ -156,3 +156,34 @@ def test_concurrent_requests(server, png_body):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         counts = list(ex.map(one, range(12)))
     assert all(c <= 3 for c in counts)
+
+
+def test_deep_health(server):
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/healthz?deep=1")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.read() == b"ok\n"
+    conn.close()
+
+
+def test_deep_health_unresponsive_device(monkeypatch):
+    # Simulate a wedged transport: the device round-trip blocks past the
+    # timeout; deep_health must report unhealthy instead of hanging.
+    import time as _time
+
+    import numpy as real_np
+
+    from kmeans_tpu.serve import QuantizeService
+
+    svc = QuantizeService.__new__(QuantizeService)
+    svc._lock = threading.Lock()
+
+    def hang(*a, **kw):
+        _time.sleep(5.0)
+        return real_np.asarray(a[0])
+
+    monkeypatch.setattr(np, "asarray", hang)
+    ok, message = QuantizeService.deep_health(svc, timeout_s=0.2)
+    assert ok is False
+    assert "unresponsive" in message
