@@ -927,6 +927,22 @@ class ImageProcessor:
             _validate_k(k)
         kmax = max(ks)
         w, h = image.dimensions
+        if self.bucketing:
+            padded, h_, w_ = pad_to_bucket(image.pixels)
+            bh, bw = padded.shape[:2]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            outs = np.asarray(
+                _reduce_batch_bucketed_jit(
+                    jnp.asarray(padded),
+                    jnp.asarray(ks, jnp.int32),
+                    kmax,
+                    canvas,
+                    first,
+                    h, w, sh, sw,
+                    reduce_mode.value,
+                )
+            )[:, :h, :w]
+            return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         outs = np.asarray(
@@ -1038,6 +1054,39 @@ def _train_frames_jit(frames_u8, k: int, train_shape, first_index, convergence):
 @partial(jax.jit, static_argnames=("mode",))
 def _find_batch_jit(frames_u8, palette_lab, mode: str):
     return jax.vmap(lambda f: quantize_image(f, palette_lab, mode=mode))(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("kmax", "canvas_shape", "mode"))
+def _reduce_batch_bucketed_jit(
+    padded_u8: jnp.ndarray,
+    k_actives: jnp.ndarray,
+    kmax: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    mode: str,
+):
+    """Bucketed multi-k batch: weighted-canvas training vmapped over
+    k_active, quantize on the padded image (host crops)."""
+    ch, cw = canvas_shape
+    canvas, weight = resize_to_canvas(
+        padded_u8[..., :3], ch, cw, src_h, src_w, out_h, out_w
+    )
+    work = srgb8_to_lab(canvas.reshape(-1, 3))
+    wvec = weight.reshape(-1)
+    fit_v = jax.vmap(
+        lambda ka: kmeans_model.fit(
+            work, kmax, first_index, k_active=ka, weight=wvec
+        )[0]
+    )
+    centroids = fit_v(k_actives)
+    quant_v = jax.vmap(
+        lambda cents, ka: quantize_image(padded_u8, cents, mode=mode, k_active=ka)
+    )
+    return quant_v(centroids, k_actives)
 
 
 @partial(jax.jit, static_argnames=("kmax", "train_shape", "mode"))

@@ -229,3 +229,18 @@ def test_bucketed_shrunk_image_palette_images():
     frames = [_blob_image(300, 140, seed=i) for i in range(2)]
     pal = ImageProcessor(bucketing=True).palette_images(frames, 3)
     assert 1 <= pal.shape[0] <= 3
+
+
+def test_bucketed_reduce_batch():
+    image = _blob_image(70, 46)
+    exact = ImageProcessor().reduce_batch(image, [2, 3, 4])
+    bucketed = ImageProcessor(bucketing=True).reduce_batch(image, [2, 3, 4])
+    assert len(bucketed) == 3
+    for k, (a, b) in zip([2, 3, 4], zip(exact, bucketed)):
+        assert b.dimensions == image.dimensions
+        ub = np.unique(b.pixels.reshape(-1, 4), axis=0)
+        assert len(ub) <= k
+        # Palettes agree with the exact path within rounding.
+        ua = np.unique(a.pixels.reshape(-1, 4), axis=0).astype(int)
+        d = np.abs(ua[:, None, :] - ub.astype(int)[None, :, :]).max(axis=2)
+        assert (d.min(axis=1) <= 2).all()
