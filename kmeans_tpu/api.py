@@ -47,7 +47,7 @@ from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_n
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import resize_to_canvas, resize_uint8, shrunk_dimensions
-from kmeans_tpu.utils.bucketing import pad_to_bucket
+from kmeans_tpu.utils.bucketing import bucket_frames, pad_to_bucket
 
 # Training-image shrink cap (`core/src/structures.rs:23`).
 MAX_IMAGE_DIMENSION = 256
@@ -339,6 +339,18 @@ def _colors_to_lab(colors: np.ndarray) -> np.ndarray:
     return srgb8_to_lab_np(colors[:, :3])
 
 
+def _cpu_palette_from_rgb(rgb: np.ndarray, k: int, algo) -> np.ndarray:
+    """Dispatch to a CPU palette algorithm over `[N, 3]` RGB rows and sort
+    the result by L* — shared by single-image and frame-batch paths."""
+    if algo is Algorithm.MEDIANCUT:
+        colors = extract_palette_mediancut(rgb, k)
+    elif algo is Algorithm.WU:
+        colors = extract_palette_wu(rgb, k)
+    else:
+        colors = extract_palette_octree(rgb, k)
+    return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+
+
 def _sort_by_lightness(colors_u8: np.ndarray) -> np.ndarray:
     """Sort RGBA8 colors by Lab L* ascending (`core/src/lib.rs:276-284`)."""
     lightness = srgb8_to_lab_np(colors_u8[:, :3])[:, 0]
@@ -442,14 +454,8 @@ class ImageProcessor:
         plus median cut and Wu): shrink to <=128px, reduce on CPU, sort by
         L*. Under bucketing the shrink runs through the static-canvas
         executable (same sampler, one compile per bucket)."""
-        rgb = self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
-        if algo is Algorithm.MEDIANCUT:
-            colors = extract_palette_mediancut(rgb, k)
-        elif algo is Algorithm.WU:
-            colors = extract_palette_wu(rgb, k)
-        else:
-            colors = extract_palette_octree(rgb, k)
-        return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+        rgb = self._cpu_shrunk_rgb(image)
+        return _cpu_palette_from_rgb(rgb, k, algo)
 
     def _shrunk_pixels(self, image: Image, cap: int) -> np.ndarray:
         """Host-side shrink to `cap` for the CPU palette algorithms. Under
@@ -498,14 +504,26 @@ class ImageProcessor:
         )
         return np.asarray(out)[:h, :w]
 
-    def warmup(self, sizes, color_counts, modes=(ReduceMode.REPLACE,)) -> int:
-        """Precompile bucketed reduce executables before serving traffic.
+    def warmup(
+        self,
+        sizes,
+        color_counts,
+        modes=(ReduceMode.REPLACE,),
+        palette: bool = True,
+        find_palette_sizes=(),
+    ) -> int:
+        """Precompile bucketed executables before serving traffic.
 
         `sizes` is an iterable of representative `(width, height)` pairs;
-        each maps to its bucket, and one dummy reduce per distinct
+        each maps to its bucket, and one dummy request per distinct
         (bucket, k, mode) triggers the XLA compile (minutes over a
         remote-compile tunnel — pay it at deploy time, not per request).
-        Returns the number of executables warmed. Requires bucketing=True.
+        Warms `reduce` for every (bucket, k, mode), `palette` for every
+        (bucket, k) unless `palette=False`, and `find` for every (bucket,
+        mode, K) with K in `find_palette_sizes` (find executables are
+        keyed by the user palette's size, which warmup cannot guess).
+        Returns the number of dummy requests issued. Requires
+        bucketing=True.
         """
         from kmeans_tpu.utils.bucketing import bucket_shape
 
@@ -513,18 +531,40 @@ class ImageProcessor:
             raise ValueError("warmup requires ImageProcessor(bucketing=True)")
         rng = np.random.default_rng(0)
         seen = set()
+
+        def dummy_image(bh, bw):
+            dummy = rng.integers(0, 256, (bh, bw, 4), dtype=np.uint8)
+            dummy[..., 3] = 255
+            return Image((bw, bh), dummy)
+
+        def once(key, fn):
+            if key not in seen:
+                seen.add(key)
+                fn()
+
         for w, h in sizes:
             bh, bw = bucket_shape(int(h), int(w))
+            img = dummy_image(bh, bw)
             for k in color_counts:
+                k = int(k)
                 for mode in modes:
                     mode = ReduceMode(mode)
-                    key = (bh, bw, int(k), mode.value)
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    dummy = rng.integers(0, 256, (bh, bw, 4), dtype=np.uint8)
-                    dummy[..., 3] = 255
-                    self.reduce(int(k), Image((bw, bh), dummy), reduce_mode=mode)
+                    once(
+                        (bh, bw, k, mode.value),
+                        lambda: self.reduce(k, img, reduce_mode=mode),
+                    )
+                if palette:
+                    once((bh, bw, k, "palette"), lambda: self.palette(k, img))
+            for kp in find_palette_sizes:
+                kp = int(kp)
+                colors = rng.integers(0, 256, (kp, 4), dtype=np.uint8)
+                colors[:, 3] = 255
+                for mode in modes:
+                    mode = ReduceMode(mode)
+                    once(
+                        (bh, bw, kp, mode.value, "find"),
+                        lambda: self.find(img, colors, mode),
+                    )
         return len(seen)
 
     # ------------------------------------------------------------------ #
@@ -670,14 +710,17 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         palette_lab = jnp.asarray(_colors_to_lab(_colors_rgba(colors)))
         if self.bucketing:
-            # Per-pixel op: pad to the bucket, crop after — bit-equal.
+            # Per-pixel op: pad to the bucket (spatially AND in frame
+            # count — pad frames repeat frame 0 and are discarded), crop
+            # after — bit-equal.
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             h, w = frames[0].pixels.shape[:2]
             outs = np.asarray(
                 _find_batch_jit(
                     jnp.asarray(np.stack(padded)), palette_lab, reduce_mode.value
                 )
-            )[:, :h, :w]
+            )[: len(frames), :h, :w]
         else:
             stack = jnp.asarray(np.stack([f.pixels for f in frames]))
             outs = np.asarray(
@@ -706,7 +749,9 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         w, h = dims
         if self.bucketing:
-            padded = np.stack([pad_to_bucket(f.pixels)[0] for f in frames])
+            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
+            padded = np.stack(padded)
             bh, bw = padded.shape[1:3]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             outs = np.asarray(
@@ -715,7 +760,7 @@ class ImageProcessor:
                     h, w, sh, sw, ColorSpace.LAB.convergence,
                     reduce_mode.value,
                 )
-            )[:, :h, :w]
+            )[: len(frames), :h, :w]
             return [Image(dims, outs[i]) for i in range(len(frames))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
@@ -750,20 +795,20 @@ class ImageProcessor:
             rgb = np.concatenate(
                 [self._cpu_shrunk_rgb(f) for f in frames], axis=0
             )
-            if algo is Algorithm.MEDIANCUT:
-                colors = extract_palette_mediancut(rgb, color_count)
-            elif algo is Algorithm.WU:
-                colors = extract_palette_wu(rgb, color_count)
-            else:
-                colors = extract_palette_octree(rgb, color_count)
-            return _sort_by_lightness(np.asarray(colors, dtype=np.uint8))
+            return _cpu_palette_from_rgb(rgb, color_count, algo)
         if self.bucketing:
-            padded = np.stack([pad_to_bucket(f.pixels)[0] for f in frames])
+            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            n_pad = bucket_frames(len(padded)) - len(padded)
+            padded = np.stack(padded + [padded[0]] * n_pad)
+            frame_valid = np.concatenate(
+                [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
+            )
             bh, bw = padded.shape[1:3]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_frames_bucketed_jit(
                 jnp.asarray(padded), color_count, canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence,
+                jnp.asarray(frame_valid),
             )
         else:
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
@@ -928,20 +973,28 @@ class ImageProcessor:
         kmax = max(ks)
         w, h = image.dimensions
         if self.bucketing:
+            # The cluster axis is k_active-masked, so padding kmax to the
+            # ladder is free and lets different k sets share executables.
+            from kmeans_tpu.utils.bucketing import next_bucket
+
+            kmax = next_bucket(kmax)
             padded, h_, w_ = pad_to_bucket(image.pixels)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            # Bucket the batch length too (pad entries repeat ks[0] and
+            # are discarded) so varying k-list sizes reuse executables.
+            ks_padded = ks + [ks[0]] * (bucket_frames(len(ks)) - len(ks))
             outs = np.asarray(
                 _reduce_batch_bucketed_jit(
                     jnp.asarray(padded),
-                    jnp.asarray(ks, jnp.int32),
+                    jnp.asarray(ks_padded, jnp.int32),
                     kmax,
                     canvas,
                     first,
                     h, w, sh, sw,
                     reduce_mode.value,
                 )
-            )[:, :h, :w]
+            )[: len(ks), :h, :w]
             return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
@@ -1016,9 +1069,11 @@ def _train_frames_bucketed_jit(
     out_h,
     out_w,
     convergence,
+    frame_valid,
 ):
     """Bucketed joint palette: per-frame weighted canvases concatenated
-    into one weighted fit."""
+    into one weighted fit. `frame_valid[B]` (f32) zeroes out frames added
+    by frame-count bucketing so they never influence the palette."""
     ch, cw = canvas_shape
 
     def shrink(frame):
@@ -1027,6 +1082,7 @@ def _train_frames_bucketed_jit(
         )
 
     canvases, weights = jax.vmap(shrink)(frames_u8)  # [B, ch, cw, 3], [B, ch, cw]
+    weights = weights * frame_valid[:, None, None]
     work = srgb8_to_lab(canvases.reshape(-1, 3))
     return kmeans_model.fit(
         work, k, first_index, convergence=convergence,

@@ -53,11 +53,12 @@ class QuantizeService:
 
     # -- request implementations (raise ValueError for 400s) -- #
 
+
     def reduce(self, body: bytes, k: int, mode: str, algo: str) -> bytes:
         from kmeans_tpu.api import Algorithm, ReduceMode
-        from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
+        from kmeans_tpu.utils.imageio import encode_png_bytes
 
-        image = decode_image_bytes(body)
+        image = _decode_image(body)
         with self._lock:
             out = self.processor.reduce(
                 k, image, Algorithm(algo), ReduceMode(mode)
@@ -67,9 +68,8 @@ class QuantizeService:
     def palette(self, body: bytes, k: int, algo: str) -> bytes:
         from kmeans_tpu.api import Algorithm
         from kmeans_tpu.cli import palette_hex
-        from kmeans_tpu.utils.imageio import decode_image_bytes
 
-        image = decode_image_bytes(body)
+        image = _decode_image(body)
         with self._lock:
             pal = self.processor.palette(k, image, Algorithm(algo))
         return json.dumps(
@@ -78,9 +78,9 @@ class QuantizeService:
 
     def find(self, body: bytes, colors: str, mode: str) -> bytes:
         from kmeans_tpu.api import ReduceMode
-        from kmeans_tpu.utils.imageio import decode_image_bytes, encode_png_bytes
+        from kmeans_tpu.utils.imageio import encode_png_bytes
 
-        image = decode_image_bytes(body)
+        image = _decode_image(body)
         with self._lock:
             out = self.processor.find(
                 image, _parse_colors(colors), ReduceMode(mode)
@@ -91,13 +91,13 @@ class QuantizeService:
         self, body: bytes, k: int, mode: str, palette_mode: str
     ) -> bytes:
         from kmeans_tpu.api import ReduceMode
-        from kmeans_tpu.utils.imageio import decode_gif_bytes, encode_gif_bytes
+        from kmeans_tpu.utils.imageio import encode_gif_bytes
 
         if mode == "meld":
             raise ValueError("GIF output cannot encode meld's continuous blends")
         if k > 256:
             raise ValueError("GIF output requires k <= 256")
-        frames, delays = decode_gif_bytes(body, with_delays=True)
+        frames, delays = _decode_gif(body)
         with self._lock:
             if palette_mode == "global":
                 palette = self.processor.palette_images(frames, k)
@@ -124,27 +124,57 @@ class QuantizeService:
             except Exception as e:  # pragma: no cover - device-dependent
                 result.append(f"device error: {e}")
 
-        t = threading.Thread(target=probe, daemon=True)
-        with self._lock:
+        # The device lock may be held by a request that is itself wedged —
+        # a timed acquire keeps the health check from inheriting the hang.
+        if not self._lock.acquire(timeout=timeout_s):
+            return False, f"device busy/unresponsive (lock held > {timeout_s:.0f}s)"
+        try:
+            t = threading.Thread(target=probe, daemon=True)
             t.start()
             t.join(timeout_s)
+        finally:
+            self._lock.release()
         if not result:
             return False, f"device unresponsive after {timeout_s:.0f}s"
         return result[0] == "ok", result[0]
 
     def find_gif(self, body: bytes, colors: str, mode: str) -> bytes:
         from kmeans_tpu.api import ReduceMode
-        from kmeans_tpu.utils.imageio import decode_gif_bytes, encode_gif_bytes
+        from kmeans_tpu.utils.imageio import encode_gif_bytes
 
         if mode == "meld":
             raise ValueError("GIF output cannot encode meld's continuous blends")
         palette = _parse_colors(colors)
         if palette.shape[0] > 256:
             raise ValueError("GIF output requires a palette of <= 256 colors")
-        frames, delays = decode_gif_bytes(body, with_delays=True)
+        frames, delays = _decode_gif(body)
         with self._lock:
             outs = self.processor.find_batch(frames, palette, ReduceMode(mode))
         return encode_gif_bytes(outs, delays=delays)
+
+
+def _decode_image(body: bytes):
+    """Decode request bytes; ANY decoder failure (truncated file, codec
+    error, missing native runtime) is a client/config 4xx, not a 500."""
+    from kmeans_tpu.utils.imageio import decode_image_bytes
+
+    try:
+        return decode_image_bytes(body)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"could not decode image: {e}")
+
+
+def _decode_gif(body: bytes):
+    from kmeans_tpu.utils.imageio import decode_gif_bytes
+
+    try:
+        return decode_gif_bytes(body, with_delays=True)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"could not decode GIF: {e}")
 
 
 def _parse_colors(colors: str):
@@ -176,13 +206,16 @@ def _make_handler(service: QuantizeService):
             self.wfile.write(body)
 
         def _error(self, code: int, msg: str):
+            # Error paths may leave the request body unread; closing the
+            # connection keeps HTTP/1.1 keep-alive streams in sync.
+            self.close_connection = True
             self._reply(code, (msg + "\n").encode(), "text/plain")
 
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/healthz":
                 q = {k: v[-1] for k, v in parse_qs(url.query).items()}
-                if q.get("deep"):
+                if q.get("deep", "").lower() in ("1", "true", "yes"):
                     healthy, msg = service.deep_health()
                     return self._reply(
                         200 if healthy else 503, (msg + "\n").encode(), "text/plain"

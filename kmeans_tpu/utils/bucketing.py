@@ -65,3 +65,12 @@ def pad_to_bucket(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
     padded = np.zeros((bh, bw) + pixels.shape[2:], dtype=pixels.dtype)
     padded[:h, :w] = pixels
     return padded, h, w
+
+
+def bucket_frames(n: int) -> int:
+    """Bucketed frame count for batched (GIF) pipelines. Counts 1-3 are
+    their own buckets (padding a 1-frame batch 4x would be real wasted
+    compute); larger counts use the ladder, bounding executables per
+    (bucket shape, k, mode) to O(log max_frames)."""
+    n = int(n)
+    return n if n < 4 else next_bucket(n)

@@ -35,20 +35,7 @@ def load_image(path: str | os.PathLike) -> Image:
         raise ValueError("Only support png or jpg files.")
     with open(path, "rb") as f:
         data = f.read()
-    if ext == ".png":
-        if HAVE_NATIVE:
-            w, h, rgba = _imagio.decode_png(data)
-        else:
-            w, h, rgba = png_py.decode_png(data)
-    else:  # .jpg/.jpeg — extension already validated above
-        if not HAVE_NATIVE:
-            raise RuntimeError(
-                "JPEG support requires the native runtime; build it with "
-                "`python setup.py build_ext --inplace`"
-            )
-        w, h, rgba = _imagio.decode_jpeg(data)
-    pixels = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
-    return Image((w, h), pixels)
+    return decode_image_bytes(data)
 
 
 def save_image(image: Image, path: str | os.PathLike, quality: int = 90) -> None:

@@ -179,16 +179,44 @@ def test_bucketed_reduce_pipelined_varied_sizes():
 def test_warmup_precompiles_buckets():
     p = ImageProcessor(bucketing=True)
     # (37, 29) -> bucket (32, 40): a shape no other test touches.
-    n = p.warmup([(37, 29)], [2])
-    assert n == 1
+    n = p.warmup([(37, 29)], [2], find_palette_sizes=[3])
+    assert n == 3  # reduce + palette + find
     size_before = api._reduce_bucketed_jit._cache_size()
     idx_before = api._reduce_bucketed_indexed_jit._cache_size()
+    train_before = api._train_bucketed_jit._cache_size()
     p.reduce(2, _blob_image(37, 29))
     p.reduce(2, _blob_image(35, 30, seed=8))  # same bucket
+    p.palette(2, _blob_image(37, 29))
+    colors = np.array([[0, 0, 0, 255], [255, 0, 0, 255], [0, 255, 0, 255]], np.uint8)
+    p.find(_blob_image(35, 30, seed=8), colors)
     assert api._reduce_bucketed_jit._cache_size() == size_before
     assert api._reduce_bucketed_indexed_jit._cache_size() == idx_before
+    assert api._train_bucketed_jit._cache_size() == train_before
     with pytest.raises(ValueError):
         ImageProcessor().warmup([(16, 16)], [2])
+
+
+def test_bucketed_frame_count_reuse():
+    from kmeans_tpu.utils.bucketing import bucket_frames
+
+    assert [bucket_frames(n) for n in (1, 2, 3, 4, 5, 8, 9, 11, 14)] == [
+        1, 2, 3, 4, 5, 8, 10, 12, 14,
+    ]
+    p = ImageProcessor(bucketing=True)
+    colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8)
+    frames9 = [_blob_image(21, 17, seed=i) for i in range(9)]
+    frames10 = [_blob_image(21, 17, seed=i) for i in range(10)]
+    outs = p.find_batch(frames9, colors)
+    before = api._find_batch_jit._cache_size()
+    outs10 = p.find_batch(frames10, colors)  # same (10,) frame bucket
+    assert api._find_batch_jit._cache_size() == before
+    assert len(outs) == 9 and len(outs10) == 10
+    # Pad frames never leak into results; each output matches exact find.
+    exact = ImageProcessor().find(frames9[8], colors)
+    np.testing.assert_array_equal(outs[8].pixels, exact.pixels)
+    # Joint palette ignores pad frames: 9 vs 10 distinct frames both work.
+    pal = p.palette_images(frames9, 3)
+    assert 1 <= pal.shape[0] <= 3
 
 
 def test_bucketed_find_batch_bit_equal():

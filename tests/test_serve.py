@@ -187,3 +187,34 @@ def test_deep_health_unresponsive_device(monkeypatch):
     ok, message = QuantizeService.deep_health(svc, timeout_s=0.2)
     assert ok is False
     assert "unresponsive" in message
+
+
+def test_corrupt_png_with_valid_magic_is_400(server):
+    body = b"\x89PNG\r\n\x1a\n" + b"garbage" * 20
+    status, _, data = _post(server, "/reduce?k=3", body)
+    assert status == 400
+    assert b"could not decode" in data or b"invalid PNG" in data
+
+
+def test_deep_param_strictness(server):
+    # deep=0 / deep=false must NOT trigger the device probe path (it holds
+    # the device lock); they behave as the shallow check.
+    for v in ("0", "false"):
+        conn = http.client.HTTPConnection(*server, timeout=30)
+        conn.request("GET", f"/healthz?deep={v}")
+        resp = conn.getresponse()
+        assert resp.status == 200 and resp.read() == b"ok\n"
+        conn.close()
+
+
+def test_deep_health_lock_held_by_wedged_request():
+    from kmeans_tpu.serve import QuantizeService
+
+    svc = QuantizeService.__new__(QuantizeService)
+    svc._lock = threading.Lock()
+    svc._lock.acquire()  # simulate a wedged request holding the device
+    try:
+        ok, message = QuantizeService.deep_health(svc, timeout_s=0.2)
+        assert ok is False and "busy/unresponsive" in message
+    finally:
+        svc._lock.release()
