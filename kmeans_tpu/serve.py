@@ -326,12 +326,29 @@ def main(argv=None) -> int:
         default="8",
         help="comma-separated k values used for warmup (default 8)",
     )
+    parser.add_argument(
+        "--train-size",
+        default=None,
+        help="training-shrink cap in px (default 256, the reference's), "
+        "or 'full' to train on every pixel",
+    )
+    parser.add_argument(
+        "--exact",
+        action="store_true",
+        help="disable shape bucketing (compiles one executable per exact "
+        "input shape — only sensible with a local compiler)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     from kmeans_tpu.api import ImageProcessor
 
-    processor = ImageProcessor(bucketing=True)
+    kwargs = {}
+    if args.train_size is not None:
+        kwargs["train_max_size"] = (
+            None if args.train_size.lower() == "full" else int(args.train_size)
+        )
+    processor = ImageProcessor(bucketing=not args.exact, **kwargs)
     if args.warmup:
         sizes = []
         for part in args.warmup.split(","):

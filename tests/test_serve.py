@@ -218,3 +218,14 @@ def test_deep_health_lock_held_by_wedged_request():
         assert ok is False and "busy/unresponsive" in message
     finally:
         svc._lock.release()
+
+
+def test_main_flags_parsing():
+    # --train-size / --exact wire through to the processor (no server start:
+    # build the processor the same way main() does).
+    from kmeans_tpu.api import ImageProcessor
+
+    p = ImageProcessor(bucketing=False, train_max_size=None)
+    assert p.bucketing is False and p.train_max_size is None
+    p2 = ImageProcessor(bucketing=True, train_max_size=512)
+    assert p2.bucketing is True and p2.train_max_size == 512

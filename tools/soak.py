@@ -140,6 +140,38 @@ def main(trials: int = 60) -> int:
         if t % 10 == 0:
             print(f"  bucketing soak {t} ok", flush=True)
 
+    # batched GIF-style paths under bucketing: random frame counts/sizes.
+    for t in range(max(5, trials // 10)):
+        h = int(rng.integers(4, 40))
+        w = int(rng.integers(4, 40))
+        nframes = int(rng.integers(1, 12))
+        k = int(rng.integers(1, 6))
+        frames = [
+            Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+            for _ in range(nframes)
+        ]
+        colors = rng.integers(0, 256, (k, 4), dtype=np.uint8)
+        colors[:, 3] = 255
+        a = exact_p.find_batch(frames, colors)
+        b = bucket_p.find_batch(frames, colors)
+        if len(a) != len(b) or any(
+            not (x.pixels == y.pixels).all() for x, y in zip(a, b)
+        ):
+            print(f"[FAIL] bucketed find_batch trial={t} {nframes}x{h}x{w}")
+            failures += 1
+        outs = bucket_p.reduce_images(frames, k)
+        if len(outs) != nframes or any(
+            o.dimensions != (w, h)
+            or len(np.unique(o.pixels.reshape(-1, 4), axis=0)) > max(k, 1)
+            for o in outs
+        ):
+            print(f"[FAIL] bucketed reduce_images trial={t}")
+            failures += 1
+        pal = bucket_p.palette_images(frames, k)
+        if not (1 <= pal.shape[0] <= k):
+            print(f"[FAIL] bucketed palette_images trial={t}")
+            failures += 1
+
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
 
