@@ -825,6 +825,65 @@ class ImageProcessor:
         """Shrink to the octree cap and return `[N, 3]` RGB rows."""
         return self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
 
+    def find_sharded(
+        self,
+        image,
+        colors,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        mesh=None,
+    ) -> Image:
+        """Multi-chip `find`: fixed-palette recolor with the image's rows
+        sharded over the mesh's pixel axis (no collectives — the output
+        pass is embarrassingly parallel)."""
+        from kmeans_tpu.parallel.mesh import make_mesh
+        from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
+
+        image = _as_image(image)
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        palette_lab = jnp.asarray(_colors_to_lab(palette_rgba))
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        out = quantize_image_sharded(
+            mesh, image.pixels, palette_lab, mode=reduce_mode.value
+        )
+        return Image(image.dimensions, np.asarray(out))
+
+    def palette_sharded(self, color_count: int, image, mesh=None) -> np.ndarray:
+        """Multi-chip `palette`: training sharded over the mesh's pixel
+        axis (psum/all_gather over ICI); returns `[k, 4]` RGBA8 sorted by
+        L* like `palette`."""
+        from kmeans_tpu.parallel.distributed import fit_sharded
+        from kmeans_tpu.parallel.mesh import make_mesh
+
+        image = _as_image(image)
+        _validate_k(color_count)
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        pixels_u8 = jnp.asarray(image.pixels)
+        train_u8 = (
+            resize_uint8(pixels_u8, sh, sw) if (sw, sh) != (w, h) else pixels_u8
+        )
+        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+        n = work.shape[0]
+        d = mesh.devices.size
+        n_pad = (n + d - 1) // d * d
+        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
+        weight = jnp.concatenate(
+            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
+        )
+        centroids, _ = fit_sharded(
+            mesh, work, weight, color_count, first,
+            convergence=ColorSpace.LAB.convergence,
+        )
+        rgba, lightness = _lab_palette_to_u8(centroids)
+        order = np.argsort(np.asarray(lightness), kind="stable")
+        return np.asarray(rgba)[order]
+
     def reduce_sharded(
         self,
         color_count: int,

@@ -118,3 +118,38 @@ def test_reduce_sharded_api_matches_single():
     # nearly identical pixel-wise.
     frac = (single.pixels == sharded.pixels).all(axis=-1).mean()
     assert frac > 0.999
+
+
+def test_find_sharded_matches_single():
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(8)
+    rgba = rng.integers(0, 256, (63, 80, 4), dtype=np.uint8)  # odd height
+    rgba[..., 3] = 255
+    colors = np.array(
+        [[5, 5, 5, 255], [250, 250, 250, 255], [200, 30, 30, 255]], np.uint8
+    )
+    p = ImageProcessor()
+    for mode in ("replace", "dither", "meld"):
+        from kmeans_tpu.api import ReduceMode
+
+        single = p.find(rgba, colors, ReduceMode(mode))
+        sharded = p.find_sharded(rgba, colors, ReduceMode(mode))
+        np.testing.assert_array_equal(single.pixels, sharded.pixels)
+
+
+def test_palette_sharded_matches_single():
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(9)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    idx = rng.integers(0, 3, size=(64, 88))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((64, 88, 1), 255, np.uint8)], -1
+    )
+    p = ImageProcessor()
+    single = p.palette(3, rgba)
+    sharded = p.palette_sharded(3, rgba)
+    d = np.abs(single.astype(int) - sharded.astype(int))
+    assert d.max() <= 2  # psum rounding only
