@@ -110,14 +110,20 @@ def _train_jit(
 _LARGE_TRAIN_PIXELS = 1 << 20
 
 
-def _fit_auto(work, k, first_index, convergence, use_pallas=None, weight=None):
+def _fit_auto(
+    work, k, first_index, convergence, use_pallas=None, weight=None,
+    k_active=None,
+):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
     if use_pallas is None:
         use_pallas = _pallas_available()
     large = work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and use_pallas
     fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
-    return fit_fn(work, k, first_index, convergence=convergence, weight=weight)
+    return fit_fn(
+        work, k, first_index, convergence=convergence, weight=weight,
+        k_active=k_active,
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas"))
@@ -194,10 +200,10 @@ def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
     return fused_quantize(pixels_u8, palette_lab, threshold, mode=mode)
 
 
-@partial(jax.jit, static_argnames=("k", "canvas_shape", "lab"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "lab"))
 def _train_bucketed_jit(
     padded_u8: jnp.ndarray,
-    k: int,
+    kp: int,
     canvas_shape: tuple[int, int],
     first_index,
     src_h,
@@ -205,13 +211,16 @@ def _train_bucketed_jit(
     out_h,
     out_w,
     convergence,
+    k_active,
     lab: bool = True,
 ):
     """Training with bucketed (padded) input: the real image lives in the
     top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
     `[out_h, out_w]` corner of a static canvas; pad pixels train with
-    weight 0. One executable per (bucket shape, k) serves every image size
-    within the bucket — the serving-path answer to per-shape XLA compiles."""
+    weight 0. The cluster axis is padded to `kp` with the real count in
+    the traced `k_active`, so one executable per (bucket shape, kp) serves
+    every image size within the bucket at ANY k <= kp — the serving-path
+    answer to per-shape and per-k XLA compiles."""
     ch, cw = canvas_shape
     canvas, weight = resize_to_canvas(
         padded_u8[..., :3], ch, cw, src_h, src_w, out_h, out_w
@@ -221,14 +230,15 @@ def _train_bucketed_jit(
     # _fit_auto routes big canvases (bucketing + train_max_size=None on
     # large buckets) to the weighted Pallas trainer on TPU.
     return _fit_auto(
-        work, k, first_index, convergence, weight=weight.reshape(-1)
+        work, kp, first_index, convergence,
+        weight=weight.reshape(-1), k_active=k_active,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode"))
 def _reduce_bucketed_indexed_jit(
     padded_u8: jnp.ndarray,
-    k: int,
+    kp: int,
     canvas_shape: tuple[int, int],
     first_index,
     src_h,
@@ -237,22 +247,27 @@ def _reduce_bucketed_indexed_jit(
     out_w,
     convergence,
     mode: str,
+    k_active,
 ):
     """Bucketed reduce with indexed readback (TPU fused path)."""
     centroids, _ = _train_bucketed_jit(
-        padded_u8, k, canvas_shape, first_index, src_h, src_w, out_h, out_w,
-        convergence,
+        padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
+        convergence, k_active,
     )
-    threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
-    idx = fused_assign(padded_u8, centroids, threshold, mode=mode)
+    threshold = (
+        dither_threshold(centroids, k_active=k_active)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+    idx = fused_assign(padded_u8, centroids, threshold, k_active=k_active, mode=mode)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
-@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode", "use_pallas"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "use_pallas"))
 def _reduce_bucketed_jit(
     padded_u8: jnp.ndarray,
-    k: int,
+    kp: int,
     canvas_shape: tuple[int, int],
     first_index,
     src_h,
@@ -262,18 +277,23 @@ def _reduce_bucketed_jit(
     convergence,
     mode: str,
     use_pallas: bool,
+    k_active,
 ):
     """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
     centroids, _ = _train_bucketed_jit(
-        padded_u8, k, canvas_shape, first_index, src_h, src_w, out_h, out_w,
-        convergence,
+        padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
+        convergence, k_active,
     )
     if use_pallas:
         threshold = (
-            dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+            dither_threshold(centroids, k_active=k_active)
+            if mode == "dither"
+            else jnp.float32(0.0)
         )
-        return fused_quantize(padded_u8, centroids, threshold, mode=mode)
-    return quantize_image(padded_u8, centroids, mode=mode)
+        return fused_quantize(
+            padded_u8, centroids, threshold, k_active=k_active, mode=mode
+        )
+    return quantize_image(padded_u8, centroids, mode=mode, k_active=k_active)
 
 
 @partial(jax.jit, static_argnames=("canvas_shape",))
@@ -487,20 +507,25 @@ class ImageProcessor:
 
     def _reduce_bucketed(self, image: Image, k: int, reduce_mode) -> np.ndarray:
         """Bucketed kmeans reduce: pad to the bucket, train on the weighted
-        canvas, quantize the padded image, crop."""
+        canvas with the cluster axis padded to `bucket_k(k)` (requests at
+        any k <= kp share the executable), quantize the padded image,
+        crop."""
+        from kmeans_tpu.utils.bucketing import bucket_k
+
         padded, h, w = pad_to_bucket(image.pixels)
         bh, bw = padded.shape[:2]
         canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
         conv = ColorSpace.LAB.convergence
+        kp = bucket_k(k)
         if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
             idx, pal = _reduce_bucketed_indexed_jit(
-                jnp.asarray(padded), k, canvas, first, h, w, sh, sw, conv,
-                reduce_mode.value,
+                jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
+                reduce_mode.value, k,
             )
             return np.asarray(pal)[np.asarray(idx)[:h, :w]]
         out = _reduce_bucketed_jit(
-            jnp.asarray(padded), k, canvas, first, h, w, sh, sw, conv,
-            reduce_mode.value, self.fused,
+            jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
+            reduce_mode.value, self.fused, k,
         )
         return np.asarray(out)[:h, :w]
 
@@ -525,7 +550,7 @@ class ImageProcessor:
         Returns the number of dummy requests issued. Requires
         bucketing=True.
         """
-        from kmeans_tpu.utils.bucketing import bucket_shape
+        from kmeans_tpu.utils.bucketing import bucket_k, bucket_shape
 
         if not self.bucketing:
             raise ValueError("warmup requires ImageProcessor(bucketing=True)")
@@ -547,14 +572,19 @@ class ImageProcessor:
             img = dummy_image(bh, bw)
             for k in color_counts:
                 k = int(k)
+                # Executables are keyed by the k *bucket* (k_active masks
+                # the rest), so k=5 and k=8 share one compile.
                 for mode in modes:
                     mode = ReduceMode(mode)
                     once(
-                        (bh, bw, k, mode.value),
+                        (bh, bw, bucket_k(k), mode.value),
                         lambda: self.reduce(k, img, reduce_mode=mode),
                     )
                 if palette:
-                    once((bh, bw, k, "palette"), lambda: self.palette(k, img))
+                    once(
+                        (bh, bw, bucket_k(k), "palette"),
+                        lambda: self.palette(k, img),
+                    )
             for kp in find_palette_sizes:
                 kp = int(kp)
                 colors = rng.integers(0, 256, (kp, 4), dtype=np.uint8)
@@ -582,15 +612,20 @@ class ImageProcessor:
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
         if self.bucketing:
+            from kmeans_tpu.utils.bucketing import bucket_k
+
             padded, h, w = pad_to_bucket(image.pixels)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_bucketed_jit(
-                jnp.asarray(padded), color_count, canvas, first, h, w, sh, sw,
-                ColorSpace.LAB.convergence,
+                jnp.asarray(padded), bucket_k(color_count), canvas, first,
+                h, w, sh, sw, ColorSpace.LAB.convergence, color_count,
             )
-        else:
-            centroids = self.extract_palette_kmeans(image, color_count)
+            rgba, lightness = _lab_palette_to_u8(centroids)
+            rgba = np.asarray(rgba)[:color_count]
+            lightness = np.asarray(lightness)[:color_count]
+            return rgba[np.argsort(lightness, kind="stable")]
+        centroids = self.extract_palette_kmeans(image, color_count)
         # `CentroidsBuffer::pull_values` (`core/src/structures.rs:581-617`):
         # Lab -> sRGB8 on readback, then the L* sort.
         rgba, lightness = _lab_palette_to_u8(centroids)
@@ -749,6 +784,8 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         w, h = dims
         if self.bucketing:
+            from kmeans_tpu.utils.bucketing import bucket_k
+
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             padded = np.stack(padded)
@@ -756,9 +793,9 @@ class ImageProcessor:
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             outs = np.asarray(
                 _reduce_images_bucketed_jit(
-                    jnp.asarray(padded), color_count, canvas, first,
+                    jnp.asarray(padded), bucket_k(color_count), canvas, first,
                     h, w, sh, sw, ColorSpace.LAB.convergence,
-                    reduce_mode.value,
+                    reduce_mode.value, color_count,
                 )
             )[: len(frames), :h, :w]
             return [Image(dims, outs[i]) for i in range(len(frames))]
@@ -797,6 +834,8 @@ class ImageProcessor:
             )
             return _cpu_palette_from_rgb(rgb, color_count, algo)
         if self.bucketing:
+            from kmeans_tpu.utils.bucketing import bucket_k
+
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             n_pad = bucket_frames(len(padded)) - len(padded)
             padded = np.stack(padded + [padded[0]] * n_pad)
@@ -806,17 +845,23 @@ class ImageProcessor:
             bh, bw = padded.shape[1:3]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_frames_bucketed_jit(
-                jnp.asarray(padded), color_count, canvas, first,
+                jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence,
-                jnp.asarray(frame_valid),
+                jnp.asarray(frame_valid), color_count,
             )
-        else:
-            sw, sh = shrunk_dimensions(w, h, self.train_max_size)
-            first = kmeans_model.reference_seed_index(sw, sh)
-            stack = jnp.asarray(np.stack([f.pixels for f in frames]))
-            centroids, _ = _train_frames_jit(
-                stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
-            )
+            # Convert at the full (bounded) kp shape, slice active rows on
+            # the host — slicing centroids first would key the conversion
+            # executable on the exact k.
+            rgba, lightness = _lab_palette_to_u8(centroids)
+            rgba = np.asarray(rgba)[:color_count]
+            lightness = np.asarray(lightness)[:color_count]
+            return rgba[np.argsort(lightness, kind="stable")]
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        centroids, _ = _train_frames_jit(
+            stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
+        )
         rgba, lightness = _lab_palette_to_u8(centroids)
         order = np.argsort(np.asarray(lightness), kind="stable")
         return np.asarray(rgba)[order]
@@ -967,20 +1012,24 @@ class ImageProcessor:
             if self.bucketing:
                 # Bucketed dispatch: varied frame sizes reuse per-bucket
                 # executables instead of compiling per exact shape.
+                from kmeans_tpu.utils.bucketing import bucket_k
+
                 padded, h, w = pad_to_bucket(image.pixels)
                 bh, bw = padded.shape[:2]
                 canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
                 conv = ColorSpace.LAB.convergence
+                kp = bucket_k(color_count)
                 if use_indexed:
                     idx, pal = _reduce_bucketed_indexed_jit(
-                        jnp.asarray(padded), color_count, canvas, first,
-                        h, w, sh, sw, conv, reduce_mode.value,
+                        jnp.asarray(padded), kp, canvas, first,
+                        h, w, sh, sw, conv, reduce_mode.value, color_count,
                     )
                     pending.append((image.dimensions, idx, pal, (h, w)))
                 else:
                     out = _reduce_bucketed_jit(
-                        jnp.asarray(padded), color_count, canvas, first,
+                        jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, self.fused,
+                        color_count,
                     )
                     pending.append((image.dimensions, out, None, (h, w)))
                 continue
@@ -1086,10 +1135,10 @@ def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("k", "canvas_shape", "mode"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode"))
 def _reduce_images_bucketed_jit(
     frames_u8,  # [B, BH, BW, 4] bucket-padded
-    k: int,
+    kp: int,
     canvas_shape: tuple[int, int],
     first_index,
     src_h,
@@ -1098,9 +1147,11 @@ def _reduce_images_bucketed_jit(
     out_w,
     convergence,
     mode: str,
+    k_active,
 ):
     """Bucketed per-frame train + quantize over a padded frame stack (the
-    GIF serving path): one executable per (bucket, frame count, k, mode)."""
+    GIF serving path): one executable per (bucket, frame bucket, kp, mode)
+    serving any k <= kp."""
     ch, cw = canvas_shape
 
     def one(frame):
@@ -1109,18 +1160,18 @@ def _reduce_images_bucketed_jit(
         )
         work = srgb8_to_lab(canvas.reshape(-1, 3))
         centroids, _ = kmeans_model.fit(
-            work, k, first_index, convergence=convergence,
-            weight=weight.reshape(-1),
+            work, kp, first_index, convergence=convergence,
+            weight=weight.reshape(-1), k_active=k_active,
         )
-        return quantize_image(frame, centroids, mode=mode)
+        return quantize_image(frame, centroids, mode=mode, k_active=k_active)
 
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("k", "canvas_shape"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape"))
 def _train_frames_bucketed_jit(
     frames_u8,
-    k: int,
+    kp: int,
     canvas_shape: tuple[int, int],
     first_index,
     src_h,
@@ -1129,6 +1180,7 @@ def _train_frames_bucketed_jit(
     out_w,
     convergence,
     frame_valid,
+    k_active,
 ):
     """Bucketed joint palette: per-frame weighted canvases concatenated
     into one weighted fit. `frame_valid[B]` (f32) zeroes out frames added
@@ -1144,8 +1196,8 @@ def _train_frames_bucketed_jit(
     weights = weights * frame_valid[:, None, None]
     work = srgb8_to_lab(canvases.reshape(-1, 3))
     return kmeans_model.fit(
-        work, k, first_index, convergence=convergence,
-        weight=weights.reshape(-1),
+        work, kp, first_index, convergence=convergence,
+        weight=weights.reshape(-1), k_active=k_active,
     )
 
 

@@ -74,3 +74,17 @@ def bucket_frames(n: int) -> int:
     (bucket shape, k, mode) to O(log max_frames)."""
     n = int(n)
     return n if n < 4 else next_bucket(n)
+
+
+def bucket_k(k: int) -> int:
+    """Padded cluster-axis size for serving: the next power of two >= k
+    (min 4). All requests with k <= bucket share one executable — the
+    active count travels as a traced `k_active` scalar and trailing
+    clusters are masked. Compute scales with the bucket (worst case ~2x
+    the exact-k cost), bounded at 7 buckets for k <= 256.
+    """
+    k = int(k)
+    b = 4
+    while b < k:
+        b <<= 1
+    return b

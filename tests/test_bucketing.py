@@ -272,3 +272,24 @@ def test_bucketed_reduce_batch():
         ua = np.unique(a.pixels.reshape(-1, 4), axis=0).astype(int)
         d = np.abs(ua[:, None, :] - ub.astype(int)[None, :, :]).max(axis=2)
         assert (d.min(axis=1) <= 2).all()
+
+
+def test_k_bucket_executable_reuse():
+    from kmeans_tpu.utils.bucketing import bucket_k
+
+    assert [bucket_k(k) for k in (1, 4, 5, 8, 9, 16, 100)] == [
+        4, 4, 8, 8, 16, 16, 128,
+    ]
+    p = ImageProcessor(bucketing=True)
+    img = _blob_image(27, 22)  # bucket (24, 28): unique to this test
+    out5 = p.reduce(5, img)
+    before = api._reduce_bucketed_jit._cache_size()
+    before_idx = api._reduce_bucketed_indexed_jit._cache_size()
+    out7 = p.reduce(7, img)  # same k bucket (8): no recompile
+    assert api._reduce_bucketed_jit._cache_size() == before
+    assert api._reduce_bucketed_indexed_jit._cache_size() == before_idx
+    assert len(np.unique(out5.pixels.reshape(-1, 4), axis=0)) <= 5
+    assert len(np.unique(out7.pixels.reshape(-1, 4), axis=0)) <= 7
+    # Palette honors the requested k exactly, not the bucket.
+    pal = p.palette(5, img)
+    assert pal.shape == (5, 4)
