@@ -187,17 +187,28 @@ def _reduce_indexed_jit(
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _assign_indexed_jit(pixels_u8, palette_lab, mode: str):
-    """Fixed-palette indexed assignment (the `find` fast path)."""
-    threshold = dither_threshold(palette_lab) if mode == "dither" else jnp.float32(0.0)
-    return fused_assign(pixels_u8, palette_lab, threshold, mode=mode)
+def _assign_indexed_jit(pixels_u8, palette_lab, mode: str, k_active=None):
+    """Fixed-palette indexed assignment (the `find` fast path). With
+    `k_active`, trailing palette rows are bucket padding and masked."""
+    threshold = (
+        dither_threshold(palette_lab, k_active=k_active)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+    return fused_assign(pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode)
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _quantize_fused_jit(pixels_u8, palette_lab, mode: str):
+def _quantize_fused_jit(pixels_u8, palette_lab, mode: str, k_active=None):
     """Fused quantize with the dither threshold computed in-executable."""
-    threshold = dither_threshold(palette_lab) if mode == "dither" else jnp.float32(0.0)
-    return fused_quantize(pixels_u8, palette_lab, threshold, mode=mode)
+    threshold = (
+        dither_threshold(palette_lab, k_active=k_active)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+    return fused_quantize(
+        pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode
+    )
 
 
 @partial(jax.jit, static_argnames=("kp", "canvas_shape", "lab"))
@@ -709,18 +720,33 @@ class ImageProcessor:
 
     def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
         palette_lab = jnp.asarray(palette_lab, jnp.float32)
+        k = palette_lab.shape[0]
+        k_active = None
+        if self.bucketing:
+            # Bucket the palette size too: pad rows (masked by k_active)
+            # so find executables are keyed by the k *bucket* and fully
+            # enumerable by warmup.
+            from kmeans_tpu.utils.bucketing import bucket_k
+
+            kp = bucket_k(k)
+            if kp != k:
+                palette_lab = jnp.concatenate(
+                    [palette_lab, jnp.broadcast_to(palette_lab[:1], (kp - k, 3))]
+                )
+            k_active = k
         if self.fused:
-            if (
-                reduce_mode is not ReduceMode.MELD
-                and palette_lab.shape[0] <= 256
-            ):
+            if reduce_mode is not ReduceMode.MELD and k <= 256:
                 idx = _assign_indexed_jit(
-                    pixels_u8, palette_lab, reduce_mode.value
+                    pixels_u8, palette_lab, reduce_mode.value, k_active
                 )
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[np.asarray(idx)]
-            return _quantize_fused_jit(pixels_u8, palette_lab, reduce_mode.value)
-        return quantize_image(pixels_u8, palette_lab, mode=reduce_mode.value)
+            return _quantize_fused_jit(
+                pixels_u8, palette_lab, reduce_mode.value, k_active
+            )
+        return quantize_image(
+            pixels_u8, palette_lab, mode=reduce_mode.value, k_active=k_active
+        )
 
     # ------------------------------------------------------------------ #
     # TPU-first extensions
@@ -745,15 +771,24 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         palette_lab = jnp.asarray(_colors_to_lab(_colors_rgba(colors)))
         if self.bucketing:
-            # Per-pixel op: pad to the bucket (spatially AND in frame
-            # count — pad frames repeat frame 0 and are discarded), crop
-            # after — bit-equal.
+            # Per-pixel op: pad to the bucket (spatially, in frame count —
+            # pad frames repeat frame 0 and are discarded — and in palette
+            # size, masked by k_active), crop after — bit-equal.
+            from kmeans_tpu.utils.bucketing import bucket_k
+
+            k = palette_lab.shape[0]
+            kp = bucket_k(k)
+            if kp != k:
+                palette_lab = jnp.concatenate(
+                    [palette_lab, jnp.broadcast_to(palette_lab[:1], (kp - k, 3))]
+                )
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             h, w = frames[0].pixels.shape[:2]
             outs = np.asarray(
                 _find_batch_jit(
-                    jnp.asarray(np.stack(padded)), palette_lab, reduce_mode.value
+                    jnp.asarray(np.stack(padded)), palette_lab,
+                    reduce_mode.value, k,
                 )
             )[: len(frames), :h, :w]
         else:
@@ -1219,8 +1254,10 @@ def _train_frames_jit(frames_u8, k: int, train_shape, first_index, convergence):
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _find_batch_jit(frames_u8, palette_lab, mode: str):
-    return jax.vmap(lambda f: quantize_image(f, palette_lab, mode=mode))(frames_u8)
+def _find_batch_jit(frames_u8, palette_lab, mode: str, k_active=None):
+    return jax.vmap(
+        lambda f: quantize_image(f, palette_lab, mode=mode, k_active=k_active)
+    )(frames_u8)
 
 
 @partial(jax.jit, static_argnames=("kmax", "canvas_shape", "mode"))

@@ -293,3 +293,24 @@ def test_k_bucket_executable_reuse():
     # Palette honors the requested k exactly, not the bucket.
     pal = p.palette(5, img)
     assert pal.shape == (5, 4)
+
+
+def test_find_palette_size_bucket_reuse():
+    # find with 3 colors and 4 colors shares one executable (kp=4); the
+    # padded rows are masked and never selected. Output stays bit-equal
+    # to the exact path.
+    p = ImageProcessor(bucketing=True)
+    img = _blob_image(19, 13)  # bucket (14, 20): unique to this test
+    c3 = np.array([[0, 0, 0, 255], [128, 128, 128, 255], [255, 255, 255, 255]], np.uint8)
+    c4 = np.vstack([c3, [[200, 30, 30, 255]]]).astype(np.uint8)
+    out3 = p.find(img, c3)
+    import kmeans_tpu.api as api_mod
+
+    before = api_mod._quantize_fused_jit._cache_size() + api_mod._assign_indexed_jit._cache_size()
+    out4 = p.find(img, c4)  # same kp=4 bucket
+    after = api_mod._quantize_fused_jit._cache_size() + api_mod._assign_indexed_jit._cache_size()
+    assert after == before
+    exact3 = ImageProcessor().find(img, c3)
+    np.testing.assert_array_equal(out3.pixels, exact3.pixels)
+    exact4 = ImageProcessor().find(img, c4)
+    np.testing.assert_array_equal(out4.pixels, exact4.pixels)
