@@ -187,15 +187,21 @@ def _reduce_indexed_jit(
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _assign_indexed_jit(pixels_u8, palette_lab, mode: str, k_active=None):
+def _assign_indexed_jit(
+    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0
+):
     """Fixed-palette indexed assignment (the `find` fast path). With
-    `k_active`, trailing palette rows are bucket padding and masked."""
+    `k_active`, trailing palette rows are bucket padding and masked;
+    `row_offset` shifts dither rows for streamed bands."""
     threshold = (
         dither_threshold(palette_lab, k_active=k_active)
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    return fused_assign(pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode)
+    return fused_assign(
+        pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
+        row_offset=row_offset,
+    )
 
 
 @partial(jax.jit, static_argnames=("mode",))
@@ -1007,6 +1013,110 @@ class ImageProcessor:
             mesh, image.pixels, centroids, mode=reduce_mode.value
         )
         return Image(image.dimensions, np.asarray(out))
+
+    @_on_device
+    def reduce_streamed(
+        self,
+        color_count: int,
+        image,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        band_rows: int = 4096,
+    ) -> Image:
+        """Gigapixel reduce: stream the image through the device in row
+        bands, so device memory holds one band at a time — image size is
+        bounded by host RAM, not HBM (the reference is capped at
+        8192x8192 by GPU texture limits, `README.md:9-11`).
+
+        Pass 1 shrinks each band horizontally to the training width via
+        the dynamic-canvas op, assembles the [H, sw] strip on the host,
+        shrinks it vertically, and runs the weighted fit — every step on
+        per-bucket executables. Pass 2 quantizes each band with the
+        trained palette; dither rows are offset by the band's absolute
+        position, so the Bayer pattern is seamless across band edges.
+
+        Numerics note: the two-stage (horizontal-then-vertical) training
+        shrink rounds to uint8 between stages, so for images larger than
+        the training cap the palette can differ from `reduce`'s
+        single-stage shrink by ~1 u8 step; images that need no shrink
+        train on identical pixels.
+        """
+        from kmeans_tpu.utils.bucketing import bucket_k, next_bucket
+
+        image = _as_image(image)
+        _validate_k(color_count)
+        cap = self.train_max_size
+        if cap is None:
+            raise ValueError(
+                "reduce_streamed requires a finite train_max_size (the "
+                "training strip is assembled at that width)"
+            )
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, cap)
+        pixels = image.pixels
+        band_rows = max(int(band_rows), 4)
+        conv = ColorSpace.LAB.convergence
+        kp = bucket_k(color_count)
+
+        # Pass 1: per-band horizontal shrink -> [h, sw] training strip.
+        if (sw, sh) == (w, h):
+            strip = pixels  # no shrink: train on the pixels themselves
+        else:
+            bands = []
+            for r0 in range(0, h, band_rows):
+                band = pixels[r0 : r0 + band_rows]
+                bh_real = band.shape[0]
+                padded, _, _ = pad_to_bucket(band)
+                canvas_h = min(next_bucket(bh_real), padded.shape[0])
+                shrunk = np.asarray(
+                    _canvas_shrink_jit(
+                        jnp.asarray(padded), (canvas_h, cap),
+                        bh_real, w, bh_real, sw,
+                    )
+                )[:bh_real, :sw]
+                bands.append(shrunk)
+            strip = np.concatenate(bands, axis=0)  # [h, sw, C]
+
+        # Vertical shrink + weighted fit on the strip (bucketed executables).
+        strip_padded, strip_h, strip_w = pad_to_bucket(strip)
+        sbh, sbw = strip_padded.shape[:2]
+        canvas = (min(cap, sbh), min(cap, sbw))
+        seed = kmeans_model.reference_seed_index(sw, sh)
+        y0, x0 = divmod(seed, sw)
+        first = y0 * canvas[1] + x0
+        centroids, _ = _train_bucketed_jit(
+            jnp.asarray(strip_padded), kp, canvas, first,
+            strip_h, strip_w, sh, sw, conv, color_count,
+        )
+
+        # Pass 2: quantize bands with absolute dither offsets.
+        use_indexed = (
+            self.fused
+            and reduce_mode is not ReduceMode.MELD
+            and color_count <= 256
+        )
+        palette_rgba = (
+            np.asarray(_lab_palette_to_u8(centroids)[0]) if use_indexed else None
+        )
+        out = np.empty((h, w, 4), np.uint8)
+        for r0 in range(0, h, band_rows):
+            band = pixels[r0 : r0 + band_rows]
+            bh_real = band.shape[0]
+            padded, _, _ = pad_to_bucket(band)
+            if use_indexed:
+                idx = _assign_indexed_jit(
+                    jnp.asarray(padded), centroids, reduce_mode.value,
+                    color_count, r0,
+                )
+                out[r0 : r0 + bh_real] = palette_rgba[
+                    np.asarray(idx)[:bh_real, :w]
+                ]
+            else:
+                band_out = quantize_image(
+                    jnp.asarray(padded), centroids, mode=reduce_mode.value,
+                    k_active=color_count, row_offset=r0,
+                )
+                out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
+        return Image(image.dimensions, out)
 
     @_on_device
     def reduce_pipelined(

@@ -131,7 +131,7 @@ def _bayer_value(x, y):
 
 
 def _quantize_kernel(
-    scalar_ref,  # SMEM [1] i32: k_active
+    scalar_ref,  # SMEM [2] i32: k_active, row_offset (dither band offset)
     thr_ref,  # SMEM [1] f32: dither threshold
     cents_ref,  # SMEM [KP, 3] f32 Lab centroids
     pal_ref,  # SMEM [KP] i32 packed RGBA palette colors (replace/dither out)
@@ -164,8 +164,9 @@ def _quantize_kernel(
         flat = (tile * TILE_ROWS + rows) * LANES + lanes
         # width is compile-time static: Mosaic strength-reduces the div/mod
         # into multiply-shift instead of a per-pixel integer divide.
+        # row_offset shifts y for streamed row bands (0 for whole images).
         px = flat % width
-        py = flat // width
+        py = flat // width + scalar_ref[1]
         adjust = threshold * _bayer_value(px, py)
         l_p = l_p + adjust
         a_p = a_p + adjust
@@ -311,11 +312,13 @@ def fused_quantize(
     k_active=None,
     mode: str = "replace",
     interpret: bool = False,
+    row_offset=0,
 ) -> jnp.ndarray:
     """Fused single-pass quantize: `[H, W, 4]` u8 -> `[H, W, 4]` u8.
 
     `threshold` is the dither threshold (scalar, ignored for other modes) —
     computed by `ops.quantize.dither_threshold` on the tiny palette.
+    `row_offset` shifts dither y coordinates for streamed row bands.
     `interpret=True` runs the Pallas interpreter (for CPU tests).
     """
     if mode not in ("replace", "dither", "meld"):
@@ -323,7 +326,8 @@ def fused_quantize(
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     out = _run_quantize_kernel(
-        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False
+        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False,
+        row_offset,
     )
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
@@ -331,7 +335,8 @@ def fused_quantize(
 
 
 def _run_quantize_kernel(
-    rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index
+    rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
+    row_offset=0,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign."""
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
@@ -345,7 +350,7 @@ def _run_quantize_kernel(
     tiles = packed.reshape(n_pad // LANES, LANES)
     grid = (n_pad // (TILE_ROWS * LANES),)
 
-    scalars = jnp.stack([k_act])
+    scalars = jnp.stack([k_act, jnp.asarray(row_offset, jnp.int32)])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
 
     return pl.pallas_call(
@@ -512,6 +517,7 @@ def fused_assign(
     k_active=None,
     mode: str = "replace",
     interpret: bool = False,
+    row_offset=0,
 ) -> jnp.ndarray:
     """Like `fused_quantize` but returns the per-pixel palette index
     `[H, W]` uint8 instead of recolored pixels — 1 B/px device->host
@@ -525,6 +531,7 @@ def fused_assign(
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     out = _run_quantize_kernel(
-        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True
+        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
+        row_offset,
     )
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

@@ -101,21 +101,25 @@ def dither_threshold(palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
     return dab / jnp.sqrt(k_active.astype(jnp.float32))
 
 
-def bayer_values(height: int, width: int) -> jnp.ndarray:
-    """`index_value(coords) - 0.5` for every pixel (mix_colors.wgsl:21-27,70)."""
+def bayer_values(height: int, width: int, row_offset=0) -> jnp.ndarray:
+    """`index_value(coords) - 0.5` for every pixel (mix_colors.wgsl:21-27,70).
+
+    `row_offset` (traced ok) shifts the y coordinate — used by streamed
+    row-band processing so a band's dither pattern matches its absolute
+    position in the full image."""
     m = jnp.asarray(BAYER_4X4, jnp.float32) / 16.0 - 0.5
-    ys = jnp.arange(height) % 4
+    ys = (jnp.arange(height) + row_offset) % 4
     xs = jnp.arange(width) % 4
     return m[ys[:, None], xs[None, :]]  # [H, W]
 
 
 def dither(
-    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None
+    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, row_offset=0
 ) -> jnp.ndarray:
     """Ordered dithering over Lab pixels `[H, W, 3]` (mix_colors.wgsl:50-82)."""
     h, w = lab.shape[0], lab.shape[1]
     threshold = dither_threshold(palette, k_active)
-    adjusted = lab + (threshold * bayer_values(h, w))[..., None]
+    adjusted = lab + (threshold * bayer_values(h, w, row_offset))[..., None]
     out = nearest_color(adjusted, palette, k_active)
     # k == 1: output the palette color directly (mix_colors.wgsl:104-108).
     k_act = jnp.asarray(palette.shape[0] if k_active is None else k_active, jnp.int32)
@@ -146,6 +150,7 @@ def quantize_image(
     palette_lab: jnp.ndarray,
     mode: str = "replace",
     k_active=None,
+    row_offset=0,
 ) -> jnp.ndarray:
     """Full-resolution output pass: uint8 RGBA `[H, W, 4]` -> uint8 RGBA.
 
@@ -158,7 +163,7 @@ def quantize_image(
     if mode == "replace":
         out_lab = nearest_color(lab, palette_lab, k_active)
     elif mode == "dither":
-        out_lab = dither(lab, palette_lab, k_active)
+        out_lab = dither(lab, palette_lab, k_active, row_offset)
     elif mode == "meld":
         out_lab = meld(lab, palette_lab, k_active)
     else:

@@ -314,3 +314,47 @@ def test_find_palette_size_bucket_reuse():
     np.testing.assert_array_equal(out3.pixels, exact3.pixels)
     exact4 = ImageProcessor().find(img, c4)
     np.testing.assert_array_equal(out4.pixels, exact4.pixels)
+
+
+def test_reduce_streamed_matches_bucketed_small():
+    # No training shrink: the streamed path trains on identical pixels and
+    # the quantize is per-pixel, so outputs are bit-equal to the bucketed
+    # reduce — including dither, which validates the band row offsets.
+    image = _blob_image(60, 37)
+    p = ImageProcessor(bucketing=True)
+    for mode in (ReduceMode.REPLACE, ReduceMode.DITHER, ReduceMode.MELD):
+        whole = p.reduce(3, image, reduce_mode=mode)
+        streamed = p.reduce_streamed(3, image, reduce_mode=mode, band_rows=8)
+        np.testing.assert_array_equal(whole.pixels, streamed.pixels)
+
+
+def test_reduce_streamed_shrunk_image():
+    # Image above the training cap: the two-stage shrink may differ by
+    # ~1 u8 step from the single-stage path; assert palette quality on a
+    # spatially-blocky image (downscaling must not blend across colors).
+    rng = np.random.default_rng(12)
+    base = np.array([[215, 45, 45], [45, 195, 65], [55, 65, 215]], np.int32)
+    block_idx = rng.integers(0, 3, size=(15, 30))  # 10x10 px blocks
+    rgb = np.kron(base[block_idx], np.ones((10, 10, 1), np.int32))
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((150, 300, 1), 255, np.uint8)], -1
+    )
+    image = Image((300, 150), rgba)
+    p = ImageProcessor(bucketing=True)
+    streamed = p.reduce_streamed(3, image, band_rows=64)
+    assert streamed.dimensions == image.dimensions
+    pal = np.unique(streamed.pixels.reshape(-1, 4), axis=0).astype(int)
+    assert len(pal) <= 3
+    d = np.abs(pal[:, None, :3] - base[None, :, :]).max(axis=2)
+    assert (d.min(axis=1) < 25).all()
+    # And the streamed output agrees with the whole-image reduce almost
+    # everywhere (palettes may differ by the intermediate rounding).
+    whole = p.reduce(3, image)
+    agree = (whole.pixels == streamed.pixels).all(axis=-1).mean()
+    assert agree > 0.98
+
+
+def test_reduce_streamed_requires_train_cap():
+    p = ImageProcessor(bucketing=True, train_max_size=None)
+    with pytest.raises(ValueError):
+        p.reduce_streamed(3, _blob_image(20, 20))
