@@ -205,7 +205,9 @@ def _assign_indexed_jit(
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _quantize_fused_jit(pixels_u8, palette_lab, mode: str, k_active=None):
+def _quantize_fused_jit(
+    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0
+):
     """Fused quantize with the dither threshold computed in-executable."""
     threshold = (
         dither_threshold(palette_lab, k_active=k_active)
@@ -213,7 +215,8 @@ def _quantize_fused_jit(pixels_u8, palette_lab, mode: str, k_active=None):
         else jnp.float32(0.0)
     )
     return fused_quantize(
-        pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode
+        pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
+        row_offset=row_offset,
     )
 
 
@@ -560,12 +563,12 @@ class ImageProcessor:
         each maps to its bucket, and one dummy request per distinct
         (bucket, k, mode) triggers the XLA compile (minutes over a
         remote-compile tunnel — pay it at deploy time, not per request).
-        Warms `reduce` for every (bucket, k, mode), `palette` for every
-        (bucket, k) unless `palette=False`, and `find` for every (bucket,
-        mode, K) with K in `find_palette_sizes` (find executables are
-        keyed by the user palette's size, which warmup cannot guess).
-        Returns the number of dummy requests issued. Requires
-        bucketing=True.
+        Warms `reduce` for every (bucket, k-bucket, mode), `palette` for
+        every (bucket, k-bucket) unless `palette=False`, and `find` for
+        every (bucket, mode, k-bucket) with sizes in `find_palette_sizes`
+        (user palettes pad to `bucket_k` rows, so one size per power-of-two
+        bucket suffices). Returns the number of dummy requests issued.
+        Requires bucketing=True.
         """
         from kmeans_tpu.utils.bucketing import bucket_k, bucket_shape
 
@@ -602,14 +605,14 @@ class ImageProcessor:
                         (bh, bw, bucket_k(k), "palette"),
                         lambda: self.palette(k, img),
                     )
-            for kp in find_palette_sizes:
-                kp = int(kp)
-                colors = rng.integers(0, 256, (kp, 4), dtype=np.uint8)
+            for kf in find_palette_sizes:
+                kf = int(kf)
+                colors = rng.integers(0, 256, (kf, 4), dtype=np.uint8)
                 colors[:, 3] = 255
                 for mode in modes:
                     mode = ReduceMode(mode)
                     once(
-                        (bh, bw, kp, mode.value, "find"),
+                        (bh, bw, bucket_k(kf), mode.value, "find"),
                         lambda: self.find(img, colors, mode),
                     )
         return len(seen)
@@ -732,14 +735,9 @@ class ImageProcessor:
             # Bucket the palette size too: pad rows (masked by k_active)
             # so find executables are keyed by the k *bucket* and fully
             # enumerable by warmup.
-            from kmeans_tpu.utils.bucketing import bucket_k
+            from kmeans_tpu.utils.bucketing import pad_palette_k
 
-            kp = bucket_k(k)
-            if kp != k:
-                palette_lab = jnp.concatenate(
-                    [palette_lab, jnp.broadcast_to(palette_lab[:1], (kp - k, 3))]
-                )
-            k_active = k
+            palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
             if reduce_mode is not ReduceMode.MELD and k <= 256:
                 idx = _assign_indexed_jit(
@@ -780,14 +778,9 @@ class ImageProcessor:
             # Per-pixel op: pad to the bucket (spatially, in frame count —
             # pad frames repeat frame 0 and are discarded — and in palette
             # size, masked by k_active), crop after — bit-equal.
-            from kmeans_tpu.utils.bucketing import bucket_k
+            from kmeans_tpu.utils.bucketing import pad_palette_k
 
-            k = palette_lab.shape[0]
-            kp = bucket_k(k)
-            if kp != k:
-                palette_lab = jnp.concatenate(
-                    [palette_lab, jnp.broadcast_to(palette_lab[:1], (kp - k, 3))]
-                )
+            palette_lab, k = pad_palette_k(palette_lab)
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             h, w = frames[0].pixels.shape[:2]
@@ -1038,9 +1031,12 @@ class ImageProcessor:
         shrink rounds to uint8 between stages, so for images larger than
         the training cap the palette can differ from `reduce`'s
         single-stage shrink by ~1 u8 step; images that need no shrink
-        train on identical pixels.
+        train on identical pixels. Streaming always runs on bucketed
+        executables (that is what makes the band shapes static), so on a
+        `bucketing=False` processor results match `reduce` of a
+        `bucketing=True` one, not the exact-shape path.
         """
-        from kmeans_tpu.utils.bucketing import bucket_k, next_bucket
+        from kmeans_tpu.utils.bucketing import bucket_k
 
         image = _as_image(image)
         _validate_k(color_count)
@@ -1066,7 +1062,7 @@ class ImageProcessor:
                 band = pixels[r0 : r0 + band_rows]
                 bh_real = band.shape[0]
                 padded, _, _ = pad_to_bucket(band)
-                canvas_h = min(next_bucket(bh_real), padded.shape[0])
+                canvas_h = padded.shape[0]  # = next_bucket(bh_real)
                 shrunk = np.asarray(
                     _canvas_shrink_jit(
                         jnp.asarray(padded), (canvas_h, cap),
@@ -1110,6 +1106,12 @@ class ImageProcessor:
                 out[r0 : r0 + bh_real] = palette_rgba[
                     np.asarray(idx)[:bh_real, :w]
                 ]
+            elif self.fused:
+                band_out = _quantize_fused_jit(
+                    jnp.asarray(padded), centroids, reduce_mode.value,
+                    color_count, r0,
+                )
+                out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
             else:
                 band_out = quantize_image(
                     jnp.asarray(padded), centroids, mode=reduce_mode.value,

@@ -88,3 +88,17 @@ def bucket_k(k: int) -> int:
     while b < k:
         b <<= 1
     return b
+
+
+def pad_palette_k(palette_lab):
+    """Pad a `[K, 3]` Lab palette's rows to `bucket_k(K)` (copies of row 0,
+    masked downstream by `k_active`). Returns (padded, K)."""
+    import jax.numpy as jnp
+
+    k = palette_lab.shape[0]
+    kp = bucket_k(k)
+    if kp != k:
+        palette_lab = jnp.concatenate(
+            [palette_lab, jnp.broadcast_to(palette_lab[:1], (kp - k, 3))]
+        )
+    return palette_lab, k

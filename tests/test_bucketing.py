@@ -305,11 +305,20 @@ def test_find_palette_size_bucket_reuse():
     c4 = np.vstack([c3, [[200, 30, 30, 255]]]).astype(np.uint8)
     out3 = p.find(img, c3)
     import kmeans_tpu.api as api_mod
+    from kmeans_tpu.ops.quantize import quantize_image as qi
 
-    before = api_mod._quantize_fused_jit._cache_size() + api_mod._assign_indexed_jit._cache_size()
+    def caches():
+        # Count every find execution path: the Pallas ones (TPU) AND the
+        # XLA quantize_image (CPU backends, where fused=False).
+        return (
+            api_mod._quantize_fused_jit._cache_size()
+            + api_mod._assign_indexed_jit._cache_size()
+            + qi._cache_size()
+        )
+
+    before = caches()
     out4 = p.find(img, c4)  # same kp=4 bucket
-    after = api_mod._quantize_fused_jit._cache_size() + api_mod._assign_indexed_jit._cache_size()
-    assert after == before
+    assert caches() == before
     exact3 = ImageProcessor().find(img, c3)
     np.testing.assert_array_equal(out3.pixels, exact3.pixels)
     exact4 = ImageProcessor().find(img, c4)
