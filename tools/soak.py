@@ -172,6 +172,23 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] bucketed palette_images trial={t}")
             failures += 1
 
+    # streamed reduce vs whole-image reduce at random band splits (no
+    # training shrink -> bit-equal, including dither band offsets).
+    for t in range(max(5, trials // 12)):
+        h = int(rng.integers(6, 60))
+        w = int(rng.integers(6, 60))
+        k = int(rng.integers(1, 6))
+        mode = ReduceMode(["replace", "dither", "meld"][t % 3])
+        band = int(rng.integers(4, max(5, h)))
+        img = Image(
+            (w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        )
+        a = bucket_p.reduce(k, img, reduce_mode=mode)
+        b = bucket_p.reduce_streamed(k, img, reduce_mode=mode, band_rows=band)
+        if not (a.pixels == b.pixels).all():
+            print(f"[FAIL] streamed != whole trial={t} {h}x{w} k={k} {mode} band={band}")
+            failures += 1
+
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
 
