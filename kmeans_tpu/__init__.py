@@ -3,10 +3,13 @@
 A from-scratch JAX/XLA/Pallas framework with the capabilities of the
 redwarp/kmeans-gpu reference (see SURVEY.md): k-means palette extraction in
 CIELAB with CIE94 distance, farthest-point seeding, three output modes
-(replace / ordered dither / meld), an octree quantizer, and a `palette` /
-`find` / `reduce` CLI — plus TPU-first extensions: fully device-resident
-training (no per-iteration host syncs), batched multi-k/multi-frame
-execution, multi-chip pixel sharding, and no 8192x8192 size cap.
+(replace / ordered dither / meld), octree/median-cut/Wu quantizers, and a
+`palette` / `find` / `reduce` CLI — plus TPU-first extensions: fully
+device-resident training (no per-iteration host syncs), batched
+multi-k/multi-frame execution, multi-chip pixel sharding, shape/k/frame
+bucketing for serving (`ImageProcessor(bucketing=True)` + `warmup`), an
+HTTP daemon (`python -m kmeans_tpu.serve`), row-band streaming for
+gigapixel images (`reduce_streamed`), and no 8192x8192 size cap.
 """
 
 from kmeans_tpu.api import (
