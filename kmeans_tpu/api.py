@@ -47,7 +47,13 @@ from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_n
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import resize_to_canvas, resize_uint8, shrunk_dimensions
-from kmeans_tpu.utils.bucketing import bucket_frames, pad_to_bucket
+from kmeans_tpu.utils.bucketing import (
+    bucket_frames,
+    bucket_k,
+    next_bucket,
+    pad_palette_k,
+    pad_to_bucket,
+)
 
 # Training-image shrink cap (`core/src/structures.rs:23`).
 MAX_IMAGE_DIMENSION = 256
@@ -84,7 +90,7 @@ class ReduceMode(Enum):
     MELD = "meld"
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "lab"))
+@partial(jax.jit, static_argnames=("k", "train_shape", "lab", "use_pallas"))
 def _train_jit(
     pixels_u8: jnp.ndarray,
     k: int,
@@ -92,6 +98,7 @@ def _train_jit(
     first_index: int,
     convergence: float,
     lab: bool = True,
+    use_pallas: bool = False,
 ):
     """Single-executable training path: shrink -> colorspace -> seed ->
     Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
@@ -101,7 +108,7 @@ def _train_jit(
         pixels_u8 = resize_uint8(pixels_u8, sh, sw)
     rgb = pixels_u8[..., :3].reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
-    centroids, iters = _fit_auto(work, k, first_index, convergence)
+    centroids, iters = _fit_auto(work, k, first_index, convergence, use_pallas)
     return centroids, iters
 
 
@@ -179,7 +186,9 @@ def _reduce_indexed_jit(
         else pixels_u8
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-    centroids, _ = _fit_auto(work, k, first_index, convergence)
+    # This executable is only built on the fused (TPU) path, so the Pallas
+    # trainer is valid here.
+    centroids, _ = _fit_auto(work, k, first_index, convergence, use_pallas=True)
     threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
     idx = fused_assign(pixels_u8, centroids, threshold, mode=mode)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
@@ -220,7 +229,7 @@ def _quantize_fused_jit(
     )
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "lab"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "lab", "use_pallas"))
 def _train_bucketed_jit(
     padded_u8: jnp.ndarray,
     kp: int,
@@ -233,6 +242,7 @@ def _train_bucketed_jit(
     convergence,
     k_active,
     lab: bool = True,
+    use_pallas: bool = False,
 ):
     """Training with bucketed (padded) input: the real image lives in the
     top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
@@ -248,9 +258,9 @@ def _train_bucketed_jit(
     rgb = canvas.reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
     # _fit_auto routes big canvases (bucketing + train_max_size=None on
-    # large buckets) to the weighted Pallas trainer on TPU.
+    # large buckets) to the weighted Pallas trainer when available.
     return _fit_auto(
-        work, kp, first_index, convergence,
+        work, kp, first_index, convergence, use_pallas,
         weight=weight.reshape(-1), k_active=k_active,
     )
 
@@ -272,7 +282,7 @@ def _reduce_bucketed_indexed_jit(
     """Bucketed reduce with indexed readback (TPU fused path)."""
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
-        convergence, k_active,
+        convergence, k_active, use_pallas=True,  # fused-only executable
     )
     threshold = (
         dither_threshold(centroids, k_active=k_active)
@@ -302,7 +312,7 @@ def _reduce_bucketed_jit(
     """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
-        convergence, k_active,
+        convergence, k_active, use_pallas=use_pallas,
     )
     if use_pallas:
         threshold = (
@@ -339,7 +349,9 @@ def _pallas_available(device=None) -> bool:
 
 
 @jax.jit
-def _lab_palette_to_u8(centroids: jnp.ndarray) -> jnp.ndarray:
+def _lab_palette_to_u8(
+    centroids: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Palette readback: Lab -> RGBA8 + the L* sort key recomputed from the
     u8 colors (`CentroidsBuffer::pull_values` + the sort in
     `core/src/lib.rs:276-284`)."""
@@ -480,6 +492,7 @@ class ImageProcessor:
             first,
             color_space.convergence,
             lab=color_space is ColorSpace.LAB,
+            use_pallas=self.fused,
         )
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
@@ -530,8 +543,6 @@ class ImageProcessor:
         canvas with the cluster axis padded to `bucket_k(k)` (requests at
         any k <= kp share the executable), quantize the padded image,
         crop."""
-        from kmeans_tpu.utils.bucketing import bucket_k
-
         padded, h, w = pad_to_bucket(image.pixels)
         bh, bw = padded.shape[:2]
         canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
@@ -556,6 +567,7 @@ class ImageProcessor:
         modes=(ReduceMode.REPLACE,),
         palette: bool = True,
         find_palette_sizes=(),
+        gif_frame_counts=(),
     ) -> int:
         """Precompile bucketed executables before serving traffic.
 
@@ -567,10 +579,13 @@ class ImageProcessor:
         every (bucket, k-bucket) unless `palette=False`, and `find` for
         every (bucket, mode, k-bucket) with sizes in `find_palette_sizes`
         (user palettes pad to `bucket_k` rows, so one size per power-of-two
-        bucket suffices). Returns the number of dummy requests issued.
-        Requires bucketing=True.
+        bucket suffices). With `gif_frame_counts`, also warms the batched
+        GIF executables (`reduce_images` frame + global palettes and
+        `find_batch`) for each frame-count bucket. Returns the number of
+        dummy requests issued. Requires bucketing=True.
         """
-        from kmeans_tpu.utils.bucketing import bucket_k, bucket_shape
+
+        from kmeans_tpu.utils.bucketing import bucket_shape
 
         if not self.bucketing:
             raise ValueError("warmup requires ImageProcessor(bucketing=True)")
@@ -615,6 +630,31 @@ class ImageProcessor:
                         (bh, bw, bucket_k(kf), mode.value, "find"),
                         lambda: self.find(img, colors, mode),
                     )
+            for fc in gif_frame_counts:
+                fb = bucket_frames(int(fc))
+                frames = [dummy_image(bh, bw) for _ in range(fb)]
+                for k in color_counts:
+                    k = int(k)
+                    once(
+                        (bh, bw, fb, bucket_k(k), "pimg"),
+                        lambda: self.palette_images(frames, k),
+                    )
+                    for mode in modes:
+                        mode = ReduceMode(mode)
+                        once(
+                            (bh, bw, fb, bucket_k(k), mode.value, "rimg"),
+                            lambda: self.reduce_images(frames, k, mode),
+                        )
+                for kf in find_palette_sizes:
+                    kf = int(kf)
+                    colors = rng.integers(0, 256, (kf, 4), dtype=np.uint8)
+                    colors[:, 3] = 255
+                    for mode in modes:
+                        mode = ReduceMode(mode)
+                        once(
+                            (bh, bw, fb, bucket_k(kf), mode.value, "fbatch"),
+                            lambda: self.find_batch(frames, colors, mode),
+                        )
         return len(seen)
 
     # ------------------------------------------------------------------ #
@@ -632,14 +672,13 @@ class ImageProcessor:
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
         if self.bucketing:
-            from kmeans_tpu.utils.bucketing import bucket_k
-
             padded, h, w = pad_to_bucket(image.pixels)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_bucketed_jit(
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence, color_count,
+                use_pallas=self.fused,
             )
             rgba, lightness = _lab_palette_to_u8(centroids)
             rgba = np.asarray(rgba)[:color_count]
@@ -735,8 +774,6 @@ class ImageProcessor:
             # Bucket the palette size too: pad rows (masked by k_active)
             # so find executables are keyed by the k *bucket* and fully
             # enumerable by warmup.
-            from kmeans_tpu.utils.bucketing import pad_palette_k
-
             palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
             if reduce_mode is not ReduceMode.MELD and k <= 256:
@@ -773,13 +810,14 @@ class ImageProcessor:
         for f in frames:
             if f.dimensions != dims:
                 raise ValueError("all frames must share dimensions")
-        palette_lab = jnp.asarray(_colors_to_lab(_colors_rgba(colors)))
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        palette_lab = jnp.asarray(_colors_to_lab(palette_rgba))
         if self.bucketing:
             # Per-pixel op: pad to the bucket (spatially, in frame count —
             # pad frames repeat frame 0 and are discarded — and in palette
             # size, masked by k_active), crop after — bit-equal.
-            from kmeans_tpu.utils.bucketing import pad_palette_k
-
             palette_lab, k = pad_palette_k(palette_lab)
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
@@ -818,8 +856,7 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         w, h = dims
         if self.bucketing:
-            from kmeans_tpu.utils.bucketing import bucket_k
-
+    
             padded = [pad_to_bucket(f.pixels)[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             padded = np.stack(padded)
@@ -929,17 +966,11 @@ class ImageProcessor:
         )
         return Image(image.dimensions, np.asarray(out))
 
-    def palette_sharded(self, color_count: int, image, mesh=None) -> np.ndarray:
-        """Multi-chip `palette`: training sharded over the mesh's pixel
-        axis (psum/all_gather over ICI); returns `[k, 4]` RGBA8 sorted by
-        L* like `palette`."""
+    def _fit_sharded_centroids(self, image: Image, k: int, mesh):
+        """Shared trainer for the sharded entry points: shrink, convert,
+        pad to the shard count (0-weight padding), pixel-sharded fit."""
         from kmeans_tpu.parallel.distributed import fit_sharded
-        from kmeans_tpu.parallel.mesh import make_mesh
 
-        image = _as_image(image)
-        _validate_k(color_count)
-        if mesh is None:
-            mesh = make_mesh(self.devices, data=1)
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
@@ -956,9 +987,22 @@ class ImageProcessor:
             [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
         )
         centroids, _ = fit_sharded(
-            mesh, work, weight, color_count, first,
+            mesh, work, weight, k, first,
             convergence=ColorSpace.LAB.convergence,
         )
+        return centroids
+
+    def palette_sharded(self, color_count: int, image, mesh=None) -> np.ndarray:
+        """Multi-chip `palette`: training sharded over the mesh's pixel
+        axis (psum/all_gather over ICI); returns `[k, 4]` RGBA8 sorted by
+        L* like `palette`."""
+        from kmeans_tpu.parallel.mesh import make_mesh
+
+        image = _as_image(image)
+        _validate_k(color_count)
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        centroids = self._fit_sharded_centroids(image, color_count, mesh)
         rgba, lightness = _lab_palette_to_u8(centroids)
         order = np.argsort(np.asarray(lightness), kind="stable")
         return np.asarray(rgba)[order]
@@ -974,7 +1018,6 @@ class ImageProcessor:
         (psum/all_gather collectives over ICI) and the full-resolution
         quantize sharded row-wise. Semantically equivalent to `reduce`
         modulo f32 reduction reordering in the psum'd centroid sums."""
-        from kmeans_tpu.parallel.distributed import fit_sharded
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
@@ -982,26 +1025,7 @@ class ImageProcessor:
         _validate_k(color_count)
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
-        w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
-        first = kmeans_model.reference_seed_index(sw, sh)
-
-        pixels_u8 = jnp.asarray(image.pixels)
-        train_u8 = (
-            resize_uint8(pixels_u8, sh, sw) if (sw, sh) != (w, h) else pixels_u8
-        )
-        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-        n = work.shape[0]
-        d = mesh.devices.size
-        n_pad = (n + d - 1) // d * d
-        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
-        weight = jnp.concatenate(
-            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
-        )
-        centroids, _ = fit_sharded(
-            mesh, work, weight, color_count, first,
-            convergence=ColorSpace.LAB.convergence,
-        )
+        centroids = self._fit_sharded_centroids(image, color_count, mesh)
         out = quantize_image_sharded(
             mesh, image.pixels, centroids, mode=reduce_mode.value
         )
@@ -1082,6 +1106,7 @@ class ImageProcessor:
         centroids, _ = _train_bucketed_jit(
             jnp.asarray(strip_padded), kp, canvas, first,
             strip_h, strip_w, sh, sw, conv, color_count,
+            use_pallas=self.fused,
         )
 
         # Pass 2: quantize bands with absolute dither offsets.
@@ -1159,8 +1184,6 @@ class ImageProcessor:
             if self.bucketing:
                 # Bucketed dispatch: varied frame sizes reuse per-bucket
                 # executables instead of compiling per exact shape.
-                from kmeans_tpu.utils.bucketing import bucket_k
-
                 padded, h, w = pad_to_bucket(image.pixels)
                 bh, bw = padded.shape[:2]
                 canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
@@ -1230,8 +1253,6 @@ class ImageProcessor:
         if self.bucketing:
             # The cluster axis is k_active-masked, so padding kmax to the
             # ladder is free and lets different k sets share executables.
-            from kmeans_tpu.utils.bucketing import next_bucket
-
             kmax = next_bucket(kmax)
             padded, h_, w_ = pad_to_bucket(image.pixels)
             bh, bw = padded.shape[:2]
@@ -1434,8 +1455,12 @@ def _reduce_batch_jit(
     return quant_v(centroids, k_actives)
 
 
-def _validate_k(k: int) -> None:
-    if int(k) < 1:
+def _validate_k(k) -> None:
+    try:
+        ok = int(k) == k and int(k) >= 1
+    except (TypeError, ValueError):
+        ok = False
+    if not ok:
         raise ValueError("k must be an integer higher than 0.")
 
 

@@ -367,3 +367,28 @@ def test_reduce_streamed_requires_train_cap():
     p = ImageProcessor(bucketing=True, train_max_size=None)
     with pytest.raises(ValueError):
         p.reduce_streamed(3, _blob_image(20, 20))
+
+
+def test_warmup_gif_paths():
+    p = ImageProcessor(bucketing=True)
+    # (26, 18) -> bucket (20, 28), frames 3: unique to this test.
+    n = p.warmup(
+        [(26, 18)], [2], find_palette_sizes=[2], gif_frame_counts=[3]
+    )
+    assert n == 6  # reduce, palette, find, pimg, rimg, fbatch
+    before = (
+        api._reduce_images_bucketed_jit._cache_size()
+        + api._train_frames_bucketed_jit._cache_size()
+        + api._find_batch_jit._cache_size()
+    )
+    frames = [_blob_image(26, 18, seed=i) for i in range(3)]
+    p.reduce_images(frames, 2)
+    p.palette_images(frames, 2)
+    colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8)
+    p.find_batch(frames, colors)
+    after = (
+        api._reduce_images_bucketed_jit._cache_size()
+        + api._train_frames_bucketed_jit._cache_size()
+        + api._find_batch_jit._cache_size()
+    )
+    assert after == before  # warmup covered all three GIF executables
