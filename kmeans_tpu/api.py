@@ -1017,7 +1017,13 @@ class ImageProcessor:
         """Multi-chip reduce: training sharded over the mesh's pixel axis
         (psum/all_gather collectives over ICI) and the full-resolution
         quantize sharded row-wise. Semantically equivalent to `reduce`
-        modulo f32 reduction reordering in the psum'd centroid sums."""
+        modulo f32 reduction reordering in the psum'd centroid sums.
+
+        With `bucketing=True` the input pads to its shape bucket, training
+        runs on the static weighted canvas with the k axis padded to its
+        bucket, and quantize runs on the padded rows — multi-chip serving
+        with the same bounded executable population as single-chip."""
+        from kmeans_tpu.parallel.distributed import fit_sharded
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
@@ -1025,6 +1031,31 @@ class ImageProcessor:
         _validate_k(color_count)
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
+        if self.bucketing:
+            padded, h, w = pad_to_bucket(image.pixels)
+            bh, bw = padded.shape[:2]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            ch, cw = canvas
+            canvas_u8, weight = resize_to_canvas(
+                jnp.asarray(padded)[..., :3], ch, cw, h, w, sh, sw
+            )
+            work = srgb8_to_lab(canvas_u8.reshape(-1, 3))
+            wvec = weight.reshape(-1)
+            n = work.shape[0]
+            d = mesh.devices.size
+            n_pad = (n + d - 1) // d * d
+            if n_pad != n:
+                work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
+                wvec = jnp.pad(wvec, (0, n_pad - n))
+            centroids, _ = fit_sharded(
+                mesh, work, wvec, bucket_k(color_count), first,
+                convergence=ColorSpace.LAB.convergence, k_active=color_count,
+            )
+            out = quantize_image_sharded(
+                mesh, padded, centroids, mode=reduce_mode.value,
+                k_active=color_count,
+            )
+            return Image(image.dimensions, np.asarray(out)[:h, :w])
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
         out = quantize_image_sharded(
             mesh, image.pixels, centroids, mode=reduce_mode.value

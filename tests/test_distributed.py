@@ -153,3 +153,23 @@ def test_palette_sharded_matches_single():
     sharded = p.palette_sharded(3, rgba)
     d = np.abs(single.astype(int) - sharded.astype(int))
     assert d.max() <= 2  # psum rounding only
+
+
+def test_reduce_sharded_bucketed():
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(10)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    idx = rng.integers(0, 3, size=(75, 101))  # off-bucket size
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((75, 101, 1), 255, np.uint8)], -1
+    )
+    p = ImageProcessor(bucketing=True)
+    sharded = p.reduce_sharded(3, rgba)
+    single = p.reduce(3, rgba)
+    assert sharded.dimensions == (101, 75)
+    assert len(np.unique(sharded.pixels.reshape(-1, 4), axis=0)) <= 3
+    # psum reordering only: near-identical to the bucketed single-device path.
+    frac = (single.pixels == sharded.pixels).all(axis=-1).mean()
+    assert frac > 0.99
