@@ -127,10 +127,20 @@ def dither(
 
 
 def meld(lab: jnp.ndarray, palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
-    """Blend of the two closest centroids (mix_colors.wgsl:29-47,85-90)."""
+    """Blend of the two closest centroids (mix_colors.wgsl:29-47,85-90).
+
+    Large palettes chunk the pixel rows so the `[pixels, K]` top-k
+    intermediate stays bounded (a 4K image with a 512-color palette would
+    otherwise materialize ~17 GB)."""
     if palette.shape[0] == 1:
         # Static k == 1: nothing to meld (mix_colors.wgsl:127-131).
         return jnp.broadcast_to(palette[0], lab.shape)
+    if palette.shape[0] > 64 and lab.ndim == 3:
+        return _meld_chunked(lab, palette, k_active)
+    return _meld_block(lab, palette, k_active)
+
+
+def _meld_block(lab, palette, k_active=None):
     valid = _valid_mask(palette.shape[0], k_active)
     d2 = _d2_matrix(lab, palette, valid)  # [..., K]
     _, idx2 = jax.lax.top_k(-d2, 2)  # two smallest, first-index tie-break
@@ -142,6 +152,19 @@ def meld(lab: jnp.ndarray, palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
     out = factor * closest + (1.0 - factor) * second
     k_act = jnp.asarray(palette.shape[0] if k_active is None else k_active, jnp.int32)
     return jnp.where(k_act == 1, palette[0], out)
+
+
+def _meld_chunked(lab, palette, k_active=None):
+    """Row-chunked meld: lax.map over row blocks bounds the per-step
+    [rows, W, K] intermediate to ~256 MB."""
+    h, w = lab.shape[0], lab.shape[1]
+    rows = max(1, (1 << 26) // max(w * palette.shape[0], 1))
+    n_chunks = (h + rows - 1) // rows
+    h_pad = n_chunks * rows
+    padded = jnp.pad(lab, ((0, h_pad - h), (0, 0), (0, 0)))
+    chunks = padded.reshape(n_chunks, rows, w, 3)
+    out = jax.lax.map(lambda c: _meld_block(c, palette, k_active), chunks)
+    return out.reshape(h_pad, w, 3)[:h]
 
 
 @partial(jax.jit, static_argnames=("mode",))

@@ -115,3 +115,20 @@ def test_dither_changes_pixels_vs_replace():
     dit = np.asarray(quantize_image(jnp.asarray(img), pal_lab, mode="dither"))
     assert len(np.unique(rep.reshape(-1, 4), axis=0)) == 1
     assert len(np.unique(dit.reshape(-1, 4), axis=0)) == 2  # checkered mix
+
+
+def test_meld_chunked_matches_block():
+    # K > 64 routes through the row-chunked meld; results must equal the
+    # unchunked computation (chunking only bounds the intermediate).
+    from kmeans_tpu.ops.quantize import _meld_block, meld
+
+    rng = np.random.default_rng(6)
+    lab = jnp.asarray(rng.normal(50, 20, (37, 29, 3)).astype(np.float32))
+    palette = jnp.asarray(rng.normal(50, 20, (70, 3)).astype(np.float32))
+    chunked = np.asarray(meld(lab, palette))
+    block = np.asarray(_meld_block(lab, palette))
+    np.testing.assert_allclose(chunked, block, rtol=1e-6, atol=1e-4)
+    # k_active masking still honored through the chunked path.
+    chunked_ka = np.asarray(meld(lab, palette, k_active=65))
+    block_ka = np.asarray(_meld_block(lab, palette, k_active=65))
+    np.testing.assert_allclose(chunked_ka, block_ka, rtol=1e-6, atol=1e-4)
