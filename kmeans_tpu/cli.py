@@ -192,6 +192,14 @@ def build_parser() -> argparse.ArgumentParser:
     reduce.add_argument(
         "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
     )
+    reduce.add_argument(
+        "--band-rows",
+        type=int,
+        default=None,
+        help="process the image in row bands of this many rows "
+        "(gigapixel images: device memory holds one band at a time; "
+        "kmeans algorithm only)",
+    )
 
     # TPU-first extensions beyond the reference CLI: batched GIF pipelines
     # (all frames processed in one vmapped executable).
@@ -260,9 +268,17 @@ def main(argv=None) -> int:
         save_image(result, find_file_path(args.mode, args.output, args.input))
     elif args.command == "reduce":
         image = load_image(args.input)
-        result = processor.reduce(
-            args.colorcount, image, Algorithm(args.algo), ReduceMode(args.mode)
-        )
+        if args.band_rows:
+            if args.algo != "kmeans":
+                raise SystemExit("--band-rows requires the kmeans algorithm")
+            result = processor.reduce_streamed(
+                args.colorcount, image, ReduceMode(args.mode),
+                band_rows=args.band_rows,
+            )
+        else:
+            result = processor.reduce(
+                args.colorcount, image, Algorithm(args.algo), ReduceMode(args.mode)
+            )
         save_image(
             result,
             reduce_file_path(

@@ -262,3 +262,16 @@ def test_cli_bucketing_flag(sample_png, tmp_path):
     img = load_image(out)
     assert img.dimensions == load_image(sample_png).dimensions
     assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_cli_band_rows(sample_png, tmp_path):
+    out = str(tmp_path / "br.png")
+    assert cli.main(
+        ["reduce", "-i", sample_png, "-c", "3", "--band-rows", "16", "-o", out]
+    ) == 0
+    img = load_image(out)
+    assert img.dimensions == load_image(sample_png).dimensions
+    assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
+    with pytest.raises(SystemExit):
+        cli.main(["reduce", "-i", sample_png, "-c", "3", "--band-rows", "16",
+                  "-a", "octree", "-o", out])
