@@ -133,7 +133,9 @@ def _fit_auto(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas"))
+@partial(
+    jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas", "fast")
+)
 def _reduce_jit(
     pixels_u8: jnp.ndarray,
     k: int,
@@ -142,6 +144,7 @@ def _reduce_jit(
     convergence: float,
     mode: str,
     use_pallas: bool,
+    fast: bool = False,
 ):
     """The flagship path as ONE executable: shrink -> Lab -> seed -> Lloyd ->
     full-res quantize. A single host->device transfer of the uint8 image and
@@ -160,13 +163,15 @@ def _reduce_jit(
         threshold = (
             dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
         )
-        out = fused_quantize(pixels_u8, centroids, threshold, mode=mode)
+        out = fused_quantize(
+            pixels_u8, centroids, threshold, mode=mode, fast=fast
+        )
     else:
         out = quantize_image(pixels_u8, centroids, mode=mode)
     return out, centroids
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "mode"))
+@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "fast"))
 def _reduce_indexed_jit(
     pixels_u8: jnp.ndarray,
     k: int,
@@ -174,6 +179,7 @@ def _reduce_indexed_jit(
     first_index: int,
     convergence: float,
     mode: str,
+    fast: bool = False,
 ):
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
@@ -190,14 +196,15 @@ def _reduce_indexed_jit(
     # trainer is valid here.
     centroids, _ = _fit_auto(work, k, first_index, convergence, use_pallas=True)
     threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
-    idx = fused_assign(pixels_u8, centroids, threshold, mode=mode)
+    idx = fused_assign(pixels_u8, centroids, threshold, mode=mode, fast=fast)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "fast"))
 def _assign_indexed_jit(
-    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0
+    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
+    fast: bool = False,
 ):
     """Fixed-palette indexed assignment (the `find` fast path). With
     `k_active`, trailing palette rows are bucket padding and masked;
@@ -209,13 +216,14 @@ def _assign_indexed_jit(
     )
     return fused_assign(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
-        row_offset=row_offset,
+        row_offset=row_offset, fast=fast,
     )
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "fast"))
 def _quantize_fused_jit(
-    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0
+    pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
+    fast: bool = False,
 ):
     """Fused quantize with the dither threshold computed in-executable."""
     threshold = (
@@ -225,7 +233,7 @@ def _quantize_fused_jit(
     )
     return fused_quantize(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
-        row_offset=row_offset,
+        row_offset=row_offset, fast=fast,
     )
 
 
@@ -265,7 +273,7 @@ def _train_bucketed_jit(
     )
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "fast"))
 def _reduce_bucketed_indexed_jit(
     padded_u8: jnp.ndarray,
     kp: int,
@@ -278,6 +286,7 @@ def _reduce_bucketed_indexed_jit(
     convergence,
     mode: str,
     k_active,
+    fast: bool = False,
 ):
     """Bucketed reduce with indexed readback (TPU fused path)."""
     centroids, _ = _train_bucketed_jit(
@@ -289,12 +298,17 @@ def _reduce_bucketed_indexed_jit(
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    idx = fused_assign(padded_u8, centroids, threshold, k_active=k_active, mode=mode)
+    idx = fused_assign(
+        padded_u8, centroids, threshold, k_active=k_active, mode=mode, fast=fast
+    )
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "use_pallas", "fast"),
+)
 def _reduce_bucketed_jit(
     padded_u8: jnp.ndarray,
     kp: int,
@@ -308,6 +322,7 @@ def _reduce_bucketed_jit(
     mode: str,
     use_pallas: bool,
     k_active,
+    fast: bool = False,
 ):
     """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
     centroids, _ = _train_bucketed_jit(
@@ -321,7 +336,8 @@ def _reduce_bucketed_jit(
             else jnp.float32(0.0)
         )
         return fused_quantize(
-            padded_u8, centroids, threshold, k_active=k_active, mode=mode
+            padded_u8, centroids, threshold, k_active=k_active, mode=mode,
+            fast=fast,
         )
     return quantize_image(padded_u8, centroids, mode=mode, k_active=k_active)
 
@@ -423,6 +439,7 @@ class ImageProcessor:
         fused: bool | None = None,
         train_max_size: int | None = MAX_IMAGE_DIMENSION,
         bucketing: bool = False,
+        fast: bool = False,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -466,6 +483,14 @@ class ImageProcessor:
         # a different order over the weighted canvas). See
         # `utils/bucketing.py`.
         self.bucketing = bool(bucketing)
+        # fast=True: the fused quantize/assign kernels hoist the CIE94
+        # divides into per-pixel reciprocals (2 divides total instead of
+        # 2 per centroid). ~1e-4 of pixels can flip to the other side of a
+        # nearest-centroid knife edge (a*(1/b) != a/b in f32), giving up
+        # bit-parity with the XLA formulas for measurable speed — see
+        # docs/perf.md. Only affects the fused (TPU) output stage; training
+        # and CPU paths are unchanged.
+        self.fast = bool(fast)
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -551,12 +576,12 @@ class ImageProcessor:
         if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
             idx, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
-                reduce_mode.value, k,
+                reduce_mode.value, k, fast=self.fast,
             )
             return np.asarray(pal)[np.asarray(idx)[:h, :w]]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
-            reduce_mode.value, self.fused, k,
+            reduce_mode.value, self.fused, k, fast=self.fast,
         )
         return np.asarray(out)[:h, :w]
 
@@ -740,6 +765,7 @@ class ImageProcessor:
                     first,
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
+                    fast=self.fast,
                 )
                 out = np.asarray(palette_rgba)[np.asarray(idx)]
             else:
@@ -751,6 +777,7 @@ class ImageProcessor:
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
                     self.fused,
+                    fast=self.fast,
                 )
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
@@ -778,12 +805,14 @@ class ImageProcessor:
         if self.fused:
             if reduce_mode is not ReduceMode.MELD and k <= 256:
                 idx = _assign_indexed_jit(
-                    pixels_u8, palette_lab, reduce_mode.value, k_active
+                    pixels_u8, palette_lab, reduce_mode.value, k_active,
+                    fast=self.fast,
                 )
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[np.asarray(idx)]
             return _quantize_fused_jit(
-                pixels_u8, palette_lab, reduce_mode.value, k_active
+                pixels_u8, palette_lab, reduce_mode.value, k_active,
+                fast=self.fast,
             )
         return quantize_image(
             pixels_u8, palette_lab, mode=reduce_mode.value, k_active=k_active
@@ -1157,7 +1186,7 @@ class ImageProcessor:
             if use_indexed:
                 idx = _assign_indexed_jit(
                     jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0,
+                    color_count, r0, fast=self.fast,
                 )
                 out[r0 : r0 + bh_real] = palette_rgba[
                     np.asarray(idx)[:bh_real, :w]
@@ -1165,7 +1194,7 @@ class ImageProcessor:
             elif self.fused:
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0,
+                    color_count, r0, fast=self.fast,
                 )
                 out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
             else:
@@ -1224,13 +1253,14 @@ class ImageProcessor:
                     idx, pal = _reduce_bucketed_indexed_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, color_count,
+                        fast=self.fast,
                     )
                     pending.append((image.dimensions, idx, pal, (h, w)))
                 else:
                     out = _reduce_bucketed_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, self.fused,
-                        color_count,
+                        color_count, fast=self.fast,
                     )
                     pending.append((image.dimensions, out, None, (h, w)))
                 continue
@@ -1245,6 +1275,7 @@ class ImageProcessor:
                     first,
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
+                    fast=self.fast,
                 )
                 pending.append((image.dimensions, idx, palette_rgba, None))
             else:
@@ -1256,6 +1287,7 @@ class ImageProcessor:
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
                     self.fused,
+                    fast=self.fast,
                 )
                 pending.append((image.dimensions, out, None, None))
         while pending:

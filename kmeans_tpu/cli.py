@@ -156,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="pad inputs to shape buckets so varied image sizes reuse "
         "compiled TPU executables (see docs/serving.md)",
     )
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="faster fused TPU kernels (hoisted CIE94 reciprocals); "
+        "~1e-4 of pixels may flip to an adjacent palette color vs the "
+        "exact path (see docs/perf.md)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     palette = sub.add_parser(
@@ -249,7 +256,7 @@ def main(argv=None) -> int:
     from kmeans_tpu.image import Image
     from kmeans_tpu.utils.imageio import load_image, save_image
 
-    processor = ImageProcessor(bucketing=args.bucketing)
+    processor = ImageProcessor(bucketing=args.bucketing, fast=args.fast)
 
     if args.command == "palette":
         image = load_image(args.input)

@@ -142,6 +142,7 @@ def _quantize_kernel(
     mode: str,
     width: int,
     emit_index: bool = False,
+    fast: bool = False,
 ):
     k_active = scalar_ref[0]
     threshold = thr_ref[0]
@@ -195,6 +196,13 @@ def _quantize_kernel(
     c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
     sc_p = 1.0 + _K1 * c1_p
     sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
+    if fast:
+        # Fast mode: replace the two per-centroid divides with per-pixel
+        # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
+        # rounds differently from a/b in f32, so nearest-centroid ties at
+        # the knife edge can flip — opt-in, documented in docs/perf.md.
+        rsc_p = 1.0 / sc_p
+        rsh2_p = 1.0 / sh2_p
 
     def dist_sq(cl, ca, cb):
         dl = l_p - cl
@@ -203,6 +211,9 @@ def _quantize_kernel(
         c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
         dcab = c1_p - c2
         dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+        if fast:
+            t = dcab * rsc_p
+            return dl * dl + t * t + dhab_sq * rsh2_p
         t = dcab / sc_p
         return dl * dl + t * t + dhab_sq / sh2_p
 
@@ -303,7 +314,7 @@ def _packed_palette(centroids_lab: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret")
+    jax.jit, static_argnames=("mode", "interpret", "fast")
 )
 def fused_quantize(
     rgba_u8: jnp.ndarray,
@@ -313,6 +324,7 @@ def fused_quantize(
     mode: str = "replace",
     interpret: bool = False,
     row_offset=0,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Fused single-pass quantize: `[H, W, 4]` u8 -> `[H, W, 4]` u8.
 
@@ -320,6 +332,8 @@ def fused_quantize(
     computed by `ops.quantize.dither_threshold` on the tiny palette.
     `row_offset` shifts dither y coordinates for streamed row bands.
     `interpret=True` runs the Pallas interpreter (for CPU tests).
+    `fast=True` hoists the CIE94 divides into per-pixel reciprocals —
+    faster, but gives up bit-parity with the XLA path on knife-edge ties.
     """
     if mode not in ("replace", "dither", "meld"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -327,7 +341,7 @@ def fused_quantize(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False,
-        row_offset,
+        row_offset, fast,
     )
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
@@ -336,7 +350,7 @@ def fused_quantize(
 
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
-    row_offset=0,
+    row_offset=0, fast=False,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign."""
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
@@ -355,7 +369,8 @@ def _run_quantize_kernel(
 
     return pl.pallas_call(
         functools.partial(
-            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index
+            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
+            fast=fast,
         ),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
@@ -416,11 +431,24 @@ def _lloyd_acc_kernel(
     big = jnp.float32(3.4e38)
     best_d = jnp.full_like(l_p, big)
     best_k = jnp.zeros(l_p.shape, jnp.int32)
+    # Pixel-side CIE94 terms hoisted out of the centroid loop — identical
+    # expressions to _cie94_sq_planes on the same inputs, so every distance
+    # (and therefore every assignment) is bit-identical to the rolled form.
+    c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
+    sc_p = 1.0 + _K1 * c1_p
+    sh_p = 1.0 + _K2 * c1_p
+    sh2_p = sh_p * sh_p
     # kp is small and static: unroll (VPU-friendly, no loop-carried VMEM).
     for k in range(kp):
-        d = _cie94_sq_planes(
-            l_p, a_p, b_p, cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
-        )
+        cl, ca, cb = cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
+        dl = l_p - cl
+        da = a_p - ca
+        db = b_p - cb
+        c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
+        dcab = c1_p - c2
+        dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+        t = dcab / sc_p
+        d = dl * dl + t * t + dhab_sq / sh2_p
         d = jnp.where(k < k_active, d, big)
         take = d < best_d
         best_d = jnp.where(take, d, best_d)
@@ -509,7 +537,7 @@ def pack_plane(vec: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(vec, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mode", "interpret", "fast"))
 def fused_assign(
     rgba_u8: jnp.ndarray,
     centroids_lab: jnp.ndarray,
@@ -518,6 +546,7 @@ def fused_assign(
     mode: str = "replace",
     interpret: bool = False,
     row_offset=0,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Like `fused_quantize` but returns the per-pixel palette index
     `[H, W]` uint8 instead of recolored pixels — 1 B/px device->host
@@ -532,6 +561,6 @@ def fused_assign(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
-        row_offset,
+        row_offset, fast,
     )
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

@@ -256,3 +256,21 @@ def test_palette_images_global(blobs_image):
         np.concatenate([o.pixels.reshape(-1, 4) for o in outs]), axis=0
     )
     assert len(all_colors) <= 5
+
+
+def test_fast_mode_option(blobs_image):
+    """ImageProcessor(fast=True) threads the fast-kernel flag through every
+    reduce/find path. On the CPU (XLA) path it is a no-op, so results must
+    be identical to the default; on TPU it relaxes knife-edge bit-parity
+    (covered by tests/test_kernels.py fast-mode tests in interpret mode)."""
+    image, _ = blobs_image
+    exact = ImageProcessor().reduce(4, image)
+    fast = ImageProcessor(fast=True).reduce(4, image)
+    np.testing.assert_array_equal(exact.pixels, fast.pixels)
+    colors = np.asarray([[220, 40, 40, 255], [40, 200, 60, 255]], np.uint8)
+    f1 = ImageProcessor().find(image, colors)
+    f2 = ImageProcessor(fast=True).find(image, colors)
+    np.testing.assert_array_equal(f1.pixels, f2.pixels)
+    # Bucketed + fast compose.
+    b = ImageProcessor(bucketing=True, fast=True).reduce(4, image)
+    assert b.pixels.shape == exact.pixels.shape

@@ -213,3 +213,36 @@ def test_fit_large_weighted_matches_fit_weighted():
     c2, i2 = fit_large(pix, 3, 0, weight=weight, interpret=True)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
     assert int(i1) == int(i2)
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither", "meld"])
+def test_fused_fast_mode_quality(mode):
+    """fast=True hoists the CIE94 divides into reciprocals: assignments may
+    flip only on knife-edge ties, so outputs must agree on ~all pixels and
+    any differing pixel must still be a palette color (replace)."""
+    img = _image(48, 64, seed=7)
+    pal = _palette(8, seed=3)
+    thr = dither_threshold(pal)
+    exact = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
+    fast = np.asarray(
+        fused_quantize(img, pal, thr, mode=mode, interpret=True, fast=True)
+    )
+    pixel_diff = (exact != fast).any(axis=-1).mean()
+    assert pixel_diff < 1e-3, f"fast mode flipped {pixel_diff:.2%} of pixels"
+    if mode == "replace":
+        pal_rgba = set(map(tuple, np.unique(exact.reshape(-1, 4), axis=0)))
+        got_rgba = set(map(tuple, np.unique(fast.reshape(-1, 4), axis=0)))
+        assert got_rgba <= pal_rgba
+
+
+def test_fused_assign_fast_mode_quality():
+    from kmeans_tpu.ops.kernels import fused_assign
+
+    img = _image(48, 64, seed=9)
+    pal = _palette(8, seed=5)
+    thr = dither_threshold(pal)
+    exact = np.asarray(fused_assign(img, pal, thr, mode="replace", interpret=True))
+    fast = np.asarray(
+        fused_assign(img, pal, thr, mode="replace", interpret=True, fast=True)
+    )
+    assert (exact != fast).mean() < 1e-3
