@@ -90,7 +90,10 @@ class ReduceMode(Enum):
     MELD = "meld"
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "lab", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "train_shape", "lab", "use_pallas", "metric"),
+)
 def _train_jit(
     pixels_u8: jnp.ndarray,
     k: int,
@@ -99,6 +102,7 @@ def _train_jit(
     convergence: float,
     lab: bool = True,
     use_pallas: bool = False,
+    metric: str = "cie94",
 ):
     """Single-executable training path: shrink -> colorspace -> seed ->
     Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
@@ -108,7 +112,9 @@ def _train_jit(
         pixels_u8 = resize_uint8(pixels_u8, sh, sw)
     rgb = pixels_u8[..., :3].reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
-    centroids, iters = _fit_auto(work, k, first_index, convergence, use_pallas)
+    centroids, iters = _fit_auto(
+        work, k, first_index, convergence, use_pallas, metric=metric
+    )
     return centroids, iters
 
 
@@ -119,22 +125,36 @@ _LARGE_TRAIN_PIXELS = 1 << 20
 
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
-    k_active=None,
+    k_active=None, metric="cie94",
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
+    # It is also CIE94-only (the tile accumulator hard-codes the metric),
+    # so non-default metrics train on the XLA path.
     if use_pallas is None:
         use_pallas = _pallas_available()
-    large = work.shape[0] > _LARGE_TRAIN_PIXELS and k <= 64 and use_pallas
-    fit_fn = kmeans_model.fit_large if large else kmeans_model.fit
-    return fit_fn(
+    large = (
+        work.shape[0] > _LARGE_TRAIN_PIXELS
+        and k <= 64
+        and use_pallas
+        and metric == "cie94"
+    )
+    if large:
+        return kmeans_model.fit_large(
+            work, k, first_index, convergence=convergence, weight=weight,
+            k_active=k_active,
+        )
+    return kmeans_model.fit(
         work, k, first_index, convergence=convergence, weight=weight,
-        k_active=k_active,
+        k_active=k_active, metric=metric,
     )
 
 
 @partial(
-    jax.jit, static_argnames=("k", "train_shape", "mode", "use_pallas", "fast")
+    jax.jit,
+    static_argnames=(
+        "k", "train_shape", "mode", "use_pallas", "fast", "metric",
+    ),
 )
 def _reduce_jit(
     pixels_u8: jnp.ndarray,
@@ -145,6 +165,7 @@ def _reduce_jit(
     mode: str,
     use_pallas: bool,
     fast: bool = False,
+    metric: str = "cie94",
 ):
     """The flagship path as ONE executable: shrink -> Lab -> seed -> Lloyd ->
     full-res quantize. A single host->device transfer of the uint8 image and
@@ -158,8 +179,12 @@ def _reduce_jit(
         else pixels_u8
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-    centroids, _ = _fit_auto(work, k, first_index, convergence, use_pallas)
+    centroids, _ = _fit_auto(
+        work, k, first_index, convergence, use_pallas, metric=metric
+    )
     if use_pallas:
+        # The fused kernels hard-code CIE94; the processor routes
+        # non-default metrics here with use_pallas=False.
         threshold = (
             dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
         )
@@ -167,7 +192,7 @@ def _reduce_jit(
             pixels_u8, centroids, threshold, mode=mode, fast=fast
         )
     else:
-        out = quantize_image(pixels_u8, centroids, mode=mode)
+        out = quantize_image(pixels_u8, centroids, mode=mode, metric=metric)
     return out, centroids
 
 
@@ -237,7 +262,10 @@ def _quantize_fused_jit(
     )
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "lab", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "lab", "use_pallas", "metric"),
+)
 def _train_bucketed_jit(
     padded_u8: jnp.ndarray,
     kp: int,
@@ -251,6 +279,7 @@ def _train_bucketed_jit(
     k_active,
     lab: bool = True,
     use_pallas: bool = False,
+    metric: str = "cie94",
 ):
     """Training with bucketed (padded) input: the real image lives in the
     top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
@@ -269,7 +298,7 @@ def _train_bucketed_jit(
     # large buckets) to the weighted Pallas trainer when available.
     return _fit_auto(
         work, kp, first_index, convergence, use_pallas,
-        weight=weight.reshape(-1), k_active=k_active,
+        weight=weight.reshape(-1), k_active=k_active, metric=metric,
     )
 
 
@@ -307,7 +336,9 @@ def _reduce_bucketed_indexed_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("kp", "canvas_shape", "mode", "use_pallas", "fast"),
+    static_argnames=(
+        "kp", "canvas_shape", "mode", "use_pallas", "fast", "metric",
+    ),
 )
 def _reduce_bucketed_jit(
     padded_u8: jnp.ndarray,
@@ -323,11 +354,12 @@ def _reduce_bucketed_jit(
     use_pallas: bool,
     k_active,
     fast: bool = False,
+    metric: str = "cie94",
 ):
     """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
-        convergence, k_active, use_pallas=use_pallas,
+        convergence, k_active, use_pallas=use_pallas, metric=metric,
     )
     if use_pallas:
         threshold = (
@@ -339,7 +371,9 @@ def _reduce_bucketed_jit(
             padded_u8, centroids, threshold, k_active=k_active, mode=mode,
             fast=fast,
         )
-    return quantize_image(padded_u8, centroids, mode=mode, k_active=k_active)
+    return quantize_image(
+        padded_u8, centroids, mode=mode, k_active=k_active, metric=metric
+    )
 
 
 @partial(jax.jit, static_argnames=("canvas_shape",))
@@ -440,6 +474,7 @@ class ImageProcessor:
         train_max_size: int | None = MAX_IMAGE_DIMENSION,
         bucketing: bool = False,
         fast: bool = False,
+        delta_e: str = "94",
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -451,6 +486,20 @@ class ImageProcessor:
 
             enable_compilation_cache()
 
+        # Distance metric (TPU-first extension): CIE94 is the reference's
+        # metric (every kernel); CIEDE2000 is implemented in the
+        # reference's delta_e.wgsl:24-97 but never wired up — here
+        # delta_e="2000" uses it end-to-end (training, assignment, dither
+        # threshold, meld blending, convergence). Runs on the XLA path
+        # (the hand-fused Pallas kernels are CIE94-only).
+        aliases = {"94": "cie94", "cie94": "cie94",
+                   "2000": "cie2000", "cie2000": "cie2000"}
+        if str(delta_e) not in aliases:
+            raise ValueError(
+                f"delta_e must be one of {sorted(aliases)}, got {delta_e!r}"
+            )
+        self.delta_e = aliases[str(delta_e)]
+
         self.devices = list(devices) if devices is not None else jax.devices()
         # All single-device work is pinned to devices[0] (jax.default_device
         # around each entry point); multi-device sharding lives in
@@ -459,13 +508,21 @@ class ImageProcessor:
         # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere),
         # decided for the SELECTED device (e.g. devices=jax.devices("cpu")
         # on a TPU host must take the XLA path).
+        if fused and self.delta_e != "cie94":
+            raise ValueError(
+                "fused=True requires the CIE94 metric (the Pallas kernels "
+                "hard-code it); omit `fused` to use delta_e='2000' on the "
+                "XLA path"
+            )
         if fused and not _pallas_available(self._device):
             raise ValueError(
                 "fused=True requires a TPU device (the Pallas kernels have "
                 "no compiled CPU lowering); omit `fused` for auto-selection"
             )
         self.fused = (
-            _pallas_available(self._device) if fused is None else bool(fused)
+            _pallas_available(self._device) and self.delta_e == "cie94"
+            if fused is None
+            else bool(fused)
         )
         # Training-shrink cap. The reference hard-codes 256
         # (`core/src/structures.rs:23`); raising it — or disabling the
@@ -518,6 +575,7 @@ class ImageProcessor:
             color_space.convergence,
             lab=color_space is ColorSpace.LAB,
             use_pallas=self.fused,
+            metric=self.delta_e,
         )
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
@@ -582,6 +640,7 @@ class ImageProcessor:
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
             reduce_mode.value, self.fused, k, fast=self.fast,
+            metric=self.delta_e,
         )
         return np.asarray(out)[:h, :w]
 
@@ -703,7 +762,7 @@ class ImageProcessor:
             centroids, _ = _train_bucketed_jit(
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence, color_count,
-                use_pallas=self.fused,
+                use_pallas=self.fused, metric=self.delta_e,
             )
             rgba, lightness = _lab_palette_to_u8(centroids)
             rgba = np.asarray(rgba)[:color_count]
@@ -778,6 +837,7 @@ class ImageProcessor:
                     reduce_mode.value,
                     self.fused,
                     fast=self.fast,
+                    metric=self.delta_e,
                 )
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
@@ -815,7 +875,8 @@ class ImageProcessor:
                 fast=self.fast,
             )
         return quantize_image(
-            pixels_u8, palette_lab, mode=reduce_mode.value, k_active=k_active
+            pixels_u8, palette_lab, mode=reduce_mode.value, k_active=k_active,
+            metric=self.delta_e,
         )
 
     # ------------------------------------------------------------------ #
@@ -854,13 +915,15 @@ class ImageProcessor:
             outs = np.asarray(
                 _find_batch_jit(
                     jnp.asarray(np.stack(padded)), palette_lab,
-                    reduce_mode.value, k,
+                    reduce_mode.value, k, metric=self.delta_e,
                 )
             )[: len(frames), :h, :w]
         else:
             stack = jnp.asarray(np.stack([f.pixels for f in frames]))
             outs = np.asarray(
-                _find_batch_jit(stack, palette_lab, reduce_mode.value)
+                _find_batch_jit(
+                    stack, palette_lab, reduce_mode.value, metric=self.delta_e
+                )
             )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
@@ -895,7 +958,7 @@ class ImageProcessor:
                 _reduce_images_bucketed_jit(
                     jnp.asarray(padded), bucket_k(color_count), canvas, first,
                     h, w, sh, sw, ColorSpace.LAB.convergence,
-                    reduce_mode.value, color_count,
+                    reduce_mode.value, color_count, metric=self.delta_e,
                 )
             )[: len(frames), :h, :w]
             return [Image(dims, outs[i]) for i in range(len(frames))]
@@ -904,7 +967,8 @@ class ImageProcessor:
         stack = jnp.asarray(np.stack([f.pixels for f in frames]))
         outs = np.asarray(
             _reduce_images_jit(
-                stack, color_count, (sh, sw), first, reduce_mode.value
+                stack, color_count, (sh, sw), first, reduce_mode.value,
+                metric=self.delta_e,
             )
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
@@ -947,7 +1011,7 @@ class ImageProcessor:
             centroids, _ = _train_frames_bucketed_jit(
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence,
-                jnp.asarray(frame_valid), color_count,
+                jnp.asarray(frame_valid), color_count, metric=self.delta_e,
             )
             # Convert at the full (bounded) kp shape, slice active rows on
             # the host — slicing centroids first would key the conversion
@@ -960,7 +1024,8 @@ class ImageProcessor:
         first = kmeans_model.reference_seed_index(sw, sh)
         stack = jnp.asarray(np.stack([f.pixels for f in frames]))
         centroids, _ = _train_frames_jit(
-            stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence
+            stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,
+            metric=self.delta_e,
         )
         rgba, lightness = _lab_palette_to_u8(centroids)
         order = np.argsort(np.asarray(lightness), kind="stable")
@@ -969,6 +1034,14 @@ class ImageProcessor:
     def _cpu_shrunk_rgb(self, image: Image) -> np.ndarray:
         """Shrink to the octree cap and return `[N, 3]` RGB rows."""
         return self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
+
+    def _require_cie94(self, what: str) -> None:
+        if self.delta_e != "cie94":
+            raise ValueError(
+                f"{what} currently supports the CIE94 metric only "
+                "(the sharded kernels hard-code it); use a "
+                "delta_e='94' processor"
+            )
 
     def find_sharded(
         self,
@@ -983,6 +1056,7 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
+        self._require_cie94("find_sharded")
         image = _as_image(image)
         palette_rgba = _colors_rgba(colors)
         if palette_rgba.shape[0] == 0:
@@ -999,6 +1073,8 @@ class ImageProcessor:
         """Shared trainer for the sharded entry points: shrink, convert,
         pad to the shard count (0-weight padding), pixel-sharded fit."""
         from kmeans_tpu.parallel.distributed import fit_sharded
+
+        self._require_cie94("sharded training")
 
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
@@ -1166,7 +1242,7 @@ class ImageProcessor:
         centroids, _ = _train_bucketed_jit(
             jnp.asarray(strip_padded), kp, canvas, first,
             strip_h, strip_w, sh, sw, conv, color_count,
-            use_pallas=self.fused,
+            use_pallas=self.fused, metric=self.delta_e,
         )
 
         # Pass 2: quantize bands with absolute dither offsets.
@@ -1200,7 +1276,7 @@ class ImageProcessor:
             else:
                 band_out = quantize_image(
                     jnp.asarray(padded), centroids, mode=reduce_mode.value,
-                    k_active=color_count, row_offset=r0,
+                    k_active=color_count, row_offset=r0, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
         return Image(image.dimensions, out)
@@ -1260,7 +1336,7 @@ class ImageProcessor:
                     out = _reduce_bucketed_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, self.fused,
-                        color_count, fast=self.fast,
+                        color_count, fast=self.fast, metric=self.delta_e,
                     )
                     pending.append((image.dimensions, out, None, (h, w)))
                 continue
@@ -1288,6 +1364,7 @@ class ImageProcessor:
                     reduce_mode.value,
                     self.fused,
                     fast=self.fast,
+                    metric=self.delta_e,
                 )
                 pending.append((image.dimensions, out, None, None))
         while pending:
@@ -1332,6 +1409,7 @@ class ImageProcessor:
                     first,
                     h, w, sh, sw,
                     reduce_mode.value,
+                    metric=self.delta_e,
                 )
             )[: len(ks), :h, :w]
             return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
@@ -1345,13 +1423,17 @@ class ImageProcessor:
                 (sh, sw),
                 first,
                 reduce_mode.value,
+                metric=self.delta_e,
             )
         )
         return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "mode"))
-def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
+@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "metric"))
+def _reduce_images_jit(
+    frames_u8, k: int, train_shape, first_index, mode: str,
+    metric: str = "cie94",
+):
     def one(frame):
         sh, sw = train_shape
         train_u8 = (
@@ -1360,13 +1442,13 @@ def _reduce_images_jit(frames_u8, k: int, train_shape, first_index, mode: str):
             else frame
         )
         work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-        centroids, _ = kmeans_model.fit(work, k, first_index)
-        return quantize_image(frame, centroids, mode=mode)
+        centroids, _ = kmeans_model.fit(work, k, first_index, metric=metric)
+        return quantize_image(frame, centroids, mode=mode, metric=metric)
 
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "metric"))
 def _reduce_images_bucketed_jit(
     frames_u8,  # [B, BH, BW, 4] bucket-padded
     kp: int,
@@ -1379,6 +1461,7 @@ def _reduce_images_bucketed_jit(
     convergence,
     mode: str,
     k_active,
+    metric: str = "cie94",
 ):
     """Bucketed per-frame train + quantize over a padded frame stack (the
     GIF serving path): one executable per (bucket, frame bucket, kp, mode)
@@ -1392,14 +1475,16 @@ def _reduce_images_bucketed_jit(
         work = srgb8_to_lab(canvas.reshape(-1, 3))
         centroids, _ = kmeans_model.fit(
             work, kp, first_index, convergence=convergence,
-            weight=weight.reshape(-1), k_active=k_active,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
         )
-        return quantize_image(frame, centroids, mode=mode, k_active=k_active)
+        return quantize_image(
+            frame, centroids, mode=mode, k_active=k_active, metric=metric
+        )
 
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape"))
+@partial(jax.jit, static_argnames=("kp", "canvas_shape", "metric"))
 def _train_frames_bucketed_jit(
     frames_u8,
     kp: int,
@@ -1412,6 +1497,7 @@ def _train_frames_bucketed_jit(
     convergence,
     frame_valid,
     k_active,
+    metric: str = "cie94",
 ):
     """Bucketed joint palette: per-frame weighted canvases concatenated
     into one weighted fit. `frame_valid[B]` (f32) zeroes out frames added
@@ -1428,12 +1514,15 @@ def _train_frames_bucketed_jit(
     work = srgb8_to_lab(canvases.reshape(-1, 3))
     return kmeans_model.fit(
         work, kp, first_index, convergence=convergence,
-        weight=weights.reshape(-1), k_active=k_active,
+        weight=weights.reshape(-1), k_active=k_active, metric=metric,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape"))
-def _train_frames_jit(frames_u8, k: int, train_shape, first_index, convergence):
+@partial(jax.jit, static_argnames=("k", "train_shape", "metric"))
+def _train_frames_jit(
+    frames_u8, k: int, train_shape, first_index, convergence,
+    metric: str = "cie94",
+):
     """Joint palette over a frame stack: shrink every frame, concatenate
     the Lab pixels, fit once. The seed index addresses frame 0 (the
     concatenation starts with it), matching single-image semantics."""
@@ -1446,17 +1535,23 @@ def _train_frames_jit(frames_u8, k: int, train_shape, first_index, convergence):
 
     shrunk = jax.vmap(shrink)(frames_u8)  # [B, sh, sw, C]
     work = srgb8_to_lab(shrunk[..., :3].reshape(-1, 3))
-    return kmeans_model.fit(work, k, first_index, convergence=convergence)
+    return kmeans_model.fit(
+        work, k, first_index, convergence=convergence, metric=metric
+    )
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def _find_batch_jit(frames_u8, palette_lab, mode: str, k_active=None):
+@partial(jax.jit, static_argnames=("mode", "metric"))
+def _find_batch_jit(
+    frames_u8, palette_lab, mode: str, k_active=None, metric: str = "cie94"
+):
     return jax.vmap(
-        lambda f: quantize_image(f, palette_lab, mode=mode, k_active=k_active)
+        lambda f: quantize_image(
+            f, palette_lab, mode=mode, k_active=k_active, metric=metric
+        )
     )(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kmax", "canvas_shape", "mode"))
+@partial(jax.jit, static_argnames=("kmax", "canvas_shape", "mode", "metric"))
 def _reduce_batch_bucketed_jit(
     padded_u8: jnp.ndarray,
     k_actives: jnp.ndarray,
@@ -1468,6 +1563,7 @@ def _reduce_batch_bucketed_jit(
     out_h,
     out_w,
     mode: str,
+    metric: str = "cie94",
 ):
     """Bucketed multi-k batch: weighted-canvas training vmapped over
     k_active, quantize on the padded image (host crops)."""
@@ -1479,17 +1575,19 @@ def _reduce_batch_bucketed_jit(
     wvec = weight.reshape(-1)
     fit_v = jax.vmap(
         lambda ka: kmeans_model.fit(
-            work, kmax, first_index, k_active=ka, weight=wvec
+            work, kmax, first_index, k_active=ka, weight=wvec, metric=metric
         )[0]
     )
     centroids = fit_v(k_actives)
     quant_v = jax.vmap(
-        lambda cents, ka: quantize_image(padded_u8, cents, mode=mode, k_active=ka)
+        lambda cents, ka: quantize_image(
+            padded_u8, cents, mode=mode, k_active=ka, metric=metric
+        )
     )
     return quant_v(centroids, k_actives)
 
 
-@partial(jax.jit, static_argnames=("kmax", "train_shape", "mode"))
+@partial(jax.jit, static_argnames=("kmax", "train_shape", "mode", "metric"))
 def _reduce_batch_jit(
     pixels_u8: jnp.ndarray,
     k_actives: jnp.ndarray,
@@ -1497,6 +1595,7 @@ def _reduce_batch_jit(
     train_shape: tuple[int, int],
     first_index: int,
     mode: str,
+    metric: str = "cie94",
 ):
     """vmapped train + quantize over a batch of k values, one executable."""
     sh, sw = train_shape
@@ -1508,12 +1607,16 @@ def _reduce_batch_jit(
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
 
     fit_v = jax.vmap(
-        lambda ka: kmeans_model.fit(work, kmax, first_index, k_active=ka)[0]
+        lambda ka: kmeans_model.fit(
+            work, kmax, first_index, k_active=ka, metric=metric
+        )[0]
     )
     centroids = fit_v(k_actives)  # [B, kmax, 3]
 
     quant_v = jax.vmap(
-        lambda cents, ka: quantize_image(pixels_u8, cents, mode=mode, k_active=ka)
+        lambda cents, ka: quantize_image(
+            pixels_u8, cents, mode=mode, k_active=ka, metric=metric
+        )
     )
     return quant_v(centroids, k_actives)
 

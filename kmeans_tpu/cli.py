@@ -159,9 +159,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--fast",
         action="store_true",
-        help="faster fused TPU kernels (hoisted CIE94 reciprocals); "
-        "~1e-4 of pixels may flip to an adjacent palette color vs the "
-        "exact path (see docs/perf.md)",
+        help="faster fused TPU kernels for large palettes (k>16: 1.5x, "
+        "hoisted CIE94 reciprocals); ~1e-4 of pixels may flip to an "
+        "adjacent palette color vs the exact path (see docs/perf.md)",
+    )
+    parser.add_argument(
+        "--delta-e",
+        choices=["94", "2000"],
+        default="94",
+        help="color-difference metric: CIE94 (reference parity, default) "
+        "or CIEDE2000 (perceptually more uniform; XLA path)",
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -256,7 +263,9 @@ def main(argv=None) -> int:
     from kmeans_tpu.image import Image
     from kmeans_tpu.utils.imageio import load_image, save_image
 
-    processor = ImageProcessor(bucketing=args.bucketing, fast=args.fast)
+    processor = ImageProcessor(
+        bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e
+    )
 
     if args.command == "palette":
         image = load_image(args.input)

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq
+from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq, metric_fns
 
 MAX_ITERATIONS = 128  # core/src/modules.rs:765
 CONVERGENCE_CHECK_EVERY = 8  # core/src/modules.rs:766
@@ -75,21 +75,33 @@ def reference_seed_index(width: int, height: int) -> int:
     return y * width + x
 
 
-def _masked_d2(pixels: jnp.ndarray, centroids: jnp.ndarray, valid: jnp.ndarray):
-    """Squared CIE94 from each pixel [N,3] to each centroid [K,3];
+def _masked_d2(
+    pixels: jnp.ndarray,
+    centroids: jnp.ndarray,
+    valid: jnp.ndarray,
+    metric: str = "cie94",
+):
+    """Squared delta-E from each pixel [N,3] to each centroid [K,3];
     invalid centroids get +inf so they are never selected."""
-    d2 = distance_cie94_sq(pixels[:, None, :], centroids[None, :, :])  # [N,K]
+    _, dist_sq = metric_fns(metric)
+    d2 = dist_sq(pixels[:, None, :], centroids[None, :, :])  # [N,K]
     return jnp.where(valid[None, :], d2, _BIG)
 
 
 def assign_clusters(
-    pixels: jnp.ndarray, centroids: jnp.ndarray, valid: jnp.ndarray | None = None
+    pixels: jnp.ndarray,
+    centroids: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
-    """Per-pixel argmin over centroids by CIE94 — the `find_centroid.wgsl`
-    assignment step. `pixels[N,3]`, `centroids[K,3]` -> `[N]` int32."""
+    """Per-pixel argmin over centroids by delta-E — the `find_centroid.wgsl`
+    assignment step (CIE94 by default, like every reference kernel).
+    `pixels[N,3]`, `centroids[K,3]` -> `[N]` int32."""
     if valid is None:
         valid = jnp.ones(centroids.shape[0], dtype=bool)
-    return jnp.argmin(_masked_d2(pixels, centroids, valid), axis=1).astype(jnp.int32)
+    return jnp.argmin(
+        _masked_d2(pixels, centroids, valid, metric), axis=1
+    ).astype(jnp.int32)
 
 
 def plusplus_init(
@@ -98,6 +110,7 @@ def plusplus_init(
     first_index,
     k_active: jnp.ndarray | int | None = None,
     weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Farthest-point seeding. `pixels[N,3]` Lab, returns `[k,3]` centroids.
 
@@ -113,12 +126,13 @@ def plusplus_init(
     """
     n = pixels.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    _, dist_sq = metric_fns(metric)
 
     c0 = pixels[first_index]
     centroids = jnp.zeros((k, 3), jnp.float32).at[0].set(c0)
-    # Min squared-CIE94 distance to the chosen set (kmeans++_calc_diff.wgsl:27-31,
+    # Min squared-delta-E distance to the chosen set (kmeans++_calc_diff.wgsl:27-31,
     # maintained incrementally instead of recomputed per round).
-    dmap = distance_cie94_sq(pixels, c0[None, :])
+    dmap = dist_sq(pixels, c0[None, :])
     if weight is not None:
         # Once pinned to -1, the running `minimum` keeps pad entries at -1.
         dmap = jnp.where(weight > 0, dmap, -1.0)
@@ -131,7 +145,7 @@ def plusplus_init(
         new_c = jnp.where(take, new_c, centroids[j])
         centroids = centroids.at[j].set(new_c)
         dmap = jnp.where(
-            take, jnp.minimum(dmap, distance_cie94_sq(pixels, new_c[None, :])), dmap
+            take, jnp.minimum(dmap, dist_sq(pixels, new_c[None, :])), dmap
         )
         return centroids, dmap
 
@@ -172,6 +186,7 @@ def lloyd(
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
     weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd iterations with the reference's termination protocol.
 
@@ -184,8 +199,9 @@ def lloyd(
     k = centroids.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
+    dist, _ = metric_fns(metric)
 
-    assign0 = assign_clusters(pixels, centroids, valid)
+    assign0 = assign_clusters(pixels, centroids, valid, metric)
 
     def cond(carry):
         _, _, converged, i = carry
@@ -207,10 +223,10 @@ def lloyd(
         )
         # Convergence votes (choose_centroid.wgsl `pick`, :185-197): empty
         # clusters vote 0; inactive (masked) clusters always pass.
-        moved = distance_cie94(new_centroids, centroids)
+        moved = dist(new_centroids, centroids)
         votes = jnp.logical_and(nonempty, moved < convergence)
         converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
-        assign = assign_clusters(pixels, new_centroids, valid)
+        assign = assign_clusters(pixels, new_centroids, valid, metric)
         return new_centroids, assign, converged, i + 1
 
     centroids, _, _, iters = jax.lax.while_loop(
@@ -308,7 +324,7 @@ def fit_large(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "max_iterations"))
+@partial(jax.jit, static_argnames=("k", "max_iterations", "metric"))
 def fit(
     pixels: jnp.ndarray,
     k: int,
@@ -317,6 +333,7 @@ def fit(
     max_iterations: int = MAX_ITERATIONS,
     k_active: jnp.ndarray | int | None = None,
     weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Seed + Lloyd: the full `extract_palette_kmeans` compute
     (`core/src/operations.rs:15-88`) minus the resize/convert edges.
@@ -327,7 +344,7 @@ def fit(
     kernel's weight plane).
     """
     centroids = plusplus_init(
-        pixels, k, first_index, k_active=k_active, weight=weight
+        pixels, k, first_index, k_active=k_active, weight=weight, metric=metric
     )
     return lloyd(
         pixels,
@@ -336,4 +353,5 @@ def fit(
         max_iterations=max_iterations,
         k_active=k_active,
         weight=weight,
+        metric=metric,
     )

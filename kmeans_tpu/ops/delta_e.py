@@ -76,6 +76,14 @@ def distance_cie94_sq(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
 
 def distance_cie2000(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     """CIEDE2000 delta-E (Sharma et al. formulation; delta_e.wgsl:24-97)."""
+    return jnp.sqrt(distance_cie2000_sq(lab1, lab2))
+
+
+def distance_cie2000_sq(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
+    """Squared CIEDE2000. Always >= 0 (the R_T cross term satisfies
+    |R_T| <= 2, so a^2 + b^2 + R_T*a*b >= (|a| - |b|)^2), and sqrt is
+    monotone — argmin selections over the squared form match the full
+    metric while skipping the final sqrt on the hot path."""
     lab1 = jnp.asarray(lab1, jnp.float32)
     lab2 = jnp.asarray(lab2, jnp.float32)
     l1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
@@ -148,9 +156,29 @@ def distance_cie2000(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     s_h = 1.0 + 0.015 * bar_cp * t
     r_t = -jnp.sin(2.0 * d_theta) * r_c
 
-    return jnp.sqrt(
+    return jnp.maximum(
         (dlp / s_l) ** 2
         + (dcp / s_c) ** 2
         + (d_big_h / s_h) ** 2
-        + r_t * (dcp / s_c) * (d_big_h / s_h)
+        + r_t * (dcp / s_c) * (d_big_h / s_h),
+        0.0,
     )
+
+
+# Selectable distance metric (TPU-first extension: the reference implements
+# CIEDE2000 in delta_e.wgsl:24-97 but only ever calls CIE94 from its
+# kernels; here `delta_e="2000"` makes it usable end-to-end).
+METRICS = {
+    "cie94": (distance_cie94, distance_cie94_sq),
+    "cie2000": (distance_cie2000, distance_cie2000_sq),
+}
+
+
+def metric_fns(name: str):
+    """(distance, distance_sq) pair for a metric name."""
+    try:
+        return METRICS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown delta-E metric {name!r}; expected one of {sorted(METRICS)}"
+        ) from None

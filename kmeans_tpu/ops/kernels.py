@@ -196,11 +196,15 @@ def _quantize_kernel(
     c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
     sc_p = 1.0 + _K1 * c1_p
     sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
+    # Fast mode: replace the two per-centroid divides with per-pixel
+    # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
+    # rounds differently from a/b in f32, so nearest-centroid ties at
+    # the knife edge can flip — opt-in, documented in docs/perf.md.
+    # Only engaged for the rolled loop (kp > 16), where it measures
+    # 1.5-1.56x; the unrolled small-k kernel showed no gain, so it keeps
+    # exact divides (and bit-parity) even under fast=True.
+    fast = fast and kp > 16
     if fast:
-        # Fast mode: replace the two per-centroid divides with per-pixel
-        # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
-        # rounds differently from a/b in f32, so nearest-centroid ties at
-        # the knife edge can flip — opt-in, documented in docs/perf.md.
         rsc_p = 1.0 / sc_p
         rsh2_p = 1.0 / sh2_p
 

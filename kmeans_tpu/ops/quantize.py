@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab
-from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq
+from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq, metric_fns
 
 # 4x4 Bayer/index matrix (mix_colors.wgsl:14-17), row-major.
 BAYER_4X4 = (
@@ -54,36 +54,45 @@ def _valid_mask(k: int, k_active) -> jnp.ndarray:
     return jnp.arange(k) < jnp.asarray(k_active, jnp.int32)
 
 
-def _d2_matrix(lab: jnp.ndarray, palette: jnp.ndarray, valid: jnp.ndarray):
-    d2 = distance_cie94_sq(lab[..., None, :], palette)  # [..., K]
+def _d2_matrix(
+    lab: jnp.ndarray, palette: jnp.ndarray, valid: jnp.ndarray,
+    metric: str = "cie94",
+):
+    _, dist_sq = metric_fns(metric)
+    d2 = dist_sq(lab[..., None, :], palette)  # [..., K]
     return jnp.where(valid, d2, _BIG)
 
 
-def nearest_color(lab: jnp.ndarray, palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
+def nearest_color(
+    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, metric: str = "cie94"
+) -> jnp.ndarray:
     """Replace each Lab pixel with its nearest palette entry (swap.wgsl)."""
     valid = _valid_mask(palette.shape[0], k_active)
-    idx = jnp.argmin(_d2_matrix(lab, palette, valid), axis=-1)
+    idx = jnp.argmin(_d2_matrix(lab, palette, valid, metric), axis=-1)
     return palette[idx]
 
 
-def dither_threshold(palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
-    """Greedy approximate max pairwise centroid CIE94 distance / sqrt(k).
+def dither_threshold(
+    palette: jnp.ndarray, k_active=None, metric: str = "cie94"
+) -> jnp.ndarray:
+    """Greedy approximate max pairwise centroid delta-E distance / sqrt(k).
 
     Mirrors mix_colors.wgsl:52-68 exactly, including the asymmetric distance
     orientation (candidate centroid first) and the greedy update order.
     """
+    dist, _ = metric_fns(metric)
     k = palette.shape[0]
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
 
     a0 = palette[0]
     b0 = palette[jnp.minimum(1, k - 1)]
-    dab0 = distance_cie94(a0, b0)
+    dab0 = dist(a0, b0)
 
     def body(i, carry):
         a, b, dab = carry
         ci = palette[i]
-        da = distance_cie94(ci, a)
-        db = distance_cie94(ci, b)
+        da = dist(ci, a)
+        db = dist(ci, b)
         first = jnp.logical_and(da > db, da > dab)
         second = jnp.logical_and(jnp.logical_not(first), db > dab)
         active = i < k_active
@@ -114,19 +123,22 @@ def bayer_values(height: int, width: int, row_offset=0) -> jnp.ndarray:
 
 
 def dither(
-    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, row_offset=0
+    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, row_offset=0,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Ordered dithering over Lab pixels `[H, W, 3]` (mix_colors.wgsl:50-82)."""
     h, w = lab.shape[0], lab.shape[1]
-    threshold = dither_threshold(palette, k_active)
+    threshold = dither_threshold(palette, k_active, metric)
     adjusted = lab + (threshold * bayer_values(h, w, row_offset))[..., None]
-    out = nearest_color(adjusted, palette, k_active)
+    out = nearest_color(adjusted, palette, k_active, metric)
     # k == 1: output the palette color directly (mix_colors.wgsl:104-108).
     k_act = jnp.asarray(palette.shape[0] if k_active is None else k_active, jnp.int32)
     return jnp.where(k_act == 1, palette[0], out)
 
 
-def meld(lab: jnp.ndarray, palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
+def meld(
+    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, metric: str = "cie94"
+) -> jnp.ndarray:
     """Blend of the two closest centroids (mix_colors.wgsl:29-47,85-90).
 
     Large palettes chunk the pixel rows so the `[pixels, K]` top-k
@@ -136,25 +148,26 @@ def meld(lab: jnp.ndarray, palette: jnp.ndarray, k_active=None) -> jnp.ndarray:
         # Static k == 1: nothing to meld (mix_colors.wgsl:127-131).
         return jnp.broadcast_to(palette[0], lab.shape)
     if palette.shape[0] > 64 and lab.ndim == 3:
-        return _meld_chunked(lab, palette, k_active)
-    return _meld_block(lab, palette, k_active)
+        return _meld_chunked(lab, palette, k_active, metric)
+    return _meld_block(lab, palette, k_active, metric)
 
 
-def _meld_block(lab, palette, k_active=None):
+def _meld_block(lab, palette, k_active=None, metric="cie94"):
+    dist, _ = metric_fns(metric)
     valid = _valid_mask(palette.shape[0], k_active)
-    d2 = _d2_matrix(lab, palette, valid)  # [..., K]
+    d2 = _d2_matrix(lab, palette, valid, metric)  # [..., K]
     _, idx2 = jax.lax.top_k(-d2, 2)  # two smallest, first-index tie-break
     closest = palette[idx2[..., 0]]
     second = palette[idx2[..., 1]]
-    num = distance_cie94(lab, second)
-    den = distance_cie94(closest, second)
+    num = dist(lab, second)
+    den = dist(closest, second)
     factor = (num / den)[..., None]
     out = factor * closest + (1.0 - factor) * second
     k_act = jnp.asarray(palette.shape[0] if k_active is None else k_active, jnp.int32)
     return jnp.where(k_act == 1, palette[0], out)
 
 
-def _meld_chunked(lab, palette, k_active=None):
+def _meld_chunked(lab, palette, k_active=None, metric="cie94"):
     """Row-chunked meld: lax.map over row blocks bounds the per-step
     [rows, W, K] intermediate to ~256 MB."""
     h, w = lab.shape[0], lab.shape[1]
@@ -163,17 +176,20 @@ def _meld_chunked(lab, palette, k_active=None):
     h_pad = n_chunks * rows
     padded = jnp.pad(lab, ((0, h_pad - h), (0, 0), (0, 0)))
     chunks = padded.reshape(n_chunks, rows, w, 3)
-    out = jax.lax.map(lambda c: _meld_block(c, palette, k_active), chunks)
+    out = jax.lax.map(
+        lambda c: _meld_block(c, palette, k_active, metric), chunks
+    )
     return out.reshape(h_pad, w, 3)[:h]
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "metric"))
 def quantize_image(
     rgba_u8: jnp.ndarray,
     palette_lab: jnp.ndarray,
     mode: str = "replace",
     k_active=None,
     row_offset=0,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Full-resolution output pass: uint8 RGBA `[H, W, 4]` -> uint8 RGBA.
 
@@ -184,11 +200,11 @@ def quantize_image(
     """
     lab = srgb8_to_lab(rgba_u8[..., :3])
     if mode == "replace":
-        out_lab = nearest_color(lab, palette_lab, k_active)
+        out_lab = nearest_color(lab, palette_lab, k_active, metric)
     elif mode == "dither":
-        out_lab = dither(lab, palette_lab, k_active, row_offset)
+        out_lab = dither(lab, palette_lab, k_active, row_offset, metric)
     elif mode == "meld":
-        out_lab = meld(lab, palette_lab, k_active)
+        out_lab = meld(lab, palette_lab, k_active, metric)
     else:
         raise ValueError(f"unknown mode {mode!r}")
     rgb8 = lab_to_srgb8(out_lab)

@@ -274,3 +274,40 @@ def test_fast_mode_option(blobs_image):
     # Bucketed + fast compose.
     b = ImageProcessor(bucketing=True, fast=True).reduce(4, image)
     assert b.pixels.shape == exact.pixels.shape
+
+
+def test_delta_e_2000_processor(blobs_image):
+    """ImageProcessor(delta_e='2000') runs palette/find/reduce end-to-end
+    with CIEDE2000 and still recovers the blob palette."""
+    image, base = blobs_image
+    p = ImageProcessor(delta_e="2000")
+    assert p.delta_e == "cie2000" and p.fused is False
+    pal = p.palette(4, image)
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - base[None, :, :], axis=2
+    )
+    assert (d.min(axis=1) < 40).all()
+    out = p.reduce(4, image)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+    colors = np.asarray([[220, 40, 40, 255], [40, 200, 60, 255]], np.uint8)
+    f = p.find(image, colors, ReduceMode.DITHER)
+    assert len(np.unique(f.pixels.reshape(-1, 4), axis=0)) <= 2
+    # Batched paths accept the metric too.
+    outs = p.reduce_batch(image, [2, 4])
+    assert len(outs) == 2
+    # Bucketing composes.
+    b = ImageProcessor(delta_e="2000", bucketing=True).reduce(4, image)
+    assert b.pixels.shape == out.pixels.shape
+
+
+def test_delta_e_validation():
+    with pytest.raises(ValueError, match="delta_e"):
+        ImageProcessor(delta_e="76")
+    with pytest.raises(ValueError, match="CIE94"):
+        ImageProcessor(fused=True, delta_e="2000")
+    p = ImageProcessor(delta_e="2000")
+    with pytest.raises(ValueError, match="CIE94"):
+        p.find_sharded(
+            Image((4, 4), np.zeros((4, 4, 4), np.uint8)),
+            np.asarray([[1, 2, 3, 255]], np.uint8),
+        )

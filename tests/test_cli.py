@@ -275,3 +275,20 @@ def test_cli_band_rows(sample_png, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["reduce", "-i", sample_png, "-c", "3", "--band-rows", "16",
                   "-a", "octree", "-o", out])
+
+
+def test_cli_delta_e_2000(sample_png, tmp_path):
+    out = str(tmp_path / "de2000.png")
+    assert cli.main(
+        ["--delta-e", "2000", "reduce", "-i", sample_png, "-c", "3", "-o", out]
+    ) == 0
+    img = load_image(out)
+    assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
+
+
+def test_cli_fast_flag(sample_png, tmp_path):
+    out = str(tmp_path / "fast.png")
+    assert cli.main(
+        ["--fast", "reduce", "-i", sample_png, "-c", "3", "-o", out]
+    ) == 0
+    assert os.path.exists(out)

@@ -69,3 +69,38 @@ def test_broadcast_matrix():
     d = distance_cie94(pixels[:, None, :], cents[None, :, :])
     assert d.shape == (10, 2)
     assert float(d[0, 0]) < 1e-4
+
+
+def test_cie2000_sq_consistent_with_cie2000():
+    """distance_cie2000_sq is the square of distance_cie2000 (and >= 0),
+    so argmin selections match the full metric."""
+    import numpy as np
+
+    from kmeans_tpu.ops.delta_e import distance_cie2000, distance_cie2000_sq
+
+    rng = np.random.default_rng(3)
+    a = np.column_stack(
+        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2)).T.reshape(2, -1).T]
+    ).astype(np.float32)
+    b = np.column_stack(
+        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2)).T.reshape(2, -1).T]
+    ).astype(np.float32)
+    d = np.asarray(distance_cie2000(a, b))
+    d2 = np.asarray(distance_cie2000_sq(a, b))
+    assert (d2 >= 0).all()
+    np.testing.assert_allclose(d * d, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_metric_fns_registry():
+    import pytest
+
+    from kmeans_tpu.ops.delta_e import (
+        distance_cie94,
+        distance_cie2000,
+        metric_fns,
+    )
+
+    assert metric_fns("cie94")[0] is distance_cie94
+    assert metric_fns("cie2000")[0] is distance_cie2000
+    with pytest.raises(ValueError, match="unknown delta-E metric"):
+        metric_fns("cie76")

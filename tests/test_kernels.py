@@ -217,11 +217,12 @@ def test_fit_large_weighted_matches_fit_weighted():
 
 @pytest.mark.parametrize("mode", ["replace", "dither", "meld"])
 def test_fused_fast_mode_quality(mode):
-    """fast=True hoists the CIE94 divides into reciprocals: assignments may
-    flip only on knife-edge ties, so outputs must agree on ~all pixels and
-    any differing pixel must still be a palette color (replace)."""
+    """fast=True hoists the rolled loop's CIE94 divides into reciprocals
+    (engaged for kp > 16 only): assignments may flip only on knife-edge
+    ties, so outputs must agree on ~all pixels and any differing pixel
+    must still be a palette color (replace)."""
     img = _image(48, 64, seed=7)
-    pal = _palette(8, seed=3)
+    pal = _palette(24, seed=3)
     thr = dither_threshold(pal)
     exact = np.asarray(fused_quantize(img, pal, thr, mode=mode, interpret=True))
     fast = np.asarray(
@@ -235,11 +236,27 @@ def test_fused_fast_mode_quality(mode):
         assert got_rgba <= pal_rgba
 
 
+def test_fused_fast_mode_small_k_bit_equal():
+    """For kp <= 16 the unrolled kernel showed no fast-mode speedup, so
+    fast=True keeps exact divides there: outputs are bit-equal."""
+    img = _image(48, 64, seed=7)
+    pal = _palette(8, seed=3)
+    thr = dither_threshold(pal)
+    for mode in ("replace", "dither", "meld"):
+        exact = np.asarray(
+            fused_quantize(img, pal, thr, mode=mode, interpret=True)
+        )
+        fast = np.asarray(
+            fused_quantize(img, pal, thr, mode=mode, interpret=True, fast=True)
+        )
+        np.testing.assert_array_equal(exact, fast)
+
+
 def test_fused_assign_fast_mode_quality():
     from kmeans_tpu.ops.kernels import fused_assign
 
     img = _image(48, 64, seed=9)
-    pal = _palette(8, seed=5)
+    pal = _palette(24, seed=5)
     thr = dither_threshold(pal)
     exact = np.asarray(fused_assign(img, pal, thr, mode="replace", interpret=True))
     fast = np.asarray(

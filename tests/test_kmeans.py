@@ -117,3 +117,24 @@ def test_weighted_seeding_never_picks_padding():
     weight = jnp.concatenate([jnp.ones(50), jnp.zeros(10)]).astype(jnp.float32)
     cents = km.plusplus_init(padded, 3, 0, weight=weight)
     np.testing.assert_array_equal(np.asarray(cents), np.zeros((3, 3)))
+
+
+def test_fit_cie2000_metric_recovers_blobs():
+    """fit(metric='cie2000') clusters with CIEDE2000 distances end-to-end
+    (seeding, assignment, convergence) and still recovers blob centers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmeans_tpu.models.kmeans import fit
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[25.0, 10, -40], [60.0, -45, 30], [85.0, 30, 55]])
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 3, 3000)] + rng.normal(0, 0.8, (3000, 3)))
+        .astype(np.float32)
+    )
+    cents, iters = fit(pix, 3, 0, metric="cie2000")
+    cents = np.asarray(cents)
+    d = np.linalg.norm(cents[:, None, :] - centers[None, :, :], axis=2)
+    assert (d.min(axis=1) < 3.0).all()
+    assert int(iters) >= 1

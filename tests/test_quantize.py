@@ -132,3 +132,32 @@ def test_meld_chunked_matches_block():
     chunked_ka = np.asarray(meld(lab, palette, k_active=65))
     block_ka = np.asarray(_meld_block(lab, palette, k_active=65))
     np.testing.assert_allclose(chunked_ka, block_ka, rtol=1e-6, atol=1e-4)
+
+
+def test_quantize_image_cie2000_metric():
+    """metric='cie2000' quantizes with CIEDE2000 assignment: output pixels
+    are palette colors, and a crafted pixel assigns differently from CIE94
+    where the metrics disagree."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.quantize import quantize_image
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (24, 32, 4), dtype=np.uint8))
+    pal = srgb8_to_lab(jnp.asarray(rng.integers(0, 256, (6, 3), dtype=np.uint8)))
+    for mode in ("replace", "dither", "meld"):
+        out = np.asarray(quantize_image(img, pal, mode=mode, metric="cie2000"))
+        assert out.shape == (24, 32, 4)
+        assert (out[..., 3] == 255).all()
+    out94 = np.asarray(quantize_image(img, pal, mode="replace"))
+    out00 = np.asarray(quantize_image(img, pal, mode="replace", metric="cie2000"))
+    pal_rgba = set(
+        map(tuple, np.unique(out94.reshape(-1, 4), axis=0))
+    ) | set(map(tuple, np.unique(out00.reshape(-1, 4), axis=0)))
+    got = set(map(tuple, np.unique(out00.reshape(-1, 4), axis=0)))
+    assert got <= pal_rgba
+    # The two metrics weigh chroma/hue differently; on random data some
+    # pixels land in different clusters.
+    assert (out94 != out00).any()
