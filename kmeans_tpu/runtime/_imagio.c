@@ -30,6 +30,32 @@
 #include <string.h>
 
 /* ------------------------------------------------------------------ */
+/* Decode budget                                                       */
+/* ------------------------------------------------------------------ */
+
+/* Max total decoded pixels one decode call may produce (summed over GIF
+ * frames). Untrusted bytes can declare enormous dimensions in a tiny
+ * payload — a 100-byte GIF claiming 65535x65535 would otherwise allocate
+ * 17 GB before any data validation (decompression bomb / DoS against the
+ * serving daemon). Default 512 Mpix (2 GB RGBA); adjustable from Python
+ * via set_max_decode_pixels(). */
+static size_t imagio_max_pixels = (size_t)512 * 1024 * 1024;
+
+static int
+imagio_check_pixels(size_t w, size_t h)
+{
+    if (w == 0 || h == 0 || w > imagio_max_pixels / h) {
+        PyErr_Format(PyExc_ValueError,
+                     "image dimensions %zux%zu exceed the decode limit of "
+                     "%zu pixels (raise it with "
+                     "kmeans_tpu.utils.imageio.set_max_decode_pixels)",
+                     w, h, imagio_max_pixels);
+        return -1;
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* PNG                                                                 */
 /* ------------------------------------------------------------------ */
 
@@ -118,6 +144,8 @@ imagio_decode_png(PyObject *self, PyObject *args)
 
     png_uint_32 w = png_get_image_width(png, info);
     png_uint_32 h = png_get_image_height(png, info);
+    if (imagio_check_pixels(w, h))
+        goto done;
     int bit_depth = png_get_bit_depth(png, info);
     int color_type = png_get_color_type(png, info);
 
@@ -357,6 +385,8 @@ imagio_decode_jpeg(PyObject *self, PyObject *args)
     jpeg_start_decompress(&cinfo);
 
     size_t w = cinfo.output_width, h = cinfo.output_height;
+    if (imagio_check_pixels(w, h))
+        goto done;
     size_t row_rgb = w * 3;
     out = (unsigned char *)malloc(w * h * 4);
     row = (unsigned char *)malloc(row_rgb);
@@ -881,7 +911,10 @@ imagio_decode_gif(PyObject *self, PyObject *args)
         r.pos += (size_t)gct_size * 3;
     }
 
+    if (imagio_check_pixels(width, height))
+        goto fail;
     size_t npx = (size_t)width * height;
+    size_t total_px = 0; /* summed over emitted frames, same budget */
     canvas = (unsigned char *)calloc(npx * 4, 1);
     prev_canvas = (unsigned char *)malloc(npx * 4);
     indices = (unsigned char *)malloc(npx);
@@ -1000,6 +1033,15 @@ imagio_decode_gif(PyObject *self, PyObject *args)
             dst[3] = 0xFF;
         }
 
+        total_px += npx;
+        if (total_px > imagio_max_pixels) {
+            PyErr_Format(PyExc_ValueError,
+                         "GIF decodes to more than the limit of %zu total "
+                         "pixels across frames (raise it with "
+                         "kmeans_tpu.utils.imageio.set_max_decode_pixels)",
+                         imagio_max_pixels);
+            goto fail;
+        }
         PyObject *frame = PyBytes_FromStringAndSize((const char *)canvas,
                                                     (Py_ssize_t)(npx * 4));
         if (!frame)
@@ -1050,6 +1092,28 @@ fail:
     return NULL;
 }
 
+static PyObject *
+imagio_set_max_decode_pixels(PyObject *self, PyObject *args)
+{
+    unsigned long long n;
+    if (!PyArg_ParseTuple(args, "K", &n))
+        return NULL;
+    if (n == 0) {
+        PyErr_SetString(PyExc_ValueError, "limit must be positive");
+        return NULL;
+    }
+    size_t old = imagio_max_pixels;
+    imagio_max_pixels = (size_t)n;
+    return PyLong_FromSize_t(old);
+}
+
+static PyObject *
+imagio_get_max_decode_pixels(PyObject *self, PyObject *noargs)
+{
+    (void)noargs;
+    return PyLong_FromSize_t(imagio_max_pixels);
+}
+
 /* ------------------------------------------------------------------ */
 
 static PyMethodDef imagio_methods[] = {
@@ -1068,6 +1132,11 @@ static PyMethodDef imagio_methods[] = {
      " delay_cs=100, loop=True) -> gif_bytes"},
     {"decode_gif", imagio_decode_gif, METH_VARARGS,
      "decode_gif(data) -> (width, height, [rgba_bytes, ...], [delay_cs, ...])"},
+    {"set_max_decode_pixels", imagio_set_max_decode_pixels, METH_VARARGS,
+     "set_max_decode_pixels(n) -> previous limit (total decoded pixels per"
+     " call; default 512 Mpix)"},
+    {"get_max_decode_pixels", imagio_get_max_decode_pixels, METH_NOARGS,
+     "get_max_decode_pixels() -> current limit"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef imagio_module = {

@@ -338,6 +338,18 @@ def main(argv=None) -> int:
         help="disable shape bucketing (compiles one executable per exact "
         "input shape — only sensible with a local compiler)",
     )
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="faster fused TPU kernels for large palettes (k>16; see "
+        "docs/perf.md)",
+    )
+    parser.add_argument(
+        "--delta-e",
+        choices=["94", "2000"],
+        default="94",
+        help="color-difference metric (CIEDE2000 runs on the XLA path)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -348,7 +360,10 @@ def main(argv=None) -> int:
         kwargs["train_max_size"] = (
             None if args.train_size.lower() == "full" else int(args.train_size)
         )
-    processor = ImageProcessor(bucketing=not args.exact, **kwargs)
+    processor = ImageProcessor(
+        bucketing=not args.exact, fast=args.fast, delta_e=args.delta_e,
+        **kwargs,
+    )
     if args.warmup:
         sizes = []
         for part in args.warmup.split(","):

@@ -27,6 +27,31 @@ except ImportError:  # pragma: no cover - build-dependent
 from kmeans_tpu.utils import png_py
 
 
+def set_max_decode_pixels(n: int) -> int:
+    """Cap the total pixels any single decode may produce (summed over GIF
+    frames). Untrusted bytes can declare huge dimensions in tiny payloads;
+    without a cap a ~100-byte GIF claiming 65535x65535 allocates ~17 GB
+    (found by tools/fuzz_codec.py). Default 512 Mpix (2 GB RGBA). Returns
+    the previous limit. Also settable via the KMEANS_TPU_MAX_DECODE_PIXELS
+    environment variable at import time."""
+    n = int(n)
+    old = png_py.set_max_decode_pixels(n)
+    if HAVE_NATIVE:
+        old = _imagio.set_max_decode_pixels(n)
+    return old
+
+
+def get_max_decode_pixels() -> int:
+    return _imagio.get_max_decode_pixels() if HAVE_NATIVE else (
+        png_py.max_decode_pixels()
+    )
+
+
+_env_limit = os.environ.get("KMEANS_TPU_MAX_DECODE_PIXELS")
+if _env_limit:
+    set_max_decode_pixels(int(_env_limit))
+
+
 def load_image(path: str | os.PathLike) -> Image:
     """Decode a .png or .jpg/.jpeg file into an RGBA8 `Image`."""
     path = os.fspath(path)

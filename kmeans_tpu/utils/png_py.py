@@ -38,6 +38,26 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_MAX_DECODE_PIXELS = 512 * 1024 * 1024  # mirrors _imagio's default
+
+
+def max_decode_pixels() -> int:
+    return _MAX_DECODE_PIXELS
+
+
+def set_max_decode_pixels(n: int) -> int:
+    """Set the fallback decoder's pixel budget; returns the previous value.
+    Normally driven through `kmeans_tpu.utils.imageio.set_max_decode_pixels`,
+    which keeps the native codec's limit in sync."""
+    global _MAX_DECODE_PIXELS
+    n = int(n)
+    if n <= 0:
+        raise ValueError("limit must be positive")
+    old = _MAX_DECODE_PIXELS
+    _MAX_DECODE_PIXELS = n
+    return old
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """PNG bytes -> (width, height, RGBA8 bytes)."""
     if data[:8] != _SIGNATURE:
@@ -56,6 +76,13 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             )
             if interlace:
                 raise ValueError("interlaced PNG not supported by fallback codec")
+            limit = max_decode_pixels()
+            if width == 0 or height == 0 or width * height > limit:
+                raise ValueError(
+                    f"image dimensions {width}x{height} exceed the decode "
+                    f"limit of {limit} pixels (see "
+                    "kmeans_tpu.utils.imageio.set_max_decode_pixels)"
+                )
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":

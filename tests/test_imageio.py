@@ -211,3 +211,99 @@ def test_gif_delay_roundtrip(tmp_path):
     assert delays == [4, 10, 250]
     for a, b in zip(frames, back):
         np.testing.assert_array_equal(a.pixels, b.pixels)
+
+
+class TestDecodeBudget:
+    """Dimension bombs: tiny payloads declaring huge dimensions must be
+    rejected before allocation (found by tools/fuzz_codec.py — a ~100-byte
+    GIF claiming 65535x65535 allocated ~17 GB)."""
+
+    def _bomb_gif(self):
+        # header + 65535x65535 logical screen, minimal frame descriptor
+        import struct
+
+        h = b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0x00, 0, 0])
+        # image descriptor with a small frame but huge canvas + tiny LZW
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0x80])
+        lct = bytes(6)  # 2-entry local color table
+        lzw = bytes([2, 1, 0x44, 0])  # min code size, 1-byte block
+        return h + desc[:10] + lct + desc[10:] + lzw + b"\x3b"
+
+    def test_gif_dimension_bomb_rejected(self):
+        import pytest
+
+        from kmeans_tpu.utils import imageio
+
+        if not imageio.HAVE_NATIVE:
+            pytest.skip("native codec not built")
+        with pytest.raises(ValueError, match="decode limit"):
+            imageio._imagio.decode_gif(self._bomb_gif())
+
+    def test_png_dimension_bomb_rejected(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from kmeans_tpu.utils import imageio, png_py
+
+        def chunk(ctype, payload):
+            c = ctype + payload
+            return struct.pack(">I", len(payload)) + c + struct.pack(
+                ">I", zlib.crc32(c)
+            )
+
+        # within libpng's 1M-per-dimension default cap (so OUR budget is
+        # what rejects it), but 10 Gpix >> the 512 Mpix decode budget
+        ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+        bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="decode limit"):
+            png_py.decode_png(bomb)
+        if imageio.HAVE_NATIVE:
+            with pytest.raises(ValueError, match="decode limit"):
+                imageio._imagio.decode_png(bomb)
+
+    def test_limit_adjustable_and_restored(self):
+        from kmeans_tpu.utils import imageio
+
+        old = imageio.get_max_decode_pixels()
+        try:
+            prev = imageio.set_max_decode_pixels(1000)
+            assert prev == old
+            assert imageio.get_max_decode_pixels() == 1000
+            import numpy as np
+            import pytest
+
+            from kmeans_tpu.image import Image
+
+            big = Image((64, 64), np.zeros((64, 64, 4), np.uint8))
+            data = imageio.encode_png_bytes(big)
+            with pytest.raises(ValueError, match="decode limit"):
+                imageio.decode_image_bytes(data)
+        finally:
+            imageio.set_max_decode_pixels(old)
+        # normal decode works again
+        img = imageio.decode_image_bytes(data)
+        assert img.dimensions == (64, 64)
+
+
+def test_codec_fuzz_smoke():
+    """Short mutation-fuzz pass over the native decoders (the full harness
+    is tools/fuzz_codec.py): no worker crash across 300 mutants."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/fuzz_codec.py", "300", "42"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
