@@ -1132,6 +1132,7 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
+        self._require_cie94("reduce_sharded")
         image = _as_image(image)
         _validate_k(color_count)
         if mesh is None:

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab
-from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq, metric_fns
+from kmeans_tpu.ops.delta_e import metric_fns
 
 # 4x4 Bayer/index matrix (mix_colors.wgsl:14-17), row-major.
 BAYER_4X4 = (

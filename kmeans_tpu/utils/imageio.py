@@ -49,7 +49,13 @@ def get_max_decode_pixels() -> int:
 
 _env_limit = os.environ.get("KMEANS_TPU_MAX_DECODE_PIXELS")
 if _env_limit:
-    set_max_decode_pixels(int(_env_limit))
+    try:
+        set_max_decode_pixels(int(_env_limit))
+    except ValueError as _e:
+        raise ValueError(
+            "KMEANS_TPU_MAX_DECODE_PIXELS must be a positive integer "
+            f"(pixel count), got {_env_limit!r}"
+        ) from _e
 
 
 def load_image(path: str | os.PathLike) -> Image:

@@ -311,3 +311,13 @@ def test_delta_e_validation():
             Image((4, 4), np.zeros((4, 4, 4), np.uint8)),
             np.asarray([[1, 2, 3, 255]], np.uint8),
         )
+
+
+def test_delta_e_2000_sharded_reduce_guarded():
+    """reduce_sharded must reject non-CIE94 metrics in BOTH branches
+    (the bucketed one previously bypassed the guard silently)."""
+    image = Image((16, 16), np.zeros((16, 16, 4), np.uint8))
+    for bucketing in (False, True):
+        p = ImageProcessor(delta_e="2000", bucketing=bucketing)
+        with pytest.raises(ValueError, match="CIE94"):
+            p.reduce_sharded(4, image)
