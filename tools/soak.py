@@ -172,6 +172,56 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] bucketed palette_images trial={t}")
             failures += 1
 
+    # delta-E 2000 processors: full reduce/find trials at random sizes
+    # (XLA path; checks the metric plumbing end-to-end), plus fast-mode
+    # fused kernels on random large palettes (k > 16 rolled loop).
+    de_p = ImageProcessor(delta_e="2000")
+    for t in range(max(5, trials // 10)):
+        h = int(rng.integers(4, 70))
+        w = int(rng.integers(4, 70))
+        k = int(rng.integers(1, 8))
+        mode = ReduceMode(["replace", "dither", "meld"][t % 3])
+        img = Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        out = de_p.reduce(k, img, reduce_mode=mode)
+        if out.dimensions != (w, h):
+            print(f"[FAIL] delta_e 2000 reduce trial={t}")
+            failures += 1
+        if mode is not ReduceMode.MELD:
+            uniq = len(np.unique(out.pixels.reshape(-1, 4), axis=0))
+            if uniq > max(k, 1):
+                print(f"[FAIL] delta_e 2000 reduce uniq trial={t} uniq={uniq}")
+                failures += 1
+        colors = rng.integers(0, 256, (k, 4), dtype=np.uint8)
+        colors[:, 3] = 255
+        f = de_p.find(img, colors, mode)
+        if f.dimensions != (w, h):
+            print(f"[FAIL] delta_e 2000 find trial={t}")
+            failures += 1
+
+    for t in range(max(5, trials // 10)):
+        h = int(rng.integers(4, 60))
+        w = int(rng.integers(4, 60))
+        k = int(rng.integers(17, 48))  # rolled loop: fast mode engaged
+        ka = int(rng.integers(1, k + 1))
+        mode = ["replace", "dither"][t % 2]
+        img = jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8))
+        )
+        thr = dither_threshold(pal, k_active=ka)
+        exact = np.asarray(
+            fused_quantize(img, pal, thr, k_active=ka, mode=mode, interpret=True)
+        )
+        fast = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True, fast=True
+            )
+        )
+        flips = (exact != fast).any(axis=-1).mean()
+        if flips > 1e-3:
+            print(f"[FAIL] fast-mode flips {flips:.2%} trial={t} k={k}/{ka}")
+            failures += 1
+
     # streamed reduce vs whole-image reduce at random band splits (no
     # training shrink -> bit-equal, including dither band offsets).
     for t in range(max(5, trials // 12)):
