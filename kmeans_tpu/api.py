@@ -1035,14 +1035,6 @@ class ImageProcessor:
         """Shrink to the octree cap and return `[N, 3]` RGB rows."""
         return self._shrunk_pixels(image, OCTREE_MAX_SIZE)[..., :3].reshape(-1, 3)
 
-    def _require_cie94(self, what: str) -> None:
-        if self.delta_e != "cie94":
-            raise ValueError(
-                f"{what} currently supports the CIE94 metric only "
-                "(the sharded kernels hard-code it); use a "
-                "delta_e='94' processor"
-            )
-
     def find_sharded(
         self,
         image,
@@ -1056,7 +1048,6 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
-        self._require_cie94("find_sharded")
         image = _as_image(image)
         palette_rgba = _colors_rgba(colors)
         if palette_rgba.shape[0] == 0:
@@ -1065,7 +1056,8 @@ class ImageProcessor:
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
         out = quantize_image_sharded(
-            mesh, image.pixels, palette_lab, mode=reduce_mode.value
+            mesh, image.pixels, palette_lab, mode=reduce_mode.value,
+            metric=self.delta_e,
         )
         return Image(image.dimensions, np.asarray(out))
 
@@ -1073,8 +1065,6 @@ class ImageProcessor:
         """Shared trainer for the sharded entry points: shrink, convert,
         pad to the shard count (0-weight padding), pixel-sharded fit."""
         from kmeans_tpu.parallel.distributed import fit_sharded
-
-        self._require_cie94("sharded training")
 
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
@@ -1093,7 +1083,7 @@ class ImageProcessor:
         )
         centroids, _ = fit_sharded(
             mesh, work, weight, k, first,
-            convergence=ColorSpace.LAB.convergence,
+            convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
         )
         return centroids
 
@@ -1132,7 +1122,6 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
-        self._require_cie94("reduce_sharded")
         image = _as_image(image)
         _validate_k(color_count)
         if mesh is None:
@@ -1156,15 +1145,17 @@ class ImageProcessor:
             centroids, _ = fit_sharded(
                 mesh, work, wvec, bucket_k(color_count), first,
                 convergence=ColorSpace.LAB.convergence, k_active=color_count,
+                metric=self.delta_e,
             )
             out = quantize_image_sharded(
                 mesh, padded, centroids, mode=reduce_mode.value,
-                k_active=color_count,
+                k_active=color_count, metric=self.delta_e,
             )
             return Image(image.dimensions, np.asarray(out)[:h, :w])
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
         out = quantize_image_sharded(
-            mesh, image.pixels, centroids, mode=reduce_mode.value
+            mesh, image.pixels, centroids, mode=reduce_mode.value,
+            metric=self.delta_e,
         )
         return Image(image.dimensions, np.asarray(out))
 

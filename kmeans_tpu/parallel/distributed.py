@@ -42,7 +42,7 @@ from kmeans_tpu.models.kmeans import (
     LAB_CONVERGENCE,
     MAX_ITERATIONS,
 )
-from kmeans_tpu.ops.delta_e import distance_cie94, distance_cie94_sq
+from kmeans_tpu.ops.delta_e import metric_fns
 from kmeans_tpu.parallel.mesh import DATA_AXIS, PIXEL_AXIS
 
 _BIG = 3.4e38  # larger than any CIE94^2; plain float so import stays device-free
@@ -83,14 +83,16 @@ def _fit_local(
     convergence: float,
     k_active,
     axis_name: str,
+    metric: str = "cie94",
 ):
     """Per-shard body of the pixel-sharded fit (runs under shard_map)."""
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
+    dist, dist_sq = metric_fns(metric)
 
     # --- seeding (distributed farthest-point) ---
     c0 = _take_global(pixels_local, jnp.asarray(first_index, jnp.int32), axis_name)
-    dmap = distance_cie94_sq(pixels_local, c0[None, :])
+    dmap = dist_sq(pixels_local, c0[None, :])
     dmap = jnp.where(weight_local > 0, dmap, -1.0)
 
     centroids = jnp.zeros((k, 3), jnp.float32).at[0].set(c0)
@@ -102,7 +104,7 @@ def _fit_local(
         take = j < k_active
         new_c = jnp.where(take, cand, centroids[j])
         centroids = centroids.at[j].set(new_c)
-        new_d = jnp.minimum(dmap, distance_cie94_sq(pixels_local, new_c[None, :]))
+        new_d = jnp.minimum(dmap, dist_sq(pixels_local, new_c[None, :]))
         new_d = jnp.where(weight_local > 0, new_d, -1.0)
         dmap = jnp.where(take, new_d, dmap)
         return centroids, dmap
@@ -112,7 +114,7 @@ def _fit_local(
 
     # --- Lloyd ---
     def assign(cents):
-        d2 = distance_cie94_sq(pixels_local[:, None, :], cents[None, :, :])
+        d2 = dist_sq(pixels_local[:, None, :], cents[None, :, :])
         d2 = jnp.where(valid[None, :], d2, _BIG)
         return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
@@ -144,7 +146,7 @@ def _fit_local(
         new_centroids = jnp.where(
             nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
         )
-        moved = distance_cie94(new_centroids, centroids)
+        moved = dist(new_centroids, centroids)
         votes = jnp.logical_and(nonempty, moved < convergence)
         converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
         return new_centroids, assign(new_centroids), converged, i + 1
@@ -163,6 +165,7 @@ def fit_sharded(
     first_index,
     convergence: float = LAB_CONVERGENCE,
     k_active=None,
+    metric: str = "cie94",
 ):
     """Pixel-sharded fit of a single image: `pixels[N, 3]` sharded over the
     mesh's pixel axis (N must divide by the pixel-axis size; pad + weight).
@@ -176,6 +179,7 @@ def fit_sharded(
         convergence=convergence,
         k_active=k_active,
         axis_name=PIXEL_AXIS,
+        metric=metric,
     )
     fn = jax.shard_map(
         local,
@@ -195,6 +199,7 @@ def fit_sharded_batch(
     first_index,
     k_actives: jnp.ndarray,
     convergence: float = LAB_CONVERGENCE,
+    metric: str = "cie94",
 ):
     """Batched fit: `pixels[B, N, 3]` with batch over the data axis (DP)
     and pixels over the pixel axis (SP). `k_actives[B]` masks per-item k.
@@ -211,6 +216,7 @@ def fit_sharded_batch(
             first_index=first_index,
             convergence=convergence,
             axis_name=PIXEL_AXIS,
+            metric=metric,
         )
         cents, _ = jax.vmap(lambda p, w, a: fit1(p, w, k_active=a))(px, wt, ka)
         return cents

@@ -24,6 +24,7 @@ def quantize_image_sharded(
     palette_lab,
     mode: str = "replace",
     k_active=None,
+    metric: str = "cie94",
 ):
     """Quantize `[H, W, 4]` uint8 with rows sharded over the mesh's pixel
     axis. Rows are padded up to the shard count and sliced back, so any
@@ -39,6 +40,7 @@ def quantize_image_sharded(
         padded, NamedSharding(mesh, P(PIXEL_AXIS, None, None))
     )
     out = quantize_image(
-        sharded, jnp.asarray(palette_lab), mode=mode, k_active=k_active
+        sharded, jnp.asarray(palette_lab), mode=mode, k_active=k_active,
+        metric=metric,
     )
     return out[:h]

@@ -305,19 +305,18 @@ def test_delta_e_validation():
         ImageProcessor(delta_e="76")
     with pytest.raises(ValueError, match="CIE94"):
         ImageProcessor(fused=True, delta_e="2000")
-    p = ImageProcessor(delta_e="2000")
-    with pytest.raises(ValueError, match="CIE94"):
-        p.find_sharded(
-            Image((4, 4), np.zeros((4, 4, 4), np.uint8)),
-            np.asarray([[1, 2, 3, 255]], np.uint8),
-        )
 
 
-def test_delta_e_2000_sharded_reduce_guarded():
-    """reduce_sharded must reject non-CIE94 metrics in BOTH branches
-    (the bucketed one previously bypassed the guard silently)."""
-    image = Image((16, 16), np.zeros((16, 16, 4), np.uint8))
+
+def test_delta_e_2000_sharded_reduce(blobs_image):
+    """Sharded entry points honor the CIEDE2000 metric (exact + bucketed):
+    previously the bucketed branch silently fell back to CIE94."""
+    image, _ = blobs_image
     for bucketing in (False, True):
         p = ImageProcessor(delta_e="2000", bucketing=bucketing)
-        with pytest.raises(ValueError, match="CIE94"):
-            p.reduce_sharded(4, image)
+        out = p.reduce_sharded(4, image)
+        assert out.pixels.shape == image.pixels.shape
+        assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+    colors = np.asarray([[220, 40, 40, 255], [40, 200, 60, 255]], np.uint8)
+    f = ImageProcessor(delta_e="2000").find_sharded(image, colors)
+    assert len(np.unique(f.pixels.reshape(-1, 4), axis=0)) <= 2
