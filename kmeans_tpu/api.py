@@ -123,6 +123,20 @@ def _train_jit(
 _LARGE_TRAIN_PIXELS = 1 << 20
 
 
+def _ensure_rgba(pixels_u8: jnp.ndarray) -> jnp.ndarray:
+    """Accept `[H, W, 3]` or `[H, W, 4]` uint8; return RGBA with alpha 255.
+
+    Input alpha is ignored by the whole pipeline (training reads RGB and
+    every output stage forces alpha 255, like the reference's revert shader
+    `lab_to_rgb.wgsl:36,80`), so the host can upload RGB-only — 25% less
+    host->device traffic on the dominant transfer. The append runs
+    on-device inside the jitted executable (one cheap HBM pass)."""
+    if pixels_u8.shape[-1] == 3:
+        alpha = jnp.full(pixels_u8.shape[:-1] + (1,), 255, jnp.uint8)
+        return jnp.concatenate([pixels_u8, alpha], axis=-1)
+    return pixels_u8
+
+
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
     k_active=None, metric="cie94",
@@ -171,7 +185,9 @@ def _reduce_jit(
     full-res quantize. A single host->device transfer of the uint8 image and
     a single device->host transfer of the result — vs the reference's
     per-iteration host syncs and multi-pass texture pipeline
-    (`core/src/modules.rs:790-791`, `core/src/operations.rs:215-271`)."""
+    (`core/src/modules.rs:790-791`, `core/src/operations.rs:215-271`).
+    Accepts `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
     sh, sw = train_shape
     train_u8 = (
         resize_uint8(pixels_u8, sh, sw)
@@ -209,7 +225,9 @@ def _reduce_indexed_jit(
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
     reconstructs `palette[idx]` — 4x less device->host traffic than raw
-    RGBA, exact for replace/dither (every output pixel IS a palette color)."""
+    RGBA, exact for replace/dither (every output pixel IS a palette color).
+    Accepts `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
     sh, sw = train_shape
     train_u8 = (
         resize_uint8(pixels_u8, sh, sw)
@@ -233,7 +251,9 @@ def _assign_indexed_jit(
 ):
     """Fixed-palette indexed assignment (the `find` fast path). With
     `k_active`, trailing palette rows are bucket padding and masked;
-    `row_offset` shifts dither rows for streamed bands."""
+    `row_offset` shifts dither rows for streamed bands. Accepts
+    `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
     threshold = (
         dither_threshold(palette_lab, k_active=k_active)
         if mode == "dither"
@@ -250,7 +270,9 @@ def _quantize_fused_jit(
     pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
     fast: bool = False,
 ):
-    """Fused quantize with the dither threshold computed in-executable."""
+    """Fused quantize with the dither threshold computed in-executable.
+    Accepts `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
     threshold = (
         dither_threshold(palette_lab, k_active=k_active)
         if mode == "dither"
@@ -786,11 +808,12 @@ class ImageProcessor:
         if palette_rgba.shape[0] == 0:
             raise ValueError("palette must contain at least one color")
         palette_lab = _colors_to_lab(palette_rgba)
+        rgb = np.ascontiguousarray(image.pixels[..., :3])  # alpha is ignored
         if self.bucketing:
-            padded, h, w = pad_to_bucket(image.pixels)
+            padded, h, w = pad_to_bucket(rgb)
             out = self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
             return Image(image.dimensions, np.asarray(out)[:h, :w])
-        out = self._quantize(jnp.asarray(image.pixels), palette_lab, reduce_mode)
+        out = self._quantize(jnp.asarray(rgb), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
     @_on_device
@@ -818,7 +841,7 @@ class ImageProcessor:
                 and color_count <= 256
             ):
                 idx, palette_rgba = _reduce_indexed_jit(
-                    jnp.asarray(image.pixels),
+                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
                     color_count,
                     (sh, sw),
                     first,
@@ -829,7 +852,7 @@ class ImageProcessor:
                 out = np.asarray(palette_rgba)[np.asarray(idx)]
             else:
                 out, _ = _reduce_jit(
-                    jnp.asarray(image.pixels),
+                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
                     color_count,
                     (sh, sw),
                     first,
@@ -842,14 +865,15 @@ class ImageProcessor:
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
             palette_lab = _colors_to_lab(palette_u8)
+            rgb = np.ascontiguousarray(image.pixels[..., :3])  # alpha ignored
             if self.bucketing:
-                padded, h, w = pad_to_bucket(image.pixels)
+                padded, h, w = pad_to_bucket(rgb)
                 out = np.asarray(
                     self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
                 )[:h, :w]
             else:
                 out = self._quantize(
-                    jnp.asarray(image.pixels), palette_lab, reduce_mode
+                    jnp.asarray(rgb), palette_lab, reduce_mode
                 )
         return Image(image.dimensions, np.asarray(out))
 
@@ -1200,7 +1224,9 @@ class ImageProcessor:
             )
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, cap)
-        pixels = image.pixels
+        # Alpha is ignored by the whole pipeline: stream RGB-only bands
+        # (25% less host->device traffic on the dominant transfer).
+        pixels = np.ascontiguousarray(image.pixels[..., :3])
         band_rows = max(int(band_rows), 4)
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(color_count)
@@ -1337,7 +1363,7 @@ class ImageProcessor:
             first = kmeans_model.reference_seed_index(sw, sh)
             if use_indexed:
                 idx, palette_rgba = _reduce_indexed_jit(
-                    jnp.asarray(image.pixels),
+                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
                     color_count,
                     (sh, sw),
                     first,
@@ -1348,7 +1374,7 @@ class ImageProcessor:
                 pending.append((image.dimensions, idx, palette_rgba, None))
             else:
                 out, _ = _reduce_jit(
-                    jnp.asarray(image.pixels),
+                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
                     color_count,
                     (sh, sw),
                     first,

@@ -320,3 +320,18 @@ def test_delta_e_2000_sharded_reduce(blobs_image):
     colors = np.asarray([[220, 40, 40, 255], [40, 200, 60, 255]], np.uint8)
     f = ImageProcessor(delta_e="2000").find_sharded(image, colors)
     assert len(np.unique(f.pixels.reshape(-1, 4), axis=0)) <= 2
+
+
+def test_reduce_ignores_input_alpha(blobs_image):
+    """The exact reduce path uploads RGB-only (alpha is ignored by the
+    whole pipeline; outputs force alpha=255 like the reference's revert
+    shader): results must be identical for any input alpha values."""
+    image, _ = blobs_image
+    p = ImageProcessor()
+    base = p.reduce(4, image)
+    noisy = image.pixels.copy()
+    rng = np.random.default_rng(3)
+    noisy[..., 3] = rng.integers(0, 256, noisy.shape[:2], dtype=np.uint8)
+    out = p.reduce(4, Image(image.dimensions, noisy))
+    np.testing.assert_array_equal(base.pixels, out.pixels)
+    assert (out.pixels[..., 3] == 255).all()
