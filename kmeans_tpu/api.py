@@ -137,6 +137,12 @@ def _ensure_rgba(pixels_u8: jnp.ndarray) -> jnp.ndarray:
     return pixels_u8
 
 
+def _host_rgb(pixels: np.ndarray) -> np.ndarray:
+    """Host-side `[..., :3]` slice (contiguous) — the upload-side half of
+    the RGB-only transfer optimization (see `_ensure_rgba`)."""
+    return np.ascontiguousarray(np.asarray(pixels)[..., :3])
+
+
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
     k_active=None, metric="cie94",
@@ -339,7 +345,9 @@ def _reduce_bucketed_indexed_jit(
     k_active,
     fast: bool = False,
 ):
-    """Bucketed reduce with indexed readback (TPU fused path)."""
+    """Bucketed reduce with indexed readback (TPU fused path). Accepts
+    `[H, W, 3]` input (RGB-only upload)."""
+    padded_u8 = _ensure_rgba(padded_u8)
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=True,  # fused-only executable
@@ -378,7 +386,9 @@ def _reduce_bucketed_jit(
     fast: bool = False,
     metric: str = "cie94",
 ):
-    """Bucketed reduce returning full RGBA (meld / k>256 / XLA path)."""
+    """Bucketed reduce returning full RGBA (meld / k>256 / XLA path).
+    Accepts `[H, W, 3]` input (RGB-only upload)."""
+    padded_u8 = _ensure_rgba(padded_u8)
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=use_pallas, metric=metric,
@@ -590,7 +600,7 @@ class ImageProcessor:
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         centroids, iters = _train_jit(
-            jnp.asarray(image.pixels),
+            jnp.asarray(_host_rgb(image.pixels)),
             k,
             (sh, sw),
             first,
@@ -621,7 +631,9 @@ class ImageProcessor:
         (same sampler, one compile per bucket) and the host crops."""
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, cap)
-        pixels_u8 = image.pixels
+        # Only the RGB planes are consumed downstream (_cpu_shrunk_rgb
+        # slices [..., :3]); upload RGB-only.
+        pixels_u8 = _host_rgb(image.pixels)
         if (sw, sh) == (w, h):
             return pixels_u8
         if self.bucketing:
@@ -648,7 +660,7 @@ class ImageProcessor:
         canvas with the cluster axis padded to `bucket_k(k)` (requests at
         any k <= kp share the executable), quantize the padded image,
         crop."""
-        padded, h, w = pad_to_bucket(image.pixels)
+        padded, h, w = pad_to_bucket(_host_rgb(image.pixels))
         bh, bw = padded.shape[:2]
         canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
         conv = ColorSpace.LAB.convergence
@@ -778,7 +790,7 @@ class ImageProcessor:
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
         if self.bucketing:
-            padded, h, w = pad_to_bucket(image.pixels)
+            padded, h, w = pad_to_bucket(_host_rgb(image.pixels))
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_bucketed_jit(
@@ -933,7 +945,7 @@ class ImageProcessor:
             # pad frames repeat frame 0 and are discarded — and in palette
             # size, masked by k_active), crop after — bit-equal.
             palette_lab, k = pad_palette_k(palette_lab)
-            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             h, w = frames[0].pixels.shape[:2]
             outs = np.asarray(
@@ -943,7 +955,7 @@ class ImageProcessor:
                 )
             )[: len(frames), :h, :w]
         else:
-            stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+            stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
             outs = np.asarray(
                 _find_batch_jit(
                     stack, palette_lab, reduce_mode.value, metric=self.delta_e
@@ -973,7 +985,7 @@ class ImageProcessor:
         w, h = dims
         if self.bucketing:
     
-            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             padded = np.stack(padded)
             bh, bw = padded.shape[1:3]
@@ -988,7 +1000,7 @@ class ImageProcessor:
             return [Image(dims, outs[i]) for i in range(len(frames))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
         outs = np.asarray(
             _reduce_images_jit(
                 stack, color_count, (sh, sw), first, reduce_mode.value,
@@ -1024,7 +1036,7 @@ class ImageProcessor:
         if self.bucketing:
             from kmeans_tpu.utils.bucketing import bucket_k
 
-            padded = [pad_to_bucket(f.pixels)[0] for f in frames]
+            padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
             n_pad = bucket_frames(len(padded)) - len(padded)
             padded = np.stack(padded + [padded[0]] * n_pad)
             frame_valid = np.concatenate(
@@ -1338,7 +1350,7 @@ class ImageProcessor:
             if self.bucketing:
                 # Bucketed dispatch: varied frame sizes reuse per-bucket
                 # executables instead of compiling per exact shape.
-                padded, h, w = pad_to_bucket(image.pixels)
+                padded, h, w = pad_to_bucket(_host_rgb(image.pixels))
                 bh, bw = padded.shape[:2]
                 canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
                 conv = ColorSpace.LAB.convergence
@@ -1412,7 +1424,7 @@ class ImageProcessor:
             # The cluster axis is k_active-masked, so padding kmax to the
             # ladder is free and lets different k sets share executables.
             kmax = next_bucket(kmax)
-            padded, h_, w_ = pad_to_bucket(image.pixels)
+            padded, h_, w_ = pad_to_bucket(_host_rgb(image.pixels))
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             # Bucket the batch length too (pad entries repeat ks[0] and
@@ -1435,7 +1447,7 @@ class ImageProcessor:
         first = kmeans_model.reference_seed_index(sw, sh)
         outs = np.asarray(
             _reduce_batch_jit(
-                jnp.asarray(image.pixels),
+                jnp.asarray(_host_rgb(image.pixels)),
                 jnp.asarray(ks, jnp.int32),
                 kmax,
                 (sh, sw),
