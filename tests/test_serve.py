@@ -229,3 +229,18 @@ def test_main_flags_parsing():
     assert p.bucketing is False and p.train_max_size is None
     p2 = ImageProcessor(bucketing=True, train_max_size=512)
     assert p2.bucketing is True and p2.train_max_size == 512
+
+
+def test_dimension_bomb_request_is_400(server):
+    """A tiny GIF claiming a 65535x65535 canvas must be rejected by the
+    decode budget as a clean client error — not an OOM or a 500."""
+    import struct
+
+    h = b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0x00, 0, 0])
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0x80])
+    lct = bytes(6)
+    lzw = bytes([2, 1, 0x44, 0])
+    bomb = h + desc[:10] + lct + desc[10:] + lzw + b"\x3b"
+    status, _ctype, body = _post(server, "/reduce-gif?k=2", bomb)
+    assert status == 400, (status, body[:200])
+    assert b"decode limit" in body
