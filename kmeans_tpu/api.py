@@ -92,7 +92,9 @@ class ReduceMode(Enum):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "train_shape", "lab", "use_pallas", "metric"),
+    static_argnames=(
+        "k", "train_shape", "lab", "use_pallas", "metric", "restarts",
+    ),
 )
 def _train_jit(
     pixels_u8: jnp.ndarray,
@@ -103,6 +105,7 @@ def _train_jit(
     lab: bool = True,
     use_pallas: bool = False,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Single-executable training path: shrink -> colorspace -> seed ->
     Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
@@ -113,7 +116,8 @@ def _train_jit(
     rgb = pixels_u8[..., :3].reshape(-1, 3)
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
     centroids, iters = _fit_auto(
-        work, k, first_index, convergence, use_pallas, metric=metric
+        work, k, first_index, convergence, use_pallas, metric=metric,
+        restarts=restarts,
     )
     return centroids, iters
 
@@ -145,12 +149,13 @@ def _host_rgb(pixels: np.ndarray) -> np.ndarray:
 
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
-    k_active=None, metric="cie94",
+    k_active=None, metric="cie94", restarts=1,
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
-    # It is also CIE94-only (the tile accumulator hard-codes the metric),
-    # so non-default metrics train on the XLA path.
+    # It is also CIE94-only (the tile accumulator hard-codes the metric)
+    # and single-seeded, so non-default metrics and multi-restart training
+    # run on the XLA path.
     if use_pallas is None:
         use_pallas = _pallas_available()
     large = (
@@ -158,15 +163,16 @@ def _fit_auto(
         and k <= 64
         and use_pallas
         and metric == "cie94"
+        and restarts <= 1
     )
     if large:
         return kmeans_model.fit_large(
             work, k, first_index, convergence=convergence, weight=weight,
             k_active=k_active,
         )
-    return kmeans_model.fit(
-        work, k, first_index, convergence=convergence, weight=weight,
-        k_active=k_active, metric=metric,
+    return kmeans_model.fit_restarts(
+        work, k, first_index, restarts=restarts, convergence=convergence,
+        weight=weight, k_active=k_active, metric=metric,
     )
 
 
@@ -174,6 +180,7 @@ def _fit_auto(
     jax.jit,
     static_argnames=(
         "k", "train_shape", "mode", "use_pallas", "fast", "metric",
+        "restarts",
     ),
 )
 def _reduce_jit(
@@ -186,6 +193,7 @@ def _reduce_jit(
     use_pallas: bool,
     fast: bool = False,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """The flagship path as ONE executable: shrink -> Lab -> seed -> Lloyd ->
     full-res quantize. A single host->device transfer of the uint8 image and
@@ -202,7 +210,8 @@ def _reduce_jit(
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     centroids, _ = _fit_auto(
-        work, k, first_index, convergence, use_pallas, metric=metric
+        work, k, first_index, convergence, use_pallas, metric=metric,
+        restarts=restarts,
     )
     if use_pallas:
         # The fused kernels hard-code CIE94; the processor routes
@@ -218,7 +227,10 @@ def _reduce_jit(
     return out, centroids
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "fast"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "train_shape", "mode", "fast", "restarts"),
+)
 def _reduce_indexed_jit(
     pixels_u8: jnp.ndarray,
     k: int,
@@ -227,6 +239,7 @@ def _reduce_indexed_jit(
     convergence: float,
     mode: str,
     fast: bool = False,
+    restarts: int = 1,
 ):
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
@@ -242,8 +255,10 @@ def _reduce_indexed_jit(
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     # This executable is only built on the fused (TPU) path, so the Pallas
-    # trainer is valid here.
-    centroids, _ = _fit_auto(work, k, first_index, convergence, use_pallas=True)
+    # trainer is valid here (restarts route to the XLA trainer inside).
+    centroids, _ = _fit_auto(
+        work, k, first_index, convergence, use_pallas=True, restarts=restarts
+    )
     threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
     idx = fused_assign(pixels_u8, centroids, threshold, mode=mode, fast=fast)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
@@ -292,7 +307,9 @@ def _quantize_fused_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("kp", "canvas_shape", "lab", "use_pallas", "metric"),
+    static_argnames=(
+        "kp", "canvas_shape", "lab", "use_pallas", "metric", "restarts",
+    ),
 )
 def _train_bucketed_jit(
     padded_u8: jnp.ndarray,
@@ -308,6 +325,7 @@ def _train_bucketed_jit(
     lab: bool = True,
     use_pallas: bool = False,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Training with bucketed (padded) input: the real image lives in the
     top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
@@ -327,10 +345,14 @@ def _train_bucketed_jit(
     return _fit_auto(
         work, kp, first_index, convergence, use_pallas,
         weight=weight.reshape(-1), k_active=k_active, metric=metric,
+        restarts=restarts,
     )
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "fast"))
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "fast", "restarts"),
+)
 def _reduce_bucketed_indexed_jit(
     padded_u8: jnp.ndarray,
     kp: int,
@@ -344,6 +366,7 @@ def _reduce_bucketed_indexed_jit(
     mode: str,
     k_active,
     fast: bool = False,
+    restarts: int = 1,
 ):
     """Bucketed reduce with indexed readback (TPU fused path). Accepts
     `[H, W, 3]` input (RGB-only upload)."""
@@ -351,6 +374,7 @@ def _reduce_bucketed_indexed_jit(
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=True,  # fused-only executable
+        restarts=restarts,
     )
     threshold = (
         dither_threshold(centroids, k_active=k_active)
@@ -368,6 +392,7 @@ def _reduce_bucketed_indexed_jit(
     jax.jit,
     static_argnames=(
         "kp", "canvas_shape", "mode", "use_pallas", "fast", "metric",
+        "restarts",
     ),
 )
 def _reduce_bucketed_jit(
@@ -385,6 +410,7 @@ def _reduce_bucketed_jit(
     k_active,
     fast: bool = False,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Bucketed reduce returning full RGBA (meld / k>256 / XLA path).
     Accepts `[H, W, 3]` input (RGB-only upload)."""
@@ -392,6 +418,7 @@ def _reduce_bucketed_jit(
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=use_pallas, metric=metric,
+        restarts=restarts,
     )
     if use_pallas:
         threshold = (
@@ -507,6 +534,7 @@ class ImageProcessor:
         bucketing: bool = False,
         fast: bool = False,
         delta_e: str = "94",
+        restarts: int = 1,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -580,6 +608,16 @@ class ImageProcessor:
         # docs/perf.md. Only affects the fused (TPU) output stage; training
         # and CPU paths are unchanged.
         self.fast = bool(fast)
+        # restarts=N trains N independent k-means++ seedings per request in
+        # one vmapped executable and keeps the lowest-inertia run (restart 0
+        # is always the reference seed, so restarts=1 is exact reference
+        # behavior). Applies to every kmeans training path except the
+        # sharded (multi-chip) trainers, which raise. See
+        # models/kmeans.py::fit_restarts.
+        restarts = int(restarts)
+        if restarts < 1:
+            raise ValueError("restarts must be >= 1")
+        self.restarts = restarts
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -608,6 +646,7 @@ class ImageProcessor:
             lab=color_space is ColorSpace.LAB,
             use_pallas=self.fused,
             metric=self.delta_e,
+            restarts=self.restarts,
         )
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
@@ -668,13 +707,13 @@ class ImageProcessor:
         if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
             idx, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
-                reduce_mode.value, k, fast=self.fast,
+                reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
             )
             return np.asarray(pal)[np.asarray(idx)[:h, :w]]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
             reduce_mode.value, self.fused, k, fast=self.fast,
-            metric=self.delta_e,
+            metric=self.delta_e, restarts=self.restarts,
         )
         return np.asarray(out)[:h, :w]
 
@@ -797,6 +836,7 @@ class ImageProcessor:
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence, color_count,
                 use_pallas=self.fused, metric=self.delta_e,
+                restarts=self.restarts,
             )
             rgba, lightness = _lab_palette_to_u8(centroids)
             rgba = np.asarray(rgba)[:color_count]
@@ -860,6 +900,7 @@ class ImageProcessor:
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
                     fast=self.fast,
+                    restarts=self.restarts,
                 )
                 out = np.asarray(palette_rgba)[np.asarray(idx)]
             else:
@@ -873,6 +914,7 @@ class ImageProcessor:
                     self.fused,
                     fast=self.fast,
                     metric=self.delta_e,
+                    restarts=self.restarts,
                 )
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
@@ -995,6 +1037,7 @@ class ImageProcessor:
                     jnp.asarray(padded), bucket_k(color_count), canvas, first,
                     h, w, sh, sw, ColorSpace.LAB.convergence,
                     reduce_mode.value, color_count, metric=self.delta_e,
+                    restarts=self.restarts,
                 )
             )[: len(frames), :h, :w]
             return [Image(dims, outs[i]) for i in range(len(frames))]
@@ -1004,7 +1047,7 @@ class ImageProcessor:
         outs = np.asarray(
             _reduce_images_jit(
                 stack, color_count, (sh, sw), first, reduce_mode.value,
-                metric=self.delta_e,
+                metric=self.delta_e, restarts=self.restarts,
             )
         )
         return [Image(dims, outs[i]) for i in range(len(frames))]
@@ -1048,6 +1091,7 @@ class ImageProcessor:
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence,
                 jnp.asarray(frame_valid), color_count, metric=self.delta_e,
+                restarts=self.restarts,
             )
             # Convert at the full (bounded) kp shape, slice active rows on
             # the host — slicing centroids first would key the conversion
@@ -1061,7 +1105,7 @@ class ImageProcessor:
         stack = jnp.asarray(np.stack([f.pixels for f in frames]))
         centroids, _ = _train_frames_jit(
             stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,
-            metric=self.delta_e,
+            metric=self.delta_e, restarts=self.restarts,
         )
         rgba, lightness = _lab_palette_to_u8(centroids)
         order = np.argsort(np.asarray(lightness), kind="stable")
@@ -1102,6 +1146,11 @@ class ImageProcessor:
         pad to the shard count (0-weight padding), pixel-sharded fit."""
         from kmeans_tpu.parallel.distributed import fit_sharded
 
+        if self.restarts > 1:
+            raise ValueError(
+                "sharded training is single-seeded; restarts > 1 is not "
+                "supported on the multi-chip paths"
+            )
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
@@ -1158,6 +1207,11 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
+        if self.restarts > 1:
+            raise ValueError(
+                "sharded training is single-seeded; restarts > 1 is not "
+                "supported on the multi-chip paths"
+            )
         image = _as_image(image)
         _validate_k(color_count)
         if mesh is None:
@@ -1273,6 +1327,7 @@ class ImageProcessor:
             jnp.asarray(strip_padded), kp, canvas, first,
             strip_h, strip_w, sh, sw, conv, color_count,
             use_pallas=self.fused, metric=self.delta_e,
+            restarts=self.restarts,
         )
 
         # Pass 2: quantize bands with absolute dither offsets.
@@ -1359,7 +1414,7 @@ class ImageProcessor:
                     idx, pal = _reduce_bucketed_indexed_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, color_count,
-                        fast=self.fast,
+                        fast=self.fast, restarts=self.restarts,
                     )
                     pending.append((image.dimensions, idx, pal, (h, w)))
                 else:
@@ -1367,6 +1422,7 @@ class ImageProcessor:
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, self.fused,
                         color_count, fast=self.fast, metric=self.delta_e,
+                        restarts=self.restarts,
                     )
                     pending.append((image.dimensions, out, None, (h, w)))
                 continue
@@ -1382,6 +1438,7 @@ class ImageProcessor:
                     ColorSpace.LAB.convergence,
                     reduce_mode.value,
                     fast=self.fast,
+                    restarts=self.restarts,
                 )
                 pending.append((image.dimensions, idx, palette_rgba, None))
             else:
@@ -1395,6 +1452,7 @@ class ImageProcessor:
                     self.fused,
                     fast=self.fast,
                     metric=self.delta_e,
+                    restarts=self.restarts,
                 )
                 pending.append((image.dimensions, out, None, None))
         while pending:
@@ -1440,6 +1498,7 @@ class ImageProcessor:
                     h, w, sh, sw,
                     reduce_mode.value,
                     metric=self.delta_e,
+                    restarts=self.restarts,
                 )
             )[: len(ks), :h, :w]
             return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
@@ -1454,15 +1513,19 @@ class ImageProcessor:
                 first,
                 reduce_mode.value,
                 metric=self.delta_e,
+                restarts=self.restarts,
             )
         )
         return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "mode", "metric"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "train_shape", "mode", "metric", "restarts"),
+)
 def _reduce_images_jit(
     frames_u8, k: int, train_shape, first_index, mode: str,
-    metric: str = "cie94",
+    metric: str = "cie94", restarts: int = 1,
 ):
     def one(frame):
         sh, sw = train_shape
@@ -1472,13 +1535,18 @@ def _reduce_images_jit(
             else frame
         )
         work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-        centroids, _ = kmeans_model.fit(work, k, first_index, metric=metric)
+        centroids, _ = kmeans_model.fit_restarts(
+            work, k, first_index, restarts=restarts, metric=metric
+        )
         return quantize_image(frame, centroids, mode=mode, metric=metric)
 
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "mode", "metric"))
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "metric", "restarts"),
+)
 def _reduce_images_bucketed_jit(
     frames_u8,  # [B, BH, BW, 4] bucket-padded
     kp: int,
@@ -1492,6 +1560,7 @@ def _reduce_images_bucketed_jit(
     mode: str,
     k_active,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Bucketed per-frame train + quantize over a padded frame stack (the
     GIF serving path): one executable per (bucket, frame bucket, kp, mode)
@@ -1503,8 +1572,8 @@ def _reduce_images_bucketed_jit(
             frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
         )
         work = srgb8_to_lab(canvas.reshape(-1, 3))
-        centroids, _ = kmeans_model.fit(
-            work, kp, first_index, convergence=convergence,
+        centroids, _ = kmeans_model.fit_restarts(
+            work, kp, first_index, restarts=restarts, convergence=convergence,
             weight=weight.reshape(-1), k_active=k_active, metric=metric,
         )
         return quantize_image(
@@ -1514,7 +1583,9 @@ def _reduce_images_bucketed_jit(
     return jax.vmap(one)(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kp", "canvas_shape", "metric"))
+@partial(
+    jax.jit, static_argnames=("kp", "canvas_shape", "metric", "restarts")
+)
 def _train_frames_bucketed_jit(
     frames_u8,
     kp: int,
@@ -1528,6 +1599,7 @@ def _train_frames_bucketed_jit(
     frame_valid,
     k_active,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Bucketed joint palette: per-frame weighted canvases concatenated
     into one weighted fit. `frame_valid[B]` (f32) zeroes out frames added
@@ -1542,16 +1614,18 @@ def _train_frames_bucketed_jit(
     canvases, weights = jax.vmap(shrink)(frames_u8)  # [B, ch, cw, 3], [B, ch, cw]
     weights = weights * frame_valid[:, None, None]
     work = srgb8_to_lab(canvases.reshape(-1, 3))
-    return kmeans_model.fit(
-        work, kp, first_index, convergence=convergence,
+    return kmeans_model.fit_restarts(
+        work, kp, first_index, restarts=restarts, convergence=convergence,
         weight=weights.reshape(-1), k_active=k_active, metric=metric,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "train_shape", "metric"))
+@partial(
+    jax.jit, static_argnames=("k", "train_shape", "metric", "restarts")
+)
 def _train_frames_jit(
     frames_u8, k: int, train_shape, first_index, convergence,
-    metric: str = "cie94",
+    metric: str = "cie94", restarts: int = 1,
 ):
     """Joint palette over a frame stack: shrink every frame, concatenate
     the Lab pixels, fit once. The seed index addresses frame 0 (the
@@ -1565,8 +1639,9 @@ def _train_frames_jit(
 
     shrunk = jax.vmap(shrink)(frames_u8)  # [B, sh, sw, C]
     work = srgb8_to_lab(shrunk[..., :3].reshape(-1, 3))
-    return kmeans_model.fit(
-        work, k, first_index, convergence=convergence, metric=metric
+    return kmeans_model.fit_restarts(
+        work, k, first_index, restarts=restarts, convergence=convergence,
+        metric=metric,
     )
 
 
@@ -1581,7 +1656,10 @@ def _find_batch_jit(
     )(frames_u8)
 
 
-@partial(jax.jit, static_argnames=("kmax", "canvas_shape", "mode", "metric"))
+@partial(
+    jax.jit,
+    static_argnames=("kmax", "canvas_shape", "mode", "metric", "restarts"),
+)
 def _reduce_batch_bucketed_jit(
     padded_u8: jnp.ndarray,
     k_actives: jnp.ndarray,
@@ -1594,6 +1672,7 @@ def _reduce_batch_bucketed_jit(
     out_w,
     mode: str,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Bucketed multi-k batch: weighted-canvas training vmapped over
     k_active, quantize on the padded image (host crops)."""
@@ -1604,8 +1683,9 @@ def _reduce_batch_bucketed_jit(
     work = srgb8_to_lab(canvas.reshape(-1, 3))
     wvec = weight.reshape(-1)
     fit_v = jax.vmap(
-        lambda ka: kmeans_model.fit(
-            work, kmax, first_index, k_active=ka, weight=wvec, metric=metric
+        lambda ka: kmeans_model.fit_restarts(
+            work, kmax, first_index, restarts=restarts, k_active=ka,
+            weight=wvec, metric=metric,
         )[0]
     )
     centroids = fit_v(k_actives)
@@ -1617,7 +1697,10 @@ def _reduce_batch_bucketed_jit(
     return quant_v(centroids, k_actives)
 
 
-@partial(jax.jit, static_argnames=("kmax", "train_shape", "mode", "metric"))
+@partial(
+    jax.jit,
+    static_argnames=("kmax", "train_shape", "mode", "metric", "restarts"),
+)
 def _reduce_batch_jit(
     pixels_u8: jnp.ndarray,
     k_actives: jnp.ndarray,
@@ -1626,6 +1709,7 @@ def _reduce_batch_jit(
     first_index: int,
     mode: str,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """vmapped train + quantize over a batch of k values, one executable."""
     sh, sw = train_shape
@@ -1637,8 +1721,9 @@ def _reduce_batch_jit(
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
 
     fit_v = jax.vmap(
-        lambda ka: kmeans_model.fit(
-            work, kmax, first_index, k_active=ka, metric=metric
+        lambda ka: kmeans_model.fit_restarts(
+            work, kmax, first_index, restarts=restarts, k_active=ka,
+            metric=metric,
         )[0]
     )
     centroids = fit_v(k_actives)  # [B, kmax, 3]

@@ -170,6 +170,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="color-difference metric: CIE94 (reference parity, default) "
         "or CIEDE2000 (perceptually more uniform; XLA path)",
     )
+    parser.add_argument(
+        "--restarts",
+        type=validate_k,
+        default=1,
+        help="train N independent k-means++ seedings (one vmapped "
+        "executable) and keep the lowest-inertia palette; 1 = the "
+        "reference's single deterministic seed",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     palette = sub.add_parser(
@@ -264,7 +272,8 @@ def main(argv=None) -> int:
     from kmeans_tpu.utils.imageio import load_image, save_image
 
     processor = ImageProcessor(
-        bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e
+        bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e,
+        restarts=args.restarts,
     )
 
     if args.command == "palette":

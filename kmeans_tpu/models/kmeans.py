@@ -297,6 +297,83 @@ def lloyd_pallas(
     return centroids, iters
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_iterations", "metric", "restarts"),
+)
+def fit_restarts(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    restarts: int = 1,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`fit` with `restarts` independent k-means++ seedings, returning the
+    run with the lowest within-cluster inertia (sum over pixels of the
+    squared delta-E to the nearest active centroid).
+
+    TPU-first extension: all restarts train in ONE vmapped executable and
+    the winner is selected on device — the reference runs a single
+    deterministic seeding (`plus_plus_init.wgsl:161-168`). Restart 0 uses
+    the reference seed exactly; restarts 1..R-1 stride the flat pixel
+    index by the golden ratio (deterministic, documented). Each restart's
+    trajectory is identical to an individually-run `fit` (JAX's batched
+    `while_loop` freezes converged items). Runs on the XLA trainer; with
+    full-resolution training this multiplies memory/time by R.
+    """
+    if restarts <= 1:
+        return fit(
+            pixels, k, first_index, convergence=convergence,
+            max_iterations=max_iterations, k_active=k_active, weight=weight,
+            metric=metric,
+        )
+    n = pixels.shape[0]
+    offs = jnp.floor(
+        jnp.arange(restarts, dtype=jnp.float32)
+        * jnp.float32(0.6180339887498949)
+        * n
+    ).astype(jnp.int32)
+    seeds = jnp.mod(jnp.asarray(first_index, jnp.int32) + offs, jnp.int32(n))
+    if weight is not None:
+        # A pad pixel (weight 0) must never seed a run: walk each derived
+        # seed forward to the nearest real pixel (restart 0 keeps the
+        # caller's reference seed, which callers already point at a real
+        # pixel).
+        real = weight > 0
+        order = jnp.argsort(jnp.logical_not(real))  # real-pixel indices first
+        n_real = jnp.sum(real.astype(jnp.int32))
+        ranks = jnp.mod(seeds, jnp.maximum(n_real, 1))
+        derived = order[ranks]
+        seeds = jnp.concatenate([seeds[:1], derived[1:]])
+
+    def one(fi):
+        return fit(
+            pixels, k, fi, convergence=convergence,
+            max_iterations=max_iterations, k_active=k_active, weight=weight,
+            metric=metric,
+        )
+
+    cents_v, iters_v = jax.vmap(one)(seeds)  # [R, k, 3], [R]
+
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    wvec = None if weight is None else weight
+
+    def inertia(cents):
+        d2 = _masked_d2(pixels, cents, valid, metric)  # [N, k]
+        dmin = jnp.min(d2, axis=1)
+        if wvec is not None:
+            dmin = dmin * wvec
+        return jnp.sum(dmin)
+
+    best = jnp.argmin(jax.vmap(inertia)(cents_v))
+    return cents_v[best], iters_v[best]
+
+
 @partial(jax.jit, static_argnames=("k", "max_iterations", "interpret"))
 def fit_large(
     pixels: jnp.ndarray,

@@ -350,6 +350,13 @@ def main(argv=None) -> int:
         default="94",
         help="color-difference metric (CIEDE2000 runs on the XLA path)",
     )
+    parser.add_argument(
+        "--restarts",
+        type=int,
+        default=1,
+        help="independent k-means++ seedings per request (lowest-inertia "
+        "palette wins; one vmapped executable)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -362,7 +369,7 @@ def main(argv=None) -> int:
         )
     processor = ImageProcessor(
         bucketing=not args.exact, fast=args.fast, delta_e=args.delta_e,
-        **kwargs,
+        restarts=args.restarts, **kwargs,
     )
     if args.warmup:
         sizes = []

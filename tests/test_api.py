@@ -335,3 +335,29 @@ def test_reduce_ignores_input_alpha(blobs_image):
     out = p.reduce(4, Image(image.dimensions, noisy))
     np.testing.assert_array_equal(base.pixels, out.pixels)
     assert (out.pixels[..., 3] == 255).all()
+
+
+def test_restarts_processor(blobs_image):
+    """ImageProcessor(restarts=N): restarts=1 matches the default exactly;
+    restarts>1 runs end-to-end (exact + bucketed + batched) and still
+    recovers the blob palette."""
+    image, base = blobs_image
+    base_out = ImageProcessor().reduce(4, image)
+    same = ImageProcessor(restarts=1).reduce(4, image)
+    np.testing.assert_array_equal(base_out.pixels, same.pixels)
+    p = ImageProcessor(restarts=4)
+    pal = p.palette(4, image)
+    d = np.linalg.norm(
+        pal[:, :3].astype(int)[:, None, :] - base[None, :, :], axis=2
+    )
+    assert (d.min(axis=1) < 40).all()
+    out = p.reduce(4, image)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+    outs = p.reduce_batch(image, [2, 4])
+    assert len(outs) == 2
+    b = ImageProcessor(restarts=3, bucketing=True).reduce(4, image)
+    assert b.pixels.shape == out.pixels.shape
+    with pytest.raises(ValueError, match="restarts"):
+        ImageProcessor(restarts=0)
+    with pytest.raises(ValueError, match="single-seeded"):
+        ImageProcessor(restarts=2).reduce_sharded(4, image)

@@ -138,3 +138,48 @@ def test_fit_cie2000_metric_recovers_blobs():
     d = np.linalg.norm(cents[:, None, :] - centers[None, :, :], axis=2)
     assert (d.min(axis=1) < 3.0).all()
     assert int(iters) >= 1
+
+
+def test_fit_restarts_semantics():
+    """restarts=1 is exactly fit(); restarts>1 never yields worse inertia
+    and each trajectory matches an individually-run fit (batched
+    while_loop freezes converged items)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmeans_tpu.models.kmeans import _masked_d2, fit, fit_restarts
+
+    rng = np.random.default_rng(17)
+    centers = np.array(
+        [[15.0, 5, -20], [55.0, 35, 25], [80.0, -35, -25], [45.0, -45, 45]]
+    )
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 4, 2500)] + rng.normal(0, 1.0, (2500, 3)))
+        .astype(np.float32)
+    )
+    c1, i1 = fit(pix, 4, 0)
+    cr, ir = fit_restarts(pix, 4, 0, restarts=1)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(cr))
+    assert int(i1) == int(ir)
+
+    def inertia(c):
+        d2 = _masked_d2(pix, jnp.asarray(c), jnp.ones(4, bool))
+        return float(jnp.sum(jnp.min(d2, axis=1)))
+
+    c6, _ = fit_restarts(pix, 4, 0, restarts=6)
+    assert inertia(c6) <= inertia(c1) + 1e-2
+
+
+def test_fit_restarts_weighted_pads_never_seed():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmeans_tpu.models.kmeans import fit_restarts
+
+    rng = np.random.default_rng(23)
+    real = rng.normal(50, 10, (800, 3)).astype(np.float32)
+    pad = np.full((400, 3), 1e4, np.float32)  # absurd values: seeds would show
+    pix = jnp.asarray(np.concatenate([real, pad]))
+    weight = jnp.concatenate([jnp.ones(800), jnp.zeros(400)]).astype(jnp.float32)
+    cents, _ = fit_restarts(pix, 3, 0, restarts=5, weight=weight)
+    assert np.asarray(cents).max() < 200.0  # no pad pixel ever seeded a run
