@@ -860,7 +860,7 @@ class ImageProcessor:
         if palette_rgba.shape[0] == 0:
             raise ValueError("palette must contain at least one color")
         palette_lab = _colors_to_lab(palette_rgba)
-        rgb = np.ascontiguousarray(image.pixels[..., :3])  # alpha is ignored
+        rgb = _host_rgb(image.pixels)  # alpha is ignored
         if self.bucketing:
             padded, h, w = pad_to_bucket(rgb)
             out = self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
@@ -893,7 +893,7 @@ class ImageProcessor:
                 and color_count <= 256
             ):
                 idx, palette_rgba = _reduce_indexed_jit(
-                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
+                    jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
                     first,
@@ -905,7 +905,7 @@ class ImageProcessor:
                 out = np.asarray(palette_rgba)[np.asarray(idx)]
             else:
                 out, _ = _reduce_jit(
-                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
+                    jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
                     first,
@@ -919,7 +919,7 @@ class ImageProcessor:
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
             palette_lab = _colors_to_lab(palette_u8)
-            rgb = np.ascontiguousarray(image.pixels[..., :3])  # alpha ignored
+            rgb = _host_rgb(image.pixels)  # alpha ignored
             if self.bucketing:
                 padded, h, w = pad_to_bucket(rgb)
                 out = np.asarray(
@@ -1102,7 +1102,7 @@ class ImageProcessor:
             return rgba[np.argsort(lightness, kind="stable")]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        stack = jnp.asarray(np.stack([f.pixels for f in frames]))
+        stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
         centroids, _ = _train_frames_jit(
             stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,
             metric=self.delta_e, restarts=self.restarts,
@@ -1292,7 +1292,7 @@ class ImageProcessor:
         sw, sh = shrunk_dimensions(w, h, cap)
         # Alpha is ignored by the whole pipeline: stream RGB-only bands
         # (25% less host->device traffic on the dominant transfer).
-        pixels = np.ascontiguousarray(image.pixels[..., :3])
+        pixels = _host_rgb(image.pixels)
         band_rows = max(int(band_rows), 4)
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(color_count)
@@ -1431,7 +1431,7 @@ class ImageProcessor:
             first = kmeans_model.reference_seed_index(sw, sh)
             if use_indexed:
                 idx, palette_rgba = _reduce_indexed_jit(
-                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
+                    jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
                     first,
@@ -1443,7 +1443,7 @@ class ImageProcessor:
                 pending.append((image.dimensions, idx, palette_rgba, None))
             else:
                 out, _ = _reduce_jit(
-                    jnp.asarray(np.ascontiguousarray(image.pixels[..., :3])),
+                    jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
                     first,

@@ -361,13 +361,12 @@ def fit_restarts(
 
     k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_act
-    wvec = None if weight is None else weight
 
     def inertia(cents):
         d2 = _masked_d2(pixels, cents, valid, metric)  # [N, k]
         dmin = jnp.min(d2, axis=1)
-        if wvec is not None:
-            dmin = dmin * wvec
+        if weight is not None:
+            dmin = dmin * weight
         return jnp.sum(dmin)
 
     best = jnp.argmin(jax.vmap(inertia)(cents_v))

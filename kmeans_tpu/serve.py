@@ -350,9 +350,15 @@ def main(argv=None) -> int:
         default="94",
         help="color-difference metric (CIEDE2000 runs on the XLA path)",
     )
+    def _positive_int(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
     parser.add_argument(
         "--restarts",
-        type=int,
+        type=_positive_int,
         default=1,
         help="independent k-means++ seedings per request (lowest-inertia "
         "palette wins; one vmapped executable)",
