@@ -104,6 +104,7 @@ def assign_clusters(
     ).astype(jnp.int32)
 
 
+@jax.named_scope("kmeans.plusplus_init")
 def plusplus_init(
     pixels: jnp.ndarray,
     k: int,
@@ -179,6 +180,7 @@ def _update_centroids(
     return sums, counts
 
 
+@jax.named_scope("kmeans.lloyd")
 def lloyd(
     pixels: jnp.ndarray,
     centroids: jnp.ndarray,
@@ -235,6 +237,7 @@ def lloyd(
     return centroids, iters
 
 
+@jax.named_scope("kmeans.lloyd_pallas")
 def lloyd_pallas(
     pixels: jnp.ndarray,
     centroids: jnp.ndarray,

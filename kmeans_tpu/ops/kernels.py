@@ -352,11 +352,14 @@ def fused_quantize(
     return rgba.reshape(h, w, 4)
 
 
+@jax.named_scope("quantize.fused")
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
     row_offset=0, fast=False,
 ):
-    """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign."""
+    """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
+    The named_scope labels the pass in profiler traces, like the
+    reference's wgpu pass labels (core/src/modules.rs:777)."""
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     kp = centroids_lab.shape[0]

@@ -183,6 +183,7 @@ def _meld_chunked(lab, palette, k_active=None, metric="cie94"):
 
 
 @partial(jax.jit, static_argnames=("mode", "metric"))
+@jax.named_scope("quantize.xla")
 def quantize_image(
     rgba_u8: jnp.ndarray,
     palette_lab: jnp.ndarray,
