@@ -214,13 +214,14 @@ def _reduce_jit(
         restarts=restarts,
     )
     if use_pallas:
-        # The fused kernels hard-code CIE94; the processor routes
-        # non-default metrics here with use_pallas=False.
         threshold = (
-            dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
+            dither_threshold(centroids, metric=metric)
+            if mode == "dither"
+            else jnp.float32(0.0)
         )
         out = fused_quantize(
-            pixels_u8, centroids, threshold, mode=mode, fast=fast
+            pixels_u8, centroids, threshold, mode=mode, fast=fast,
+            metric=metric,
         )
     else:
         out = quantize_image(pixels_u8, centroids, mode=mode, metric=metric)
@@ -229,7 +230,7 @@ def _reduce_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "train_shape", "mode", "fast", "restarts"),
+    static_argnames=("k", "train_shape", "mode", "fast", "restarts", "metric"),
 )
 def _reduce_indexed_jit(
     pixels_u8: jnp.ndarray,
@@ -240,6 +241,7 @@ def _reduce_indexed_jit(
     mode: str,
     fast: bool = False,
     restarts: int = 1,
+    metric: str = "cie94",
 ):
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
@@ -255,20 +257,28 @@ def _reduce_indexed_jit(
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     # This executable is only built on the fused (TPU) path, so the Pallas
-    # trainer is valid here (restarts route to the XLA trainer inside).
+    # trainer is valid here (restarts and non-CIE94 metrics route to the
+    # XLA trainer inside _fit_auto).
     centroids, _ = _fit_auto(
-        work, k, first_index, convergence, use_pallas=True, restarts=restarts
+        work, k, first_index, convergence, use_pallas=True, restarts=restarts,
+        metric=metric,
     )
-    threshold = dither_threshold(centroids) if mode == "dither" else jnp.float32(0.0)
-    idx = fused_assign(pixels_u8, centroids, threshold, mode=mode, fast=fast)
+    threshold = (
+        dither_threshold(centroids, metric=metric)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+    idx = fused_assign(
+        pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
+    )
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
-@partial(jax.jit, static_argnames=("mode", "fast"))
+@partial(jax.jit, static_argnames=("mode", "fast", "metric"))
 def _assign_indexed_jit(
     pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
-    fast: bool = False,
+    fast: bool = False, metric: str = "cie94",
 ):
     """Fixed-palette indexed assignment (the `find` fast path). With
     `k_active`, trailing palette rows are bucket padding and masked;
@@ -276,32 +286,32 @@ def _assign_indexed_jit(
     `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
     pixels_u8 = _ensure_rgba(pixels_u8)
     threshold = (
-        dither_threshold(palette_lab, k_active=k_active)
+        dither_threshold(palette_lab, k_active=k_active, metric=metric)
         if mode == "dither"
         else jnp.float32(0.0)
     )
     return fused_assign(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
-        row_offset=row_offset, fast=fast,
+        row_offset=row_offset, fast=fast, metric=metric,
     )
 
 
-@partial(jax.jit, static_argnames=("mode", "fast"))
+@partial(jax.jit, static_argnames=("mode", "fast", "metric"))
 def _quantize_fused_jit(
     pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
-    fast: bool = False,
+    fast: bool = False, metric: str = "cie94",
 ):
     """Fused quantize with the dither threshold computed in-executable.
     Accepts `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
     pixels_u8 = _ensure_rgba(pixels_u8)
     threshold = (
-        dither_threshold(palette_lab, k_active=k_active)
+        dither_threshold(palette_lab, k_active=k_active, metric=metric)
         if mode == "dither"
         else jnp.float32(0.0)
     )
     return fused_quantize(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
-        row_offset=row_offset, fast=fast,
+        row_offset=row_offset, fast=fast, metric=metric,
     )
 
 
@@ -351,7 +361,9 @@ def _train_bucketed_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("kp", "canvas_shape", "mode", "fast", "restarts"),
+    static_argnames=(
+        "kp", "canvas_shape", "mode", "fast", "restarts", "metric",
+    ),
 )
 def _reduce_bucketed_indexed_jit(
     padded_u8: jnp.ndarray,
@@ -367,6 +379,7 @@ def _reduce_bucketed_indexed_jit(
     k_active,
     fast: bool = False,
     restarts: int = 1,
+    metric: str = "cie94",
 ):
     """Bucketed reduce with indexed readback (TPU fused path). Accepts
     `[H, W, 3]` input (RGB-only upload)."""
@@ -374,15 +387,16 @@ def _reduce_bucketed_indexed_jit(
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=True,  # fused-only executable
-        restarts=restarts,
+        restarts=restarts, metric=metric,
     )
     threshold = (
-        dither_threshold(centroids, k_active=k_active)
+        dither_threshold(centroids, k_active=k_active, metric=metric)
         if mode == "dither"
         else jnp.float32(0.0)
     )
     idx = fused_assign(
-        padded_u8, centroids, threshold, k_active=k_active, mode=mode, fast=fast
+        padded_u8, centroids, threshold, k_active=k_active, mode=mode,
+        fast=fast, metric=metric,
     )
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
@@ -422,13 +436,13 @@ def _reduce_bucketed_jit(
     )
     if use_pallas:
         threshold = (
-            dither_threshold(centroids, k_active=k_active)
+            dither_threshold(centroids, k_active=k_active, metric=metric)
             if mode == "dither"
             else jnp.float32(0.0)
         )
         return fused_quantize(
             padded_u8, centroids, threshold, k_active=k_active, mode=mode,
-            fast=fast,
+            fast=fast, metric=metric,
         )
     return quantize_image(
         padded_u8, centroids, mode=mode, k_active=k_active, metric=metric
@@ -550,8 +564,9 @@ class ImageProcessor:
         # metric (every kernel); CIEDE2000 is implemented in the
         # reference's delta_e.wgsl:24-97 but never wired up — here
         # delta_e="2000" uses it end-to-end (training, assignment, dither
-        # threshold, meld blending, convergence). Runs on the XLA path
-        # (the hand-fused Pallas kernels are CIE94-only).
+        # threshold, meld blending, convergence). The fused quantize/assign
+        # kernels implement it natively (polynomial atan2 — Mosaic has no
+        # atan2 lowering); training runs on the XLA trainer.
         aliases = {"94": "cie94", "cie94": "cie94",
                    "2000": "cie2000", "cie2000": "cie2000"}
         if str(delta_e) not in aliases:
@@ -568,21 +583,13 @@ class ImageProcessor:
         # fused=None: auto (Pallas kernel on TPU, XLA fusion elsewhere),
         # decided for the SELECTED device (e.g. devices=jax.devices("cpu")
         # on a TPU host must take the XLA path).
-        if fused and self.delta_e != "cie94":
-            raise ValueError(
-                "fused=True requires the CIE94 metric (the Pallas kernels "
-                "hard-code it); omit `fused` to use delta_e='2000' on the "
-                "XLA path"
-            )
         if fused and not _pallas_available(self._device):
             raise ValueError(
                 "fused=True requires a TPU device (the Pallas kernels have "
                 "no compiled CPU lowering); omit `fused` for auto-selection"
             )
         self.fused = (
-            _pallas_available(self._device) and self.delta_e == "cie94"
-            if fused is None
-            else bool(fused)
+            _pallas_available(self._device) if fused is None else bool(fused)
         )
         # Training-shrink cap. The reference hard-codes 256
         # (`core/src/structures.rs:23`); raising it — or disabling the
@@ -708,6 +715,7 @@ class ImageProcessor:
             idx, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
                 reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
+                metric=self.delta_e,
             )
             return np.asarray(pal)[np.asarray(idx)[:h, :w]]
         out = _reduce_bucketed_jit(
@@ -901,6 +909,7 @@ class ImageProcessor:
                     reduce_mode.value,
                     fast=self.fast,
                     restarts=self.restarts,
+                    metric=self.delta_e,
                 )
                 out = np.asarray(palette_rgba)[np.asarray(idx)]
             else:
@@ -944,13 +953,13 @@ class ImageProcessor:
             if reduce_mode is not ReduceMode.MELD and k <= 256:
                 idx = _assign_indexed_jit(
                     pixels_u8, palette_lab, reduce_mode.value, k_active,
-                    fast=self.fast,
+                    fast=self.fast, metric=self.delta_e,
                 )
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[np.asarray(idx)]
             return _quantize_fused_jit(
                 pixels_u8, palette_lab, reduce_mode.value, k_active,
-                fast=self.fast,
+                fast=self.fast, metric=self.delta_e,
             )
         return quantize_image(
             pixels_u8, palette_lab, mode=reduce_mode.value, k_active=k_active,
@@ -1347,7 +1356,7 @@ class ImageProcessor:
             if use_indexed:
                 idx = _assign_indexed_jit(
                     jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0, fast=self.fast,
+                    color_count, r0, fast=self.fast, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = palette_rgba[
                     np.asarray(idx)[:bh_real, :w]
@@ -1355,7 +1364,7 @@ class ImageProcessor:
             elif self.fused:
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0, fast=self.fast,
+                    color_count, r0, fast=self.fast, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
             else:
@@ -1415,6 +1424,7 @@ class ImageProcessor:
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, color_count,
                         fast=self.fast, restarts=self.restarts,
+                        metric=self.delta_e,
                     )
                     pending.append((image.dimensions, idx, pal, (h, w)))
                 else:
@@ -1439,6 +1449,7 @@ class ImageProcessor:
                     reduce_mode.value,
                     fast=self.fast,
                     restarts=self.restarts,
+                    metric=self.delta_e,
                 )
                 pending.append((image.dimensions, idx, palette_rgba, None))
             else:

@@ -116,6 +116,120 @@ def _cie94_sq_planes(l1, a1, b1, l2, a2, b2):
     return dl * dl + (dcab / sc) ** 2 + dhab_sq / (sh * sh)
 
 
+# atan(t)/t minimax-style polynomial on t^2 (Chebyshev fit, deg 8):
+# max |atan_poly - atan| = 1.4e-7 in f32 over [0, 1].
+_ATAN_COEFS = (
+    9.9999998808e-01, -3.3333120781e-01, 1.9993716143e-01,
+    -1.4213196197e-01, 1.0681421033e-01, -7.5968098671e-02,
+    4.3855599054e-02, -1.6827448528e-02, 3.0499680694e-03,
+)
+_PI = 3.14159265358979323846
+
+
+def _atan2_planes(y, x):
+    """Plane-wise atan2 for the CIEDE2000 hue angle: Mosaic has no atan2
+    lowering (docs/STATUS.md), so the octant-reduced polynomial above
+    stands in. Max error ~1.4e-7 rad — far below any hue difference that
+    could flip a nearest-centroid assignment."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)  # t in [0, 1]; 0 when x == y == 0
+    u = t * t
+    p = jnp.float32(_ATAN_COEFS[-1])
+    for c in _ATAN_COEFS[-2::-1]:
+        p = p * u + jnp.float32(c)
+    r = p * t  # atan(t)
+    r = jnp.where(ay > ax, jnp.float32(_PI / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(_PI) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2):
+    """Squared CIEDE2000, plane-wise — the same Sharma formulation as
+    `ops/delta_e.py::distance_cie2000_sq` (delta_e.wgsl:24-97) with the
+    polynomial atan2 above. Used by the fused kernels when the processor
+    runs with delta_e="2000"."""
+    deg360 = jnp.float32(2.0 * _PI)
+    deg180 = jnp.float32(_PI)
+    pow25_7 = jnp.float32(6103515625.0)  # 25^7
+
+    c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+    c2 = jnp.sqrt(a2 * a2 + b2 * b2)
+    bar_c = (c1 + c2) * 0.5
+    bar_c2 = bar_c * bar_c
+    bar_c7 = bar_c2 * bar_c2 * bar_c2 * bar_c
+    g = 0.5 * (1.0 - jnp.sqrt(bar_c7 / (bar_c7 + pow25_7)))
+
+    a1p = (1.0 + g) * a1
+    a2p = (1.0 + g) * a2
+    c1p = jnp.sqrt(a1p * a1p + b1 * b1)
+    c2p = jnp.sqrt(a2p * a2p + b2 * b2)
+
+    def hue(b, ap):
+        h = _atan2_planes(b, ap)
+        h = jnp.where(h < 0.0, h + deg360, h)
+        return jnp.where(jnp.logical_and(b == 0.0, ap == 0.0), 0.0, h)
+
+    h1p = hue(b1, a1p)
+    h2p = hue(b2, a2p)
+
+    dlp = l2 - l1
+    dcp = c2p - c1p
+
+    dh = h2p - h1p
+    abs_dh = jnp.abs(dh)
+    dhp = jnp.where(
+        abs_dh <= deg180,
+        dh,
+        jnp.where(h2p <= h1p, dh + deg360, dh - deg360),
+    )
+    dhp = jnp.where(c1p * c2p == 0.0, 0.0, dhp)
+    d_big_h = 2.0 * jnp.sqrt(c1p * c2p) * jnp.sin(dhp * 0.5)
+
+    bar_lp = (l1 + l2) * 0.5
+    bar_cp = (c1p + c2p) * 0.5
+
+    h_sum = h1p + h2p
+    bar_h = jnp.where(
+        abs_dh > deg180,
+        jnp.where(h_sum < deg360, (h_sum + deg360) * 0.5, (h_sum - deg360) * 0.5),
+        h_sum * 0.5,
+    )
+    bar_h = jnp.where(c1p * c2p == 0.0, h_sum, bar_h)
+
+    rad30 = jnp.float32(_PI / 6.0)
+    rad6 = jnp.float32(_PI / 30.0)
+    rad63 = jnp.float32(63.0 * _PI / 180.0)
+    t = (
+        1.0
+        - 0.17 * jnp.cos(bar_h - rad30)
+        + 0.24 * jnp.cos(2.0 * bar_h)
+        + 0.32 * jnp.cos(3.0 * bar_h + rad6)
+        - 0.20 * jnp.cos(4.0 * bar_h - rad63)
+    )
+
+    rad275 = jnp.float32(275.0 * _PI / 180.0)
+    rad25 = jnp.float32(25.0 * _PI / 180.0)
+    arg = (bar_h - rad275) / rad25
+    d_theta = rad30 * jnp.exp(-(arg * arg))
+    bar_cp2 = bar_cp * bar_cp
+    bar_cp7 = bar_cp2 * bar_cp2 * bar_cp2 * bar_cp
+    r_c = 2.0 * jnp.sqrt(bar_cp7 / (bar_cp7 + pow25_7))
+    lm = bar_lp - 50.0
+    lm50 = lm * lm
+    s_l = 1.0 + (0.015 * lm50) / jnp.sqrt(20.0 + lm50)
+    s_c = 1.0 + 0.045 * bar_cp
+    s_h = 1.0 + 0.015 * bar_cp * t
+    r_t = -jnp.sin(2.0 * d_theta) * r_c
+
+    tl = dlp / s_l
+    tc = dcp / s_c
+    th = d_big_h / s_h
+    return jnp.maximum(tl * tl + tc * tc + th * th + r_t * tc * th, 0.0)
+
+
 def _bayer_value(x, y):
     """(M4[y%4][x%4] / 16) - 0.5 in closed form (see module docstring);
     matches mix_colors.wgsl:14-27."""
@@ -143,6 +257,7 @@ def _quantize_kernel(
     width: int,
     emit_index: bool = False,
     fast: bool = False,
+    metric: str = "cie94",
 ):
     k_active = scalar_ref[0]
     threshold = thr_ref[0]
@@ -190,36 +305,46 @@ def _quantize_kernel(
             return carry
         return jax.lax.fori_loop(0, kp, body, init)
 
-    # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist the
-    # chroma sqrt and S weights out of the centroid loop (bit-identical to
-    # recomputing them per k — same inputs, same expressions).
-    c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
-    sc_p = 1.0 + _K1 * c1_p
-    sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
-    # Fast mode: replace the two per-centroid divides with per-pixel
-    # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
-    # rounds differently from a/b in f32, so nearest-centroid ties at
-    # the knife edge can flip — opt-in, documented in docs/perf.md.
-    # Only engaged for the rolled loop (kp > 16), where it measures
-    # 1.5-1.56x; the unrolled small-k kernel showed no gain, so it keeps
-    # exact divides (and bit-parity) even under fast=True.
-    fast = fast and kp > 16
-    if fast:
-        rsc_p = 1.0 / sc_p
-        rsh2_p = 1.0 / sh2_p
-
-    def dist_sq(cl, ca, cb):
-        dl = l_p - cl
-        da = a_p - ca
-        db = b_p - cb
-        c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
-        dcab = c1_p - c2
-        dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+    if metric == "cie94":
+        # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist
+        # the chroma sqrt and S weights out of the centroid loop
+        # (bit-identical to recomputing them per k — same inputs, same
+        # expressions).
+        c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
+        sc_p = 1.0 + _K1 * c1_p
+        sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
+        # Fast mode: replace the two per-centroid divides with per-pixel
+        # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
+        # rounds differently from a/b in f32, so nearest-centroid ties at
+        # the knife edge can flip — opt-in, documented in docs/perf.md.
+        # Only engaged for the rolled loop (kp > 16), where it measures
+        # 1.5-1.56x; the unrolled small-k kernel showed no gain, so it
+        # keeps exact divides (and bit-parity) even under fast=True.
+        fast = fast and kp > 16
         if fast:
-            t = dcab * rsc_p
-            return dl * dl + t * t + dhab_sq * rsh2_p
-        t = dcab / sc_p
-        return dl * dl + t * t + dhab_sq / sh2_p
+            rsc_p = 1.0 / sc_p
+            rsh2_p = 1.0 / sh2_p
+
+        def dist_sq(cl, ca, cb):
+            dl = l_p - cl
+            da = a_p - ca
+            db = b_p - cb
+            c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
+            dcab = c1_p - c2
+            dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+            if fast:
+                t = dcab * rsc_p
+                return dl * dl + t * t + dhab_sq * rsh2_p
+            t = dcab / sc_p
+            return dl * dl + t * t + dhab_sq / sh2_p
+
+        pair_sq = _cie94_sq_planes
+    else:  # cie2000 (fused; polynomial atan2 — see _atan2_planes)
+
+        def dist_sq(cl, ca, cb):
+            return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+
+        pair_sq = _cie2000_sq_planes
 
     if mode in ("replace", "dither"):
 
@@ -274,9 +399,9 @@ def _quantize_kernel(
         init = (jnp.full_like(l_p, big), zero, zero, zero) * 2
         _, l1, a1, b1, _, l2, a2, b2 = k_loop(body, init)
         # factor = d(color, second) / d(closest, second); CIE94 asymmetric
-        # orientations per mix_colors.wgsl:86.
-        num = jnp.sqrt(_cie94_sq_planes(l_p, a_p, b_p, l2, a2, b2))
-        den = jnp.sqrt(_cie94_sq_planes(l1, a1, b1, l2, a2, b2))
+        # orientations per mix_colors.wgsl:86 (metric-dependent).
+        num = jnp.sqrt(pair_sq(l_p, a_p, b_p, l2, a2, b2))
+        den = jnp.sqrt(pair_sq(l1, a1, b1, l2, a2, b2))
         factor = num / den
         ol = factor * l1 + (1.0 - factor) * l2
         oa = factor * a1 + (1.0 - factor) * a2
@@ -318,7 +443,7 @@ def _packed_palette(centroids_lab: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "fast")
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric")
 )
 def fused_quantize(
     rgba_u8: jnp.ndarray,
@@ -329,6 +454,7 @@ def fused_quantize(
     interpret: bool = False,
     row_offset=0,
     fast: bool = False,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Fused single-pass quantize: `[H, W, 4]` u8 -> `[H, W, 4]` u8.
 
@@ -345,7 +471,7 @@ def fused_quantize(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False,
-        row_offset, fast,
+        row_offset, fast, metric,
     )
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
@@ -355,7 +481,7 @@ def fused_quantize(
 @jax.named_scope("quantize.fused")
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
-    row_offset=0, fast=False,
+    row_offset=0, fast=False, metric="cie94",
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
     The named_scope labels the pass in profiler traces, like the
@@ -377,7 +503,7 @@ def _run_quantize_kernel(
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
-            fast=fast,
+            fast=fast, metric=metric,
         ),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
         grid=grid,
@@ -544,7 +670,9 @@ def pack_plane(vec: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(vec, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret", "fast"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric")
+)
 def fused_assign(
     rgba_u8: jnp.ndarray,
     centroids_lab: jnp.ndarray,
@@ -554,6 +682,7 @@ def fused_assign(
     interpret: bool = False,
     row_offset=0,
     fast: bool = False,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Like `fused_quantize` but returns the per-pixel palette index
     `[H, W]` uint8 instead of recolored pixels — 1 B/px device->host
@@ -568,6 +697,6 @@ def fused_assign(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
-        row_offset, fast,
+        row_offset, fast, metric,
     )
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

@@ -303,7 +303,10 @@ def test_delta_e_2000_processor(blobs_image):
 def test_delta_e_validation():
     with pytest.raises(ValueError, match="delta_e"):
         ImageProcessor(delta_e="76")
-    with pytest.raises(ValueError, match="CIE94"):
+    # fused + delta_e="2000" is now a supported combination (the fused
+    # kernels implement CIEDE2000 natively); on the CPU backend fused=True
+    # still fails on the device requirement.
+    with pytest.raises(ValueError, match="TPU device"):
         ImageProcessor(fused=True, delta_e="2000")
 
 

@@ -263,3 +263,85 @@ def test_fused_assign_fast_mode_quality():
         fused_assign(img, pal, thr, mode="replace", interpret=True, fast=True)
     )
     assert (exact != fast).mean() < 1e-3
+
+
+def test_atan2_planes_matches_numpy():
+    """The kernel's polynomial atan2 (Mosaic has no atan2 lowering) must
+    match numpy to ~1e-6 rad across all quadrants and the axes."""
+    from kmeans_tpu.ops.kernels import _atan2_planes
+
+    rng = np.random.default_rng(11)
+    y = rng.uniform(-90, 90, 4096).astype(np.float32)
+    x = rng.uniform(-90, 90, 4096).astype(np.float32)
+    # include axes and the origin
+    y = np.concatenate([y, [0, 0, 1, -1, 0]]).astype(np.float32)
+    x = np.concatenate([x, [1, -1, 0, 0, 0]]).astype(np.float32)
+    got = np.asarray(_atan2_planes(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    # x<0, y=0: convention boundary (pi vs -pi) — compare angles modulo 2pi
+    diff = np.abs(got - want)
+    diff = np.minimum(diff, 2 * np.pi - diff)
+    assert diff.max() < 2e-6, diff.max()
+
+
+def test_cie2000_planes_matches_reference_formula():
+    from kmeans_tpu.ops.delta_e import distance_cie2000_sq
+    from kmeans_tpu.ops.kernels import _cie2000_sq_planes
+
+    rng = np.random.default_rng(13)
+    lab1 = np.column_stack(
+        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2)).T.reshape(2, -1).T]
+    ).astype(np.float32)
+    lab2 = np.column_stack(
+        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2)).T.reshape(2, -1).T]
+    ).astype(np.float32)
+    got = np.asarray(
+        _cie2000_sq_planes(
+            jnp.asarray(lab1[:, 0]), jnp.asarray(lab1[:, 1]), jnp.asarray(lab1[:, 2]),
+            jnp.asarray(lab2[:, 0]), jnp.asarray(lab2[:, 1]), jnp.asarray(lab2[:, 2]),
+        )
+    )
+    want = np.asarray(distance_cie2000_sq(lab1, lab2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither", "meld"])
+def test_fused_cie2000_matches_xla(mode):
+    """Fused kernels with metric='cie2000' vs the XLA path: the polynomial
+    atan2 can flip knife-edge assignments only — outputs agree on ~all
+    pixels, and replace outputs stay within the palette."""
+    img = _image(48, 64, seed=21)
+    pal = _palette(6, seed=7)
+    expected = np.asarray(
+        quantize_image(img, pal, mode=mode, metric="cie2000")
+    )
+    thr = dither_threshold(pal, metric="cie2000")
+    got = np.asarray(
+        fused_quantize(
+            img, pal, thr, mode=mode, interpret=True, metric="cie2000"
+        )
+    )
+    flips = (expected != got).any(axis=-1).mean()
+    assert flips < 2e-3, f"cie2000 fused flipped {flips:.2%} of pixels"
+    if mode == "replace":
+        pal_rgba = set(map(tuple, np.unique(expected.reshape(-1, 4), axis=0)))
+        got_rgba = set(map(tuple, np.unique(got.reshape(-1, 4), axis=0)))
+        assert got_rgba <= pal_rgba
+
+
+def test_fused_assign_cie2000_matches_xla():
+    from kmeans_tpu.models.kmeans import assign_clusters
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.kernels import fused_assign
+
+    img = _image(40, 48, seed=31)
+    pal = _palette(9, seed=9)
+    lab = srgb8_to_lab(np.asarray(img)[..., :3].reshape(-1, 3))
+    want = np.asarray(assign_clusters(lab, pal, metric="cie2000"))
+    got = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), mode="replace", interpret=True,
+            metric="cie2000",
+        )
+    ).reshape(-1)
+    assert (want != got).mean() < 2e-3
