@@ -168,7 +168,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["94", "2000"],
         default="94",
         help="color-difference metric: CIE94 (reference parity, default) "
-        "or CIEDE2000 (perceptually more uniform; XLA path)",
+        "or CIEDE2000 (perceptually more uniform; fused TPU kernels)",
     )
     parser.add_argument(
         "--restarts",

@@ -348,7 +348,7 @@ def main(argv=None) -> int:
         "--delta-e",
         choices=["94", "2000"],
         default="94",
-        help="color-difference metric (CIEDE2000 runs on the XLA path)",
+        help="color-difference metric (CIEDE2000 runs in the fused kernels)",
     )
     def _positive_int(v):
         n = int(v)
