@@ -222,6 +222,34 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] fast-mode flips {flips:.2%} trial={t} k={k}/{ka}")
             failures += 1
 
+    # fused CIEDE2000 (interpret) vs XLA metric path: polynomial-atan2
+    # knife-edge flips only, at random shapes/k.
+    for t in range(max(5, trials // 12)):
+        h = int(rng.integers(2, 60))
+        w = int(rng.integers(2, 60))
+        k = int(rng.integers(1, 10))
+        ka = int(rng.integers(1, k + 1))
+        mode = ["replace", "dither", "meld"][t % 3]
+        img = jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8))
+        )
+        thr = dither_threshold(pal, k_active=ka, metric="cie2000")
+        want = np.asarray(
+            quantize_image(img, pal, mode=mode, k_active=ka, metric="cie2000")
+        )
+        got = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True,
+                metric="cie2000",
+            )
+        )
+        flips = (want != got).any(axis=-1).mean()
+        if flips > 2e-3:
+            print(f"[FAIL] fused cie2000 flips {flips:.2%} trial={t} "
+                  f"{h}x{w} k={k}/{ka} {mode}")
+            failures += 1
+
     # streamed reduce vs whole-image reduce at random band splits (no
     # training shrink -> bit-equal, including dither band offsets).
     for t in range(max(5, trials // 12)):
