@@ -146,16 +146,18 @@ def _atan2_planes(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2):
+def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2, c1=None):
     """Squared CIEDE2000, plane-wise — the same Sharma formulation as
     `ops/delta_e.py::distance_cie2000_sq` (delta_e.wgsl:24-97) with the
     polynomial atan2 above. Used by the fused kernels when the processor
-    runs with delta_e="2000"."""
+    runs with delta_e="2000". `c1` optionally supplies the precomputed
+    first-color chroma (bit-identical hoist out of the centroid loop)."""
     deg360 = jnp.float32(2.0 * _PI)
     deg180 = jnp.float32(_PI)
     pow25_7 = jnp.float32(6103515625.0)  # 25^7
 
-    c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+    if c1 is None:
+        c1 = jnp.sqrt(a1 * a1 + b1 * b1)
     c2 = jnp.sqrt(a2 * a2 + b2 * b2)
     bar_c = (c1 + c2) * 0.5
     bar_c2 = bar_c * bar_c
@@ -340,9 +342,13 @@ def _quantize_kernel(
 
         pair_sq = _cie94_sq_planes
     else:  # cie2000 (fused; polynomial atan2 — see _atan2_planes)
+        fast = False  # no fast variant for this metric
+        # Pixel-side chroma is centroid-independent: hoist it out of the
+        # centroid loop (bit-identical — same expression, same inputs).
+        c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
 
         def dist_sq(cl, ca, cb):
-            return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb)
+            return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
 
         pair_sq = _cie2000_sq_planes
 
@@ -397,10 +403,16 @@ def _quantize_kernel(
             return n_d1, n_l1, n_a1, n_b1, n_d2, n_l2, n_a2, n_b2
 
         init = (jnp.full_like(l_p, big), zero, zero, zero) * 2
-        _, l1, a1, b1, _, l2, a2, b2 = k_loop(body, init)
+        _, l1, a1, b1, d2_carry, l2, a2, b2 = k_loop(body, init)
         # factor = d(color, second) / d(closest, second); CIE94 asymmetric
-        # orientations per mix_colors.wgsl:86 (metric-dependent).
-        num = jnp.sqrt(pair_sq(l_p, a_p, b_p, l2, a2, b2))
+        # orientations per mix_colors.wgsl:86 (metric-dependent). The loop
+        # carry already holds d^2(pixel, second) computed with the exact
+        # formula, so reuse it — except under cie94 fast mode, whose
+        # reciprocal-hoisted distances must not feed the blend factor.
+        if fast:
+            num = jnp.sqrt(pair_sq(l_p, a_p, b_p, l2, a2, b2))
+        else:
+            num = jnp.sqrt(d2_carry)
         den = jnp.sqrt(pair_sq(l1, a1, b1, l2, a2, b2))
         factor = num / den
         ol = factor * l1 + (1.0 - factor) * l2
@@ -467,6 +479,8 @@ def fused_quantize(
     """
     if mode not in ("replace", "dither", "meld"):
         raise ValueError(f"unknown mode {mode!r}")
+    if metric not in ("cie94", "cie2000"):
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     out = _run_quantize_kernel(
@@ -691,6 +705,8 @@ def fused_assign(
     representation). Requires k <= 256."""
     if mode not in ("replace", "dither"):
         raise ValueError("fused_assign supports replace/dither only")
+    if metric not in ("cie94", "cie2000"):
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     if centroids_lab.shape[0] > 256:
         raise ValueError("indexed output requires k <= 256")
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]

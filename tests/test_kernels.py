@@ -290,10 +290,10 @@ def test_cie2000_planes_matches_reference_formula():
 
     rng = np.random.default_rng(13)
     lab1 = np.column_stack(
-        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2)).T.reshape(2, -1).T]
+        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2))]
     ).astype(np.float32)
     lab2 = np.column_stack(
-        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2)).T.reshape(2, -1).T]
+        [rng.uniform(0, 100, 512), rng.uniform(-80, 80, (512, 2))]
     ).astype(np.float32)
     got = np.asarray(
         _cie2000_sq_planes(
@@ -345,3 +345,10 @@ def test_fused_assign_cie2000_matches_xla():
         )
     ).reshape(-1)
     assert (want != got).mean() < 2e-3
+
+
+def test_fused_rejects_unknown_metric():
+    img = _image(4, 4)
+    pal = _palette(2)
+    with pytest.raises(ValueError, match="unknown metric"):
+        fused_quantize(img, pal, jnp.float32(0), metric="94", interpret=True)
