@@ -153,22 +153,19 @@ def _fit_auto(
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
-    # It is also CIE94-only (the tile accumulator hard-codes the metric)
-    # and single-seeded, so non-default metrics and multi-restart training
-    # run on the XLA path.
+    # It is single-seeded, so multi-restart training runs on the XLA path.
     if use_pallas is None:
         use_pallas = _pallas_available()
     large = (
         work.shape[0] > _LARGE_TRAIN_PIXELS
         and k <= 64
         and use_pallas
-        and metric == "cie94"
         and restarts <= 1
     )
     if large:
         return kmeans_model.fit_large(
             work, k, first_index, convergence=convergence, weight=weight,
-            k_active=k_active,
+            k_active=k_active, metric=metric,
         )
     return kmeans_model.fit_restarts(
         work, k, first_index, restarts=restarts, convergence=convergence,

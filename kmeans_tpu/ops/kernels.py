@@ -550,6 +550,7 @@ def _lloyd_acc_kernel(
     *refs,  # [weight VMEM [TILE_ROWS, 128] f32 if weighted,] out VMEM
     kp: int,
     weighted: bool = False,
+    metric: str = "cie94",
 ):
     """One tile of the Lloyd update: assign each pixel to its nearest
     centroid (CIE94) and emit per-centroid lane-partial (sum, count)
@@ -578,24 +579,32 @@ def _lloyd_acc_kernel(
     big = jnp.float32(3.4e38)
     best_d = jnp.full_like(l_p, big)
     best_k = jnp.zeros(l_p.shape, jnp.int32)
-    # Pixel-side CIE94 terms hoisted out of the centroid loop — identical
-    # expressions to _cie94_sq_planes on the same inputs, so every distance
-    # (and therefore every assignment) is bit-identical to the rolled form.
+    # Pixel-side terms hoisted out of the centroid loop — identical
+    # expressions on the same inputs, so every distance (and therefore
+    # every assignment) is bit-identical to the rolled form.
     c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
-    sc_p = 1.0 + _K1 * c1_p
-    sh_p = 1.0 + _K2 * c1_p
-    sh2_p = sh_p * sh_p
+    if metric == "cie94":
+        sc_p = 1.0 + _K1 * c1_p
+        sh_p = 1.0 + _K2 * c1_p
+        sh2_p = sh_p * sh_p
+
+        def dist(cl, ca, cb):
+            dl = l_p - cl
+            da = a_p - ca
+            db = b_p - cb
+            c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
+            dcab = c1_p - c2
+            dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
+            t = dcab / sc_p
+            return dl * dl + t * t + dhab_sq / sh2_p
+    else:  # cie2000 (polynomial atan2 — see _atan2_planes)
+
+        def dist(cl, ca, cb):
+            return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
+
     # kp is small and static: unroll (VPU-friendly, no loop-carried VMEM).
     for k in range(kp):
-        cl, ca, cb = cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
-        dl = l_p - cl
-        da = a_p - ca
-        db = b_p - cb
-        c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
-        dcab = c1_p - c2
-        dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
-        t = dcab / sc_p
-        d = dl * dl + t * t + dhab_sq / sh2_p
+        d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
         d = jnp.where(k < k_active, d, big)
         take = d < best_d
         best_d = jnp.where(take, d, best_d)
@@ -619,6 +628,7 @@ def lloyd_accumulate(
     k_active=None,
     weight_planes: jnp.ndarray | None = None,  # [M, 128] f32
     interpret: bool = False,
+    metric: str = "cie94",
 ) -> jnp.ndarray:
     """Per-cluster (sumL, suma, sumb, count) totals `[KP, 4]` over all valid
     pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`;
@@ -627,6 +637,8 @@ def lloyd_accumulate(
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
+    if metric not in ("cie94", "cie2000"):
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     m = lab_planes.shape[1]
     if m % TILE_ROWS != 0:
         raise ValueError(
@@ -655,7 +667,9 @@ def lloyd_accumulate(
         operands.append(jnp.asarray(weight_planes, jnp.float32))
 
     partials = pl.pallas_call(
-        functools.partial(_lloyd_acc_kernel, kp=kp, weighted=weighted),
+        functools.partial(
+            _lloyd_acc_kernel, kp=kp, weighted=weighted, metric=metric
+        ),
         out_shape=jax.ShapeDtypeStruct((grid[0], kp, 4, LANES), jnp.float32),
         grid=grid,
         in_specs=in_specs,

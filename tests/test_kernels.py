@@ -352,3 +352,40 @@ def test_fused_rejects_unknown_metric():
     pal = _palette(2)
     with pytest.raises(ValueError, match="unknown metric"):
         fused_quantize(img, pal, jnp.float32(0), metric="94", interpret=True)
+
+
+def test_lloyd_accumulate_cie2000_matches_matmul():
+    from kmeans_tpu.models.kmeans import _update_centroids, assign_clusters
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+
+    rng = np.random.default_rng(33)
+    # well-separated clusters: knife-edge atan2 flips can't move counts
+    centers = np.array([[20.0, 10, -30], [60.0, -40, 20], [85.0, 30, 45]])
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 3, 4000)] + rng.normal(0, 1.0, (4000, 3)))
+        .astype(np.float32)
+    )
+    cents = jnp.asarray(centers.astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    totals = np.asarray(
+        lloyd_accumulate(planes, cents, n, interpret=True, metric="cie2000")
+    )
+    assign = assign_clusters(pix, cents, metric="cie2000")
+    sums, counts = _update_centroids(pix, assign, 3)
+    np.testing.assert_allclose(totals[:, :3], np.asarray(sums), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(totals[:, 3], np.asarray(counts), atol=0)
+
+
+def test_fit_large_cie2000_matches_fit():
+    from kmeans_tpu.models.kmeans import fit, fit_large
+
+    rng = np.random.default_rng(35)
+    centers = np.array([[25.0, 5, -20], [55.0, 35, 25], [80.0, -35, -25]])
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 3, 3000)] + rng.normal(0, 0.6, (3000, 3)))
+        .astype(np.float32)
+    )
+    c1, i1 = fit(pix, 3, 0, metric="cie2000")
+    c2, i2 = fit_large(pix, 3, 0, interpret=True, metric="cie2000")
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-2)
+    assert int(i1) == int(i2)
