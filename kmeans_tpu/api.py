@@ -153,7 +153,10 @@ def _fit_auto(
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
-    # It is single-seeded, so multi-restart training runs on the XLA path.
+    # It is single-seeded, so multi-restart training runs on the XLA path,
+    # and only kernel-supported metrics may route to it.
+    from kmeans_tpu.ops.kernels import PALLAS_METRICS
+
     if use_pallas is None:
         use_pallas = _pallas_available()
     large = (
@@ -161,6 +164,7 @@ def _fit_auto(
         and k <= 64
         and use_pallas
         and restarts <= 1
+        and metric in PALLAS_METRICS
     )
     if large:
         return kmeans_model.fit_large(
@@ -254,8 +258,8 @@ def _reduce_indexed_jit(
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     # This executable is only built on the fused (TPU) path, so the Pallas
-    # trainer is valid here (restarts and non-CIE94 metrics route to the
-    # XLA trainer inside _fit_auto).
+    # trainer is valid here (multi-restart training still routes to the
+    # XLA trainer inside _fit_auto; both metrics have kernel lowerings).
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas=True, restarts=restarts,
         metric=metric,
@@ -562,8 +566,9 @@ class ImageProcessor:
         # reference's delta_e.wgsl:24-97 but never wired up — here
         # delta_e="2000" uses it end-to-end (training, assignment, dither
         # threshold, meld blending, convergence). The fused quantize/assign
-        # kernels implement it natively (polynomial atan2 — Mosaic has no
-        # atan2 lowering); training runs on the XLA trainer.
+        # kernels AND the Pallas Lloyd accumulator implement it natively
+        # (polynomial atan2 — Mosaic has no atan2 lowering); small
+        # (shrunk) trainings use the XLA trainer as usual.
         aliases = {"94": "cie94", "cie94": "cie94",
                    "2000": "cie2000", "cie2000": "cie2000"}
         if str(delta_e) not in aliases:

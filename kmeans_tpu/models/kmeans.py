@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kmeans_tpu.ops.delta_e import distance_cie94, metric_fns
+from kmeans_tpu.ops.delta_e import metric_fns
 
 MAX_ITERATIONS = 128  # core/src/modules.rs:765
 CONVERGENCE_CHECK_EVERY = 8  # core/src/modules.rs:766

@@ -47,6 +47,11 @@ from kmeans_tpu.ops import colorspace as cs
 TILE_ROWS = 128  # [128, 128] i32 tile: best measured pipelining on v5e (see docs/perf.md)
 LANES = 128
 
+# Metrics the hand-fused kernels implement. Routing decisions (e.g.
+# api._fit_auto's large-trainer gate) consult this rather than assuming
+# every entry of ops.delta_e.METRICS has a kernel lowering.
+PALLAS_METRICS = ("cie94", "cie2000")
+
 _K1 = 0.045
 _K2 = 0.015
 
@@ -479,7 +484,7 @@ def fused_quantize(
     """
     if mode not in ("replace", "dither", "meld"):
         raise ValueError(f"unknown mode {mode!r}")
-    if metric not in ("cie94", "cie2000"):
+    if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
@@ -553,7 +558,8 @@ def _lloyd_acc_kernel(
     metric: str = "cie94",
 ):
     """One tile of the Lloyd update: assign each pixel to its nearest
-    centroid (CIE94) and emit per-centroid lane-partial (sum, count)
+    centroid (CIE94 or CIEDE2000 via `metric`) and emit per-centroid
+    lane-partial (sum, count)
     accumulators. Replaces choose_centroid.wgsl's decoupled-lookback global
     scan: each grid step reduces its tile to [KP, 4, 128] partials; XLA sums
     partials over tiles+lanes outside. No [N, K] one-hot ever exists, so
@@ -637,7 +643,7 @@ def lloyd_accumulate(
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
-    if metric not in ("cie94", "cie2000"):
+    if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     m = lab_planes.shape[1]
     if m % TILE_ROWS != 0:
@@ -719,7 +725,7 @@ def fused_assign(
     representation). Requires k <= 256."""
     if mode not in ("replace", "dither"):
         raise ValueError("fused_assign supports replace/dither only")
-    if metric not in ("cie94", "cie2000"):
+    if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     if centroids_lab.shape[0] > 256:
         raise ValueError("indexed output requires k <= 256")
