@@ -80,10 +80,10 @@ def test_cie2000_sq_consistent_with_cie2000():
 
     rng = np.random.default_rng(3)
     a = np.column_stack(
-        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2)).T.reshape(2, -1).T]
+        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2))]
     ).astype(np.float32)
     b = np.column_stack(
-        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2)).T.reshape(2, -1).T]
+        [rng.uniform(0, 100, 64), rng.uniform(-90, 90, (64, 2))]
     ).astype(np.float32)
     d = np.asarray(distance_cie2000(a, b))
     d2 = np.asarray(distance_cie2000_sq(a, b))
