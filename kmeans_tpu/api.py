@@ -1342,13 +1342,28 @@ class ImageProcessor:
         )
 
         # Pass 2: quantize bands with absolute dither offsets.
+        out = self._quantize_bands(
+            pixels, h, w, centroids, color_count, reduce_mode, band_rows
+        )
+        return Image(image.dimensions, out)
+
+    def _quantize_bands(
+        self, pixels, h, w, palette_lab, k_active, reduce_mode, band_rows
+    ) -> np.ndarray:
+        """Stream `pixels[h, w, 3]` through the device in row bands and
+        quantize with a fixed (possibly k-padded) palette; dither rows are
+        offset by each band's absolute position so the Bayer pattern is
+        seamless across band edges. Shared by `reduce_streamed` (after
+        training) and `find_streamed`."""
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and color_count <= 256
+            and palette_lab.shape[0] <= 256
         )
         palette_rgba = (
-            np.asarray(_lab_palette_to_u8(centroids)[0]) if use_indexed else None
+            np.asarray(_lab_palette_to_u8(palette_lab)[0])
+            if use_indexed
+            else None
         )
         out = np.empty((h, w, 4), np.uint8)
         for r0 in range(0, h, band_rows):
@@ -1357,24 +1372,52 @@ class ImageProcessor:
             padded, _, _ = pad_to_bucket(band)
             if use_indexed:
                 idx = _assign_indexed_jit(
-                    jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0, fast=self.fast, metric=self.delta_e,
+                    jnp.asarray(padded), palette_lab, reduce_mode.value,
+                    k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = palette_rgba[
                     np.asarray(idx)[:bh_real, :w]
                 ]
             elif self.fused:
                 band_out = _quantize_fused_jit(
-                    jnp.asarray(padded), centroids, reduce_mode.value,
-                    color_count, r0, fast=self.fast, metric=self.delta_e,
+                    jnp.asarray(padded), palette_lab, reduce_mode.value,
+                    k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
             else:
                 band_out = quantize_image(
-                    jnp.asarray(padded), centroids, mode=reduce_mode.value,
-                    k_active=color_count, row_offset=r0, metric=self.delta_e,
+                    jnp.asarray(padded), palette_lab, mode=reduce_mode.value,
+                    k_active=k_active, row_offset=r0, metric=self.delta_e,
                 )
                 out[r0 : r0 + bh_real] = np.asarray(band_out)[:bh_real, :w]
+        return out
+
+    @_on_device
+    def find_streamed(
+        self,
+        image,
+        colors,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        band_rows: int = 4096,
+    ) -> Image:
+        """Gigapixel `find`: fixed-palette recolor streamed through the
+        device in row bands (no training pass at all, so image size is
+        bounded by host RAM, not HBM). Bands run on bucketed executables
+        with the palette k-padded, so arbitrary image heights reuse a
+        bounded executable set; output is bit-equal to whole-image `find`
+        on a bucketed processor (it is purely per-pixel)."""
+        image = _as_image(image)
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        palette_lab = jnp.asarray(_colors_to_lab(palette_rgba), jnp.float32)
+        palette_lab, k_active = pad_palette_k(palette_lab)
+        w, h = image.dimensions
+        pixels = _host_rgb(image.pixels)
+        band_rows = max(int(band_rows), 4)
+        out = self._quantize_bands(
+            pixels, h, w, palette_lab, k_active, reduce_mode, band_rows
+        )
         return Image(image.dimensions, out)
 
     @_on_device

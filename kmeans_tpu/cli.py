@@ -201,6 +201,13 @@ def build_parser() -> argparse.ArgumentParser:
     find.add_argument(
         "-m", "--mode", choices=["replace", "dither", "meld"], default="replace"
     )
+    find.add_argument(
+        "--band-rows",
+        type=int,
+        default=None,
+        help="process the image in row bands of this many rows "
+        "(gigapixel images: device memory holds one band at a time)",
+    )
 
     reduce = sub.add_parser(
         "reduce", help="Quantized the image then replaces it's resulting color."
@@ -289,7 +296,13 @@ def main(argv=None) -> int:
         print(f"Palette: {palette_hex(palette)}")
     elif args.command == "find":
         image = load_image(args.input)
-        result = processor.find(image, args.palette, ReduceMode(args.mode))
+        if args.band_rows:
+            result = processor.find_streamed(
+                image, args.palette, ReduceMode(args.mode),
+                band_rows=args.band_rows,
+            )
+        else:
+            result = processor.find(image, args.palette, ReduceMode(args.mode))
         save_image(result, find_file_path(args.mode, args.output, args.input))
     elif args.command == "reduce":
         image = load_image(args.input)

@@ -392,3 +392,34 @@ def test_warmup_gif_paths():
         + api._find_batch_jit._cache_size()
     )
     assert after == before  # warmup covered all three GIF executables
+
+
+def test_find_streamed_matches_bucketed_find():
+    """find_streamed is purely per-pixel: bit-equal to whole-image find on
+    a bucketed processor, at any band split, for every mode."""
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+    from kmeans_tpu.image import Image
+
+    rng = np.random.default_rng(41)
+    image = Image((70, 53), rng.integers(0, 256, (53, 70, 4), dtype=np.uint8))
+    colors = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+    p = ImageProcessor(bucketing=True)
+    pe = ImageProcessor()
+    for mode in (ReduceMode.REPLACE, ReduceMode.DITHER, ReduceMode.MELD):
+        whole = p.find(image, colors, mode)
+        for band in (8, 17, 64):
+            streamed = pe.find_streamed(image, colors, mode, band_rows=band)
+            np.testing.assert_array_equal(
+                whole.pixels, streamed.pixels,
+                err_msg=f"mode={mode} band={band}",
+            )
+
+
+def test_find_streamed_empty_palette_rejected():
+    from kmeans_tpu.api import ImageProcessor
+    from kmeans_tpu.image import Image
+
+    img = Image((4, 4), np.zeros((4, 4, 4), np.uint8))
+    with pytest.raises(ValueError, match="at least one color"):
+        ImageProcessor().find_streamed(img, np.zeros((0, 4), np.uint8))
