@@ -1289,14 +1289,29 @@ class ImageProcessor:
         `bucketing=False` processor results match `reduce` of a
         `bucketing=True` one, not the exact-shape path.
         """
-        from kmeans_tpu.utils.bucketing import bucket_k
-
         image = _as_image(image)
         _validate_k(color_count)
+        pixels, centroids = self._train_streamed(image, color_count, band_rows)
+        w, h = image.dimensions
+        band_rows = max(int(band_rows), 4)
+
+        # Pass 2: quantize bands with absolute dither offsets.
+        out = self._quantize_bands(
+            pixels, h, w, centroids, color_count, reduce_mode, band_rows
+        )
+        return Image(image.dimensions, out)
+
+    def _train_streamed(self, image: Image, color_count: int, band_rows: int):
+        """Pass 1 of the streamed paths: per-band horizontal shrink into a
+        `[h, sw]` training strip, then vertical shrink + weighted fit —
+        every step on bucketed executables. Returns (rgb pixels, trained
+        `[kp, 3]` Lab centroids with `color_count` active rows)."""
+        from kmeans_tpu.utils.bucketing import bucket_k
+
         cap = self.train_max_size
         if cap is None:
             raise ValueError(
-                "reduce_streamed requires a finite train_max_size (the "
+                "streamed training requires a finite train_max_size (the "
                 "training strip is assembled at that width)"
             )
         w, h = image.dimensions
@@ -1308,7 +1323,7 @@ class ImageProcessor:
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(color_count)
 
-        # Pass 1: per-band horizontal shrink -> [h, sw] training strip.
+        # Per-band horizontal shrink -> [h, sw] training strip.
         if (sw, sh) == (w, h):
             strip = pixels  # no shrink: train on the pixels themselves
         else:
@@ -1340,12 +1355,23 @@ class ImageProcessor:
             use_pallas=self.fused, metric=self.delta_e,
             restarts=self.restarts,
         )
+        return pixels, centroids
 
-        # Pass 2: quantize bands with absolute dither offsets.
-        out = self._quantize_bands(
-            pixels, h, w, centroids, color_count, reduce_mode, band_rows
-        )
-        return Image(image.dimensions, out)
+    @_on_device
+    def palette_streamed(
+        self, color_count: int, image, band_rows: int = 4096
+    ) -> np.ndarray:
+        """Gigapixel `palette`: extract the k dominant colors of an image
+        streamed through the device in row bands (training only — no
+        output pass), returning `[k, 4]` RGBA8 sorted by L* like
+        `palette`. Image size is bounded by host RAM, not HBM."""
+        image = _as_image(image)
+        _validate_k(color_count)
+        _, centroids = self._train_streamed(image, color_count, band_rows)
+        rgba, lightness = _lab_palette_to_u8(centroids)
+        rgba = np.asarray(rgba)[:color_count]
+        lightness = np.asarray(lightness)[:color_count]
+        return rgba[np.argsort(lightness, kind="stable")]
 
     def _quantize_bands(
         self, pixels, h, w, palette_lab, k_active, reduce_mode, band_rows

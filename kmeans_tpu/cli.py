@@ -190,6 +190,13 @@ def build_parser() -> argparse.ArgumentParser:
         "-a", "--algo", choices=["kmeans", "octree", "mediancut", "wu"], default="kmeans"
     )
     palette.add_argument("-s", "--size", type=validate_size, default=40)
+    palette.add_argument(
+        "--band-rows",
+        type=int,
+        default=None,
+        help="train on the image streamed in row bands of this many rows "
+        "(gigapixel images; kmeans algorithm only)",
+    )
 
     find = sub.add_parser(
         "find",
@@ -285,9 +292,16 @@ def main(argv=None) -> int:
 
     if args.command == "palette":
         image = load_image(args.input)
-        palette = processor.palette(
-            args.colorcount, image, Algorithm(args.algo)
-        )
+        if args.band_rows:
+            if args.algo != "kmeans":
+                raise SystemExit("--band-rows requires the kmeans algorithm")
+            palette = processor.palette_streamed(
+                args.colorcount, image, band_rows=args.band_rows
+            )
+        else:
+            palette = processor.palette(
+                args.colorcount, image, Algorithm(args.algo)
+            )
         out_path = palette_file_path(
             args.colorcount, args.input, args.output, args.algo, args.size
         )

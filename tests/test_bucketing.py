@@ -423,3 +423,27 @@ def test_find_streamed_empty_palette_rejected():
     img = Image((4, 4), np.zeros((4, 4, 4), np.uint8))
     with pytest.raises(ValueError, match="at least one color"):
         ImageProcessor().find_streamed(img, np.zeros((0, 4), np.uint8))
+
+
+def test_palette_streamed_matches_bucketed_palette():
+    """palette_streamed trains on the same strip pipeline as
+    reduce_streamed; for images needing no shrink it matches the bucketed
+    whole-image palette exactly (identical training pixels)."""
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(47)
+    base = np.array(
+        [[230, 40, 40], [40, 220, 60], [60, 60, 230], [230, 220, 70]], np.int32
+    )
+    idx = rng.integers(0, 4, (60, 80))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, (60, 80, 3)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((60, 80, 1), 255, np.uint8)], -1
+    )
+    from kmeans_tpu.image import Image
+
+    image = Image((80, 60), rgba)
+    p = ImageProcessor(bucketing=True)
+    whole = p.palette(4, image)
+    streamed = ImageProcessor().palette_streamed(4, image, band_rows=16)
+    np.testing.assert_array_equal(whole, streamed)
