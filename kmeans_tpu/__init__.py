@@ -9,7 +9,11 @@ device-resident training (no per-iteration host syncs), batched
 multi-k/multi-frame execution, multi-chip pixel sharding, shape/k/frame
 bucketing for serving (`ImageProcessor(bucketing=True)` + `warmup`), an
 HTTP daemon (`python -m kmeans_tpu.serve`), row-band streaming for
-gigapixel images (`reduce_streamed`), and no 8192x8192 size cap.
+gigapixel images (`reduce_streamed` / `find_streamed` /
+`palette_streamed`), selectable CIEDE2000 metric fused in the kernels
+(`delta_e="2000"`), multi-restart training (`restarts=N`, vmapped with
+device-side best-inertia selection), opt-in fast kernels (`fast=True`,
+1.5x for k>16 palettes), and no 8192x8192 size cap.
 """
 
 from kmeans_tpu.api import (
