@@ -485,6 +485,19 @@ def _lab_palette_to_u8(
     return jnp.concatenate([rgb8, alpha], axis=1), lightness
 
 
+def _palette_readback(centroids, k: int) -> np.ndarray:
+    """Centroids `[kp, 3]` Lab -> `[k, 4]` RGBA8 sorted by L* ascending —
+    the `CentroidsBuffer::pull_values` + L*-sort readback idiom
+    (`core/src/structures.rs:581-617`, `core/src/lib.rs:276-284`), shared
+    by the palette entry points. Trailing (bucket-padding) rows beyond
+    `k` are dropped before the sort; conversion happens at the full
+    (bounded) kp shape so executables stay keyed on the k bucket."""
+    rgba, lightness = _lab_palette_to_u8(centroids)
+    rgba = np.asarray(rgba)[:k]
+    lightness = np.asarray(lightness)[:k]
+    return rgba[np.argsort(lightness, kind="stable")]
+
+
 def _on_device(method):
     """Run an ImageProcessor entry point with computation pinned to the
     processor's selected device (`jax.default_device`)."""
@@ -848,16 +861,9 @@ class ImageProcessor:
                 use_pallas=self.fused, metric=self.delta_e,
                 restarts=self.restarts,
             )
-            rgba, lightness = _lab_palette_to_u8(centroids)
-            rgba = np.asarray(rgba)[:color_count]
-            lightness = np.asarray(lightness)[:color_count]
-            return rgba[np.argsort(lightness, kind="stable")]
+            return _palette_readback(centroids, color_count)
         centroids = self.extract_palette_kmeans(image, color_count)
-        # `CentroidsBuffer::pull_values` (`core/src/structures.rs:581-617`):
-        # Lab -> sRGB8 on readback, then the L* sort.
-        rgba, lightness = _lab_palette_to_u8(centroids)
-        order = np.argsort(np.asarray(lightness), kind="stable")
-        return np.asarray(rgba)[order]
+        return _palette_readback(centroids, color_count)
 
     @_on_device
     def find(
@@ -1107,10 +1113,7 @@ class ImageProcessor:
             # Convert at the full (bounded) kp shape, slice active rows on
             # the host — slicing centroids first would key the conversion
             # executable on the exact k.
-            rgba, lightness = _lab_palette_to_u8(centroids)
-            rgba = np.asarray(rgba)[:color_count]
-            lightness = np.asarray(lightness)[:color_count]
-            return rgba[np.argsort(lightness, kind="stable")]
+            return _palette_readback(centroids, color_count)
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
@@ -1194,9 +1197,7 @@ class ImageProcessor:
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
-        rgba, lightness = _lab_palette_to_u8(centroids)
-        order = np.argsort(np.asarray(lightness), kind="stable")
-        return np.asarray(rgba)[order]
+        return _palette_readback(centroids, color_count)
 
     def reduce_sharded(
         self,
@@ -1291,21 +1292,23 @@ class ImageProcessor:
         """
         image = _as_image(image)
         _validate_k(color_count)
-        pixels, centroids = self._train_streamed(image, color_count, band_rows)
-        w, h = image.dimensions
         band_rows = max(int(band_rows), 4)
+        centroids = self._train_streamed(image, color_count, band_rows)
+        w, h = image.dimensions
 
         # Pass 2: quantize bands with absolute dither offsets.
         out = self._quantize_bands(
-            pixels, h, w, centroids, color_count, reduce_mode, band_rows
+            image.pixels, h, w, centroids, color_count, reduce_mode, band_rows
         )
         return Image(image.dimensions, out)
 
     def _train_streamed(self, image: Image, color_count: int, band_rows: int):
         """Pass 1 of the streamed paths: per-band horizontal shrink into a
         `[h, sw]` training strip, then vertical shrink + weighted fit —
-        every step on bucketed executables. Returns (rgb pixels, trained
-        `[kp, 3]` Lab centroids with `color_count` active rows)."""
+        every step on bucketed executables. The RGB slice/copy happens per
+        band so peak extra host RAM stays at one band. `band_rows` must
+        already be clamped (>= 4) by the caller. Returns the trained
+        `[kp, 3]` Lab centroids with `color_count` active rows."""
         from kmeans_tpu.utils.bucketing import bucket_k
 
         cap = self.train_max_size
@@ -1316,20 +1319,19 @@ class ImageProcessor:
             )
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, cap)
-        # Alpha is ignored by the whole pipeline: stream RGB-only bands
-        # (25% less host->device traffic on the dominant transfer).
-        pixels = _host_rgb(image.pixels)
-        band_rows = max(int(band_rows), 4)
+        pixels = image.pixels
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(color_count)
 
-        # Per-band horizontal shrink -> [h, sw] training strip.
+        # Per-band horizontal shrink -> [h, sw] training strip. Alpha is
+        # ignored by the whole pipeline: upload RGB-only band slices.
         if (sw, sh) == (w, h):
-            strip = pixels  # no shrink: train on the pixels themselves
+            # No shrink: the image fits the cap, so one small copy is fine.
+            strip = _host_rgb(pixels)
         else:
             bands = []
             for r0 in range(0, h, band_rows):
-                band = pixels[r0 : r0 + band_rows]
+                band = _host_rgb(pixels[r0 : r0 + band_rows])
                 bh_real = band.shape[0]
                 padded, _, _ = pad_to_bucket(band)
                 canvas_h = padded.shape[0]  # = next_bucket(bh_real)
@@ -1355,7 +1357,7 @@ class ImageProcessor:
             use_pallas=self.fused, metric=self.delta_e,
             restarts=self.restarts,
         )
-        return pixels, centroids
+        return centroids
 
     @_on_device
     def palette_streamed(
@@ -1367,20 +1369,20 @@ class ImageProcessor:
         `palette`. Image size is bounded by host RAM, not HBM."""
         image = _as_image(image)
         _validate_k(color_count)
-        _, centroids = self._train_streamed(image, color_count, band_rows)
-        rgba, lightness = _lab_palette_to_u8(centroids)
-        rgba = np.asarray(rgba)[:color_count]
-        lightness = np.asarray(lightness)[:color_count]
-        return rgba[np.argsort(lightness, kind="stable")]
+        band_rows = max(int(band_rows), 4)
+        centroids = self._train_streamed(image, color_count, band_rows)
+        return _palette_readback(centroids, color_count)
 
     def _quantize_bands(
         self, pixels, h, w, palette_lab, k_active, reduce_mode, band_rows
     ) -> np.ndarray:
-        """Stream `pixels[h, w, 3]` through the device in row bands and
+        """Stream `pixels[h, w, 3|4]` through the device in row bands and
         quantize with a fixed (possibly k-padded) palette; dither rows are
         offset by each band's absolute position so the Bayer pattern is
-        seamless across band edges. Shared by `reduce_streamed` (after
-        training) and `find_streamed`."""
+        seamless across band edges. The RGB slice/copy happens PER BAND so
+        peak extra host RAM stays at one band, not a whole-image copy.
+        Shared by `reduce_streamed` (after training) and `find_streamed`.
+        `band_rows` must already be clamped (>= 4) by the caller."""
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
@@ -1393,7 +1395,7 @@ class ImageProcessor:
         )
         out = np.empty((h, w, 4), np.uint8)
         for r0 in range(0, h, band_rows):
-            band = pixels[r0 : r0 + band_rows]
+            band = _host_rgb(pixels[r0 : r0 + band_rows])
             bh_real = band.shape[0]
             padded, _, _ = pad_to_bucket(band)
             if use_indexed:
@@ -1439,10 +1441,9 @@ class ImageProcessor:
         palette_lab = jnp.asarray(_colors_to_lab(palette_rgba), jnp.float32)
         palette_lab, k_active = pad_palette_k(palette_lab)
         w, h = image.dimensions
-        pixels = _host_rgb(image.pixels)
         band_rows = max(int(band_rows), 4)
         out = self._quantize_bands(
-            pixels, h, w, palette_lab, k_active, reduce_mode, band_rows
+            image.pixels, h, w, palette_lab, k_active, reduce_mode, band_rows
         )
         return Image(image.dimensions, out)
 

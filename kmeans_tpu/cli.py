@@ -44,6 +44,13 @@ def validate_filename(value: str) -> str:
     raise argparse.ArgumentTypeError("Only support png or jpg files.")
 
 
+def validate_band_rows(value: str) -> int:
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError("band-rows must be >= 1")
+    return n
+
+
 def validate_size(value: str) -> int:
     s = int(value)
     if not 1 <= s <= 60:
@@ -192,7 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
     palette.add_argument("-s", "--size", type=validate_size, default=40)
     palette.add_argument(
         "--band-rows",
-        type=int,
+        type=validate_band_rows,
         default=None,
         help="train on the image streamed in row bands of this many rows "
         "(gigapixel images; kmeans algorithm only)",
@@ -210,7 +217,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     find.add_argument(
         "--band-rows",
-        type=int,
+        type=validate_band_rows,
         default=None,
         help="process the image in row bands of this many rows "
         "(gigapixel images: device memory holds one band at a time)",
@@ -230,7 +237,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     reduce.add_argument(
         "--band-rows",
-        type=int,
+        type=validate_band_rows,
         default=None,
         help="process the image in row bands of this many rows "
         "(gigapixel images: device memory holds one band at a time; "
