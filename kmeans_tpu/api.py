@@ -272,8 +272,27 @@ def _reduce_indexed_jit(
     idx = fused_assign(
         pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
     )
+    if k <= 16:
+        # Nibble-pack the index map (two pixels per byte): for small
+        # palettes this halves the dominant device->host transfer again
+        # (the host unpacks with two vectorized shifts — see
+        # _unpack_nibbles). Odd widths pad one column, cropped on unpack.
+        h, w = idx.shape
+        if w % 2:
+            idx = jnp.pad(idx, ((0, 0), (0, 1)))
+        idx = (idx[:, 0::2] << 4) | idx[:, 1::2]
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
+
+
+def _unpack_nibbles(packed: np.ndarray, w: int) -> np.ndarray:
+    """Invert `_reduce_indexed_jit`'s nibble packing: `[H, ceil(w/2)]`
+    uint8 -> `[H, w]` uint8 index map."""
+    h = packed.shape[0]
+    idx = np.empty((h, packed.shape[1] * 2), np.uint8)
+    idx[:, 0::2] = packed >> 4
+    idx[:, 1::2] = packed & 0x0F
+    return idx[:, :w]
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
@@ -919,7 +938,10 @@ class ImageProcessor:
                     restarts=self.restarts,
                     metric=self.delta_e,
                 )
-                out = np.asarray(palette_rgba)[np.asarray(idx)]
+                idx_np = np.asarray(idx)
+                if color_count <= 16:
+                    idx_np = _unpack_nibbles(idx_np, w)
+                out = np.asarray(palette_rgba)[idx_np]
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
@@ -1472,7 +1494,9 @@ class ImageProcessor:
         def drain_one():
             dims, out, palette, crop = pending.pop(0)
             arr = np.asarray(out)
-            if crop is not None:
+            if crop is not None and crop[0] == "nib":
+                arr = _unpack_nibbles(arr, crop[1])
+            elif crop is not None:
                 arr = arr[: crop[0], : crop[1]]
             if palette is not None:
                 results.append(Image(dims, np.asarray(palette)[arr]))
@@ -1523,7 +1547,13 @@ class ImageProcessor:
                     restarts=self.restarts,
                     metric=self.delta_e,
                 )
-                pending.append((image.dimensions, idx, palette_rgba, None))
+                if color_count <= 16:
+                    # drain_one unpacks via the crop tuple's width
+                    pending.append(
+                        (image.dimensions, idx, palette_rgba, ("nib", w, h))
+                    )
+                else:
+                    pending.append((image.dimensions, idx, palette_rgba, None))
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),

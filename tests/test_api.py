@@ -364,3 +364,21 @@ def test_restarts_processor(blobs_image):
         ImageProcessor(restarts=0)
     with pytest.raises(ValueError, match="single-seeded"):
         ImageProcessor(restarts=2).reduce_sharded(4, image)
+
+
+def test_unpack_nibbles_inverts_packing():
+    """_reduce_indexed_jit nibble-packs index maps for k <= 16; the host
+    unpack must invert it exactly, including odd widths (padded column)."""
+    import jax.numpy as jnp
+
+    from kmeans_tpu.api import _unpack_nibbles
+
+    rng = np.random.default_rng(51)
+    for w in (8, 9, 33, 128):
+        idx = rng.integers(0, 16, (12, w), dtype=np.uint8)
+        j = jnp.asarray(idx)
+        if w % 2:
+            j = jnp.pad(j, ((0, 0), (0, 1)))
+        packed = np.asarray((j[:, 0::2] << 4) | j[:, 1::2])
+        assert packed.shape[1] == (w + 1) // 2
+        np.testing.assert_array_equal(_unpack_nibbles(packed, w), idx)
