@@ -273,21 +273,23 @@ def _reduce_indexed_jit(
         pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
     )
     if k <= 16:
-        # Nibble-pack the index map (two pixels per byte): for small
-        # palettes this halves the dominant device->host transfer again
-        # (the host unpacks with two vectorized shifts — see
-        # _unpack_nibbles). Odd widths pad one column, cropped on unpack.
-        h, w = idx.shape
-        if w % 2:
-            idx = jnp.pad(idx, ((0, 0), (0, 1)))
-        idx = (idx[:, 0::2] << 4) | idx[:, 1::2]
+        idx = _pack_nibbles(idx)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
+def _pack_nibbles(idx: jnp.ndarray) -> jnp.ndarray:
+    """Device-side nibble pack of an index map (two pixels per byte) —
+    valid when every index < 16; odd widths pad one column, cropped on
+    unpack. Halves the index readback to 0.5 B/px."""
+    if idx.shape[1] % 2:
+        idx = jnp.pad(idx, ((0, 0), (0, 1)))
+    return (idx[:, 0::2] << 4) | idx[:, 1::2]
+
+
 def _unpack_nibbles(packed: np.ndarray, w: int) -> np.ndarray:
-    """Invert `_reduce_indexed_jit`'s nibble packing: `[H, ceil(w/2)]`
-    uint8 -> `[H, w]` uint8 index map."""
+    """Invert `_pack_nibbles`: `[H, ceil(w/2)]` uint8 -> `[H, w]` uint8
+    index map."""
     h = packed.shape[0]
     idx = np.empty((h, packed.shape[1] * 2), np.uint8)
     idx[:, 0::2] = packed >> 4
@@ -310,10 +312,13 @@ def _assign_indexed_jit(
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    return fused_assign(
+    idx = fused_assign(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
         row_offset=row_offset, fast=fast, metric=metric,
     )
+    if palette_lab.shape[0] <= 16:
+        idx = _pack_nibbles(idx)
+    return idx
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
@@ -418,6 +423,8 @@ def _reduce_bucketed_indexed_jit(
         padded_u8, centroids, threshold, k_active=k_active, mode=mode,
         fast=fast, metric=metric,
     )
+    if kp <= 16:
+        idx = _pack_nibbles(idx)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
@@ -751,7 +758,10 @@ class ImageProcessor:
                 reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
                 metric=self.delta_e,
             )
-            return np.asarray(pal)[np.asarray(idx)[:h, :w]]
+            idx_np = np.asarray(idx)
+            if kp <= 16:
+                idx_np = _unpack_nibbles(idx_np, bw)
+            return np.asarray(pal)[idx_np[:h, :w]]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
             reduce_mode.value, self.fused, k, fast=self.fast,
@@ -985,8 +995,11 @@ class ImageProcessor:
                     pixels_u8, palette_lab, reduce_mode.value, k_active,
                     fast=self.fast, metric=self.delta_e,
                 )
+                idx_np = np.asarray(idx)
+                if palette_lab.shape[0] <= 16:
+                    idx_np = _unpack_nibbles(idx_np, pixels_u8.shape[1])
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
-                return np.asarray(palette_rgba)[np.asarray(idx)]
+                return np.asarray(palette_rgba)[idx_np]
             return _quantize_fused_jit(
                 pixels_u8, palette_lab, reduce_mode.value, k_active,
                 fast=self.fast, metric=self.delta_e,
@@ -1425,9 +1438,10 @@ class ImageProcessor:
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
                     k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
-                out[r0 : r0 + bh_real] = palette_rgba[
-                    np.asarray(idx)[:bh_real, :w]
-                ]
+                idx_np = np.asarray(idx)
+                if palette_lab.shape[0] <= 16:
+                    idx_np = _unpack_nibbles(idx_np, padded.shape[1])
+                out[r0 : r0 + bh_real] = palette_rgba[idx_np[:bh_real, :w]]
             elif self.fused:
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
@@ -1492,16 +1506,20 @@ class ImageProcessor:
         results = []
 
         def drain_one():
-            dims, out, palette, crop = pending.pop(0)
+            dims, out, palette, post = pending.pop(0)
             arr = np.asarray(out)
-            if crop is not None and crop[0] == "nib":
-                arr = _unpack_nibbles(arr, crop[1])
-            elif crop is not None:
-                arr = arr[: crop[0], : crop[1]]
+            if post is not None:
+                arr = post(arr)
             if palette is not None:
                 results.append(Image(dims, np.asarray(palette)[arr]))
             else:
                 results.append(Image(dims, arr))
+
+        def _crop(h, w):
+            return lambda a: a[:h, :w]
+
+        def _unpack_crop(wp, h, w):
+            return lambda a: _unpack_nibbles(a, wp)[:h, :w]
 
         for im in images:
             if len(pending) >= WINDOW:
@@ -1522,7 +1540,10 @@ class ImageProcessor:
                         fast=self.fast, restarts=self.restarts,
                         metric=self.delta_e,
                     )
-                    pending.append((image.dimensions, idx, pal, (h, w)))
+                    post = (
+                        _unpack_crop(bw, h, w) if kp <= 16 else _crop(h, w)
+                    )
+                    pending.append((image.dimensions, idx, pal, post))
                 else:
                     out = _reduce_bucketed_jit(
                         jnp.asarray(padded), kp, canvas, first,
@@ -1530,7 +1551,7 @@ class ImageProcessor:
                         color_count, fast=self.fast, metric=self.delta_e,
                         restarts=self.restarts,
                     )
-                    pending.append((image.dimensions, out, None, (h, w)))
+                    pending.append((image.dimensions, out, None, _crop(h, w)))
                 continue
             w, h = image.dimensions
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
@@ -1547,13 +1568,12 @@ class ImageProcessor:
                     restarts=self.restarts,
                     metric=self.delta_e,
                 )
-                if color_count <= 16:
-                    # drain_one unpacks via the crop tuple's width
-                    pending.append(
-                        (image.dimensions, idx, palette_rgba, ("nib", w, h))
-                    )
-                else:
-                    pending.append((image.dimensions, idx, palette_rgba, None))
+                post = (
+                    (lambda a, w=w: _unpack_nibbles(a, w))
+                    if color_count <= 16
+                    else None
+                )
+                pending.append((image.dimensions, idx, palette_rgba, post))
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
