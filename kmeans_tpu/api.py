@@ -272,10 +272,21 @@ def _reduce_indexed_jit(
     idx = fused_assign(
         pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
     )
-    if k <= 16:
+    if _nibble_packed(k):
         idx = _pack_nibbles(idx)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
+
+
+# Palettes at or below this size use nibble-packed (0.5 B/px) index
+# readback; every device-side pack and host-side unpack MUST consult this
+# single threshold (they sit in different executables/processes and drift
+# here means silently garbled pixels).
+NIBBLE_PACK_MAX_K = 16
+
+
+def _nibble_packed(k: int) -> bool:
+    return k <= NIBBLE_PACK_MAX_K
 
 
 def _pack_nibbles(idx: jnp.ndarray) -> jnp.ndarray:
@@ -316,7 +327,7 @@ def _assign_indexed_jit(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
         row_offset=row_offset, fast=fast, metric=metric,
     )
-    if palette_lab.shape[0] <= 16:
+    if _nibble_packed(palette_lab.shape[0]):
         idx = _pack_nibbles(idx)
     return idx
 
@@ -423,7 +434,7 @@ def _reduce_bucketed_indexed_jit(
         padded_u8, centroids, threshold, k_active=k_active, mode=mode,
         fast=fast, metric=metric,
     )
-    if kp <= 16:
+    if _nibble_packed(kp):
         idx = _pack_nibbles(idx)
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
@@ -759,7 +770,7 @@ class ImageProcessor:
                 metric=self.delta_e,
             )
             idx_np = np.asarray(idx)
-            if kp <= 16:
+            if _nibble_packed(kp):
                 idx_np = _unpack_nibbles(idx_np, bw)
             return np.asarray(pal)[idx_np[:h, :w]]
         out = _reduce_bucketed_jit(
@@ -949,7 +960,7 @@ class ImageProcessor:
                     metric=self.delta_e,
                 )
                 idx_np = np.asarray(idx)
-                if color_count <= 16:
+                if _nibble_packed(color_count):
                     idx_np = _unpack_nibbles(idx_np, w)
                 out = np.asarray(palette_rgba)[idx_np]
             else:
@@ -996,7 +1007,7 @@ class ImageProcessor:
                     fast=self.fast, metric=self.delta_e,
                 )
                 idx_np = np.asarray(idx)
-                if palette_lab.shape[0] <= 16:
+                if _nibble_packed(palette_lab.shape[0]):
                     idx_np = _unpack_nibbles(idx_np, pixels_u8.shape[1])
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[idx_np]
@@ -1439,7 +1450,7 @@ class ImageProcessor:
                     k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
                 idx_np = np.asarray(idx)
-                if palette_lab.shape[0] <= 16:
+                if _nibble_packed(palette_lab.shape[0]):
                     idx_np = _unpack_nibbles(idx_np, padded.shape[1])
                 out[r0 : r0 + bh_real] = palette_rgba[idx_np[:bh_real, :w]]
             elif self.fused:
@@ -1541,7 +1552,9 @@ class ImageProcessor:
                         metric=self.delta_e,
                     )
                     post = (
-                        _unpack_crop(bw, h, w) if kp <= 16 else _crop(h, w)
+                        _unpack_crop(bw, h, w)
+                        if _nibble_packed(kp)
+                        else _crop(h, w)
                     )
                     pending.append((image.dimensions, idx, pal, post))
                 else:
@@ -1569,8 +1582,8 @@ class ImageProcessor:
                     metric=self.delta_e,
                 )
                 post = (
-                    (lambda a, w=w: _unpack_nibbles(a, w))
-                    if color_count <= 16
+                    _unpack_crop(w, h, w)
+                    if _nibble_packed(color_count)
                     else None
                 )
                 pending.append((image.dimensions, idx, palette_rgba, post))

@@ -367,18 +367,61 @@ def test_restarts_processor(blobs_image):
 
 
 def test_unpack_nibbles_inverts_packing():
-    """_reduce_indexed_jit nibble-packs index maps for k <= 16; the host
-    unpack must invert it exactly, including odd widths (padded column)."""
+    """The host unpack must invert the production device-side pack
+    exactly, including odd widths (padded column)."""
     import jax.numpy as jnp
 
-    from kmeans_tpu.api import _unpack_nibbles
+    from kmeans_tpu.api import _pack_nibbles, _unpack_nibbles
 
     rng = np.random.default_rng(51)
     for w in (8, 9, 33, 128):
         idx = rng.integers(0, 16, (12, w), dtype=np.uint8)
-        j = jnp.asarray(idx)
-        if w % 2:
-            j = jnp.pad(j, ((0, 0), (0, 1)))
-        packed = np.asarray((j[:, 0::2] << 4) | j[:, 1::2])
+        packed = np.asarray(_pack_nibbles(jnp.asarray(idx)))
         assert packed.shape[1] == (w + 1) // 2
         np.testing.assert_array_equal(_unpack_nibbles(packed, w), idx)
+
+
+def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
+    """Drive the fused indexed (nibble-packed) host wiring on CPU by
+    running the Pallas kernels in interpret mode: reduce/find outputs
+    must be bit-equal to the XLA path (the kernels are bit-identical for
+    replace/dither), proving every pack condition has a matching host
+    unpack. Without this, the packed paths only ran on real TPU."""
+    from functools import partial
+
+    import kmeans_tpu.api as api
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api, "fused_assign", partial(kernels.fused_assign, interpret=True)
+    )
+    monkeypatch.setattr(
+        api, "fused_quantize", partial(kernels.fused_quantize, interpret=True)
+    )
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    image, _ = blobs_image
+    # odd width slice exercises the pack padding
+    odd = Image((127, 96), image.pixels[:, :127])
+    colors = np.asarray(
+        [[220, 40, 40, 255], [40, 200, 60, 255], [50, 60, 210, 255]], np.uint8
+    )
+
+    fused_p = api.ImageProcessor(fused=True)
+    xla_p = api.ImageProcessor(fused=False)
+    for img in (image, odd):
+        got = fused_p.find(img, colors, api.ReduceMode.REPLACE)
+        want = xla_p.find(img, colors, api.ReduceMode.REPLACE)
+        np.testing.assert_array_equal(got.pixels, want.pixels)
+        got = fused_p.reduce(4, img)
+        want = xla_p.reduce(4, img)
+        np.testing.assert_array_equal(got.pixels, want.pixels)
+    # bucketed + streamed wiring
+    fused_b = api.ImageProcessor(fused=True, bucketing=True)
+    out = fused_b.reduce(4, odd)
+    assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+    fs = fused_p.find_streamed(odd, colors, api.ReduceMode.DITHER, band_rows=16)
+    ws = api.ImageProcessor(fused=False, bucketing=True).find(
+        odd, colors, api.ReduceMode.DITHER
+    )
+    np.testing.assert_array_equal(fs.pixels, ws.pixels)
