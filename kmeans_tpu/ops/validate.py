@@ -65,6 +65,41 @@ def validate_kernels(verbose: bool = True) -> bool:
                     bool((idx < max(k, 1)).all()),
                 )
 
+    # CIEDE2000 kernels (polynomial atan2): knife-edge flips only.
+    for mode in ("replace", "dither", "meld"):
+        img = jnp.asarray(rng.integers(0, 256, (29, 41, 4), dtype=np.uint8))
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (6, 3), dtype=np.uint8))
+        )
+        thr = dither_threshold(pal, metric="cie2000")
+        want = np.asarray(quantize_image(img, pal, mode=mode, metric="cie2000"))
+        got = np.asarray(
+            fused_quantize(
+                img, pal, thr, mode=mode, interpret=True, metric="cie2000"
+            )
+        )
+        flips = (want != got).any(axis=-1).mean()
+        report(f"fused_quantize cie2000 mode={mode:7s}", bool(flips < 2e-3))
+
+    cents2 = srgb8_to_lab(
+        jnp.asarray(rng.integers(0, 256, (4, 3), dtype=np.uint8))
+    )
+    pix2 = jnp.asarray(rng.normal(50, 20, (3000, 3)).astype(np.float32))
+    planes2, n2 = pack_lab_planes(pix2)
+    totals2 = np.asarray(
+        lloyd_accumulate(planes2, cents2, n2, interpret=True, metric="cie2000")
+    )
+    sums2, counts2 = _update_centroids(
+        pix2, assign_clusters(pix2, cents2, metric="cie2000"), 4
+    )
+    report(
+        "lloyd_accumulate cie2000 k=4",
+        bool(
+            np.allclose(totals2[:, :3], np.asarray(sums2), rtol=1e-3, atol=0.1)
+            and np.abs(totals2[:, 3] - np.asarray(counts2)).max() <= 2
+        ),
+    )
+
     # Training accumulator vs the one-hot matmul ground truth.
     pix = jnp.asarray(rng.normal(50, 25, (5000, 3)).astype(np.float32))
     cents = jnp.asarray(rng.normal(50, 25, (6, 3)).astype(np.float32))
