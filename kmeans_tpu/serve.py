@@ -31,6 +31,7 @@ import json
 import logging
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -50,6 +51,41 @@ class QuantizeService:
             processor = ImageProcessor(bucketing=True)
         self.processor = processor
         self._lock = threading.Lock()
+        # Per-endpoint request counters + latency accumulators (observed
+        # under _stats_lock; exposed at GET /stats).
+        self._stats_lock = threading.Lock()
+        self._stats: dict[str, dict] = {}
+        self._started = time.time()
+
+    def record(self, endpoint: str, seconds: float, ok: bool) -> None:
+        with self._stats_lock:
+            e = self._stats.setdefault(
+                endpoint,
+                {"requests": 0, "errors": 0, "seconds_total": 0.0,
+                 "seconds_max": 0.0},
+            )
+            e["requests"] += 1
+            if not ok:
+                e["errors"] += 1
+            e["seconds_total"] += seconds
+            e["seconds_max"] = max(e["seconds_max"], seconds)
+
+    def stats(self) -> bytes:
+        with self._stats_lock:
+            snapshot = {
+                name: {
+                    **e,
+                    "seconds_avg": (
+                        e["seconds_total"] / e["requests"] if e["requests"] else 0.0
+                    ),
+                }
+                for name, e in self._stats.items()
+            }
+        return json.dumps(
+            {"uptime_s": round(time.time() - self._started, 1),
+             "endpoints": snapshot},
+            indent=2,
+        ).encode()
 
     # -- request implementations (raise ValueError for 400s) -- #
 
@@ -199,6 +235,7 @@ def _make_handler(service: QuantizeService):
             log.info("%s " + fmt, self.address_string(), *args)
 
         def _reply(self, code: int, body: bytes, ctype: str):
+            self._last_code = code
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -221,11 +258,23 @@ def _make_handler(service: QuantizeService):
                         200 if healthy else 503, (msg + "\n").encode(), "text/plain"
                     )
                 self._reply(200, b"ok\n", "text/plain")
+            elif url.path == "/stats":
+                self._reply(200, service.stats(), "application/json")
             else:
                 self._error(404, "unknown endpoint")
 
         def do_POST(self):
             url = urlparse(self.path)
+            t0 = time.perf_counter()
+            self._last_code = 500  # overwritten by _reply; a crash counts as error
+            try:
+                self._do_post(url)
+            finally:
+                service.record(
+                    url.path, time.perf_counter() - t0, self._last_code < 400
+                )
+
+        def _do_post(self, url):
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -389,6 +438,16 @@ def main(argv=None) -> int:
 
     server = create_server(args.host, args.port, processor)
     log.info("serving on %s:%d", *server.server_address)
+
+    import signal as _signal
+
+    def _on_term(signum, frame):
+        # Container orchestrators send SIGTERM; shut down cleanly instead
+        # of dying mid-response. shutdown() must run off the serve thread.
+        log.info("SIGTERM: shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    _signal.signal(_signal.SIGTERM, _on_term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

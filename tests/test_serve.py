@@ -244,3 +244,19 @@ def test_dimension_bomb_request_is_400(server):
     status, _ctype, body = _post(server, "/reduce-gif?k=2", bomb)
     assert status == 400, (status, body[:200])
     assert b"decode limit" in body
+
+
+def test_stats_endpoint(server, png_body):
+    _post(server, "/reduce?k=3", png_body)
+    _post(server, "/reduce-gif?k=2", b"notagif")  # 400 -> counted as error
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("GET", "/stats")
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    assert data["uptime_s"] >= 0
+    red = data["endpoints"]["/reduce"]
+    assert red["requests"] >= 1 and red["seconds_avg"] > 0
+    gif = data["endpoints"]["/reduce-gif"]
+    assert gif["errors"] >= 1
