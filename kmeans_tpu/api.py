@@ -273,38 +273,56 @@ def _reduce_indexed_jit(
         pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
     )
     if _nibble_packed(k):
-        idx = _pack_nibbles(idx)
+        idx = _pack_nibbles(idx, _pack_bits(k))
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
 
-# Palettes at or below this size use nibble-packed (0.5 B/px) index
-# readback; every device-side pack and host-side unpack MUST consult this
-# single threshold (they sit in different executables/processes and drift
-# here means silently garbled pixels).
+# Small palettes pack multiple pixel indices per byte on the device
+# before readback (2 bits/px for k <= 4, 4 bits/px for k <= 16, raw u8
+# otherwise). Every device-side pack and host-side unpack MUST consult
+# this single function (they sit in different executables/processes and
+# drift here means silently garbled pixels).
 NIBBLE_PACK_MAX_K = 16
+CRUMB_PACK_MAX_K = 4
+
+
+def _pack_bits(k: int) -> int:
+    """Bits per packed index for a (static) palette size."""
+    if k <= CRUMB_PACK_MAX_K:
+        return 2
+    if k <= NIBBLE_PACK_MAX_K:
+        return 4
+    return 8
 
 
 def _nibble_packed(k: int) -> bool:
-    return k <= NIBBLE_PACK_MAX_K
+    return _pack_bits(k) < 8
 
 
-def _pack_nibbles(idx: jnp.ndarray) -> jnp.ndarray:
-    """Device-side nibble pack of an index map (two pixels per byte) —
-    valid when every index < 16; odd widths pad one column, cropped on
-    unpack. Halves the index readback to 0.5 B/px."""
-    if idx.shape[1] % 2:
-        idx = jnp.pad(idx, ((0, 0), (0, 1)))
-    return (idx[:, 0::2] << 4) | idx[:, 1::2]
+def _pack_nibbles(idx: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
+    """Device-side pack of an index map: `bits` in {2, 4} packs 4 or 2
+    pixels per byte (every index must be < 2**bits; widths pad to the
+    pack factor, cropped on unpack). Cuts the index readback to
+    0.25/0.5 B/px."""
+    per = 8 // bits
+    if idx.shape[1] % per:
+        idx = jnp.pad(idx, ((0, 0), (0, per - idx.shape[1] % per)))
+    out = idx[:, 0::per] << (8 - bits)
+    for j in range(1, per):
+        out = out | (idx[:, j::per] << (8 - bits * (j + 1)))
+    return out
 
 
-def _unpack_nibbles(packed: np.ndarray, w: int) -> np.ndarray:
-    """Invert `_pack_nibbles`: `[H, ceil(w/2)]` uint8 -> `[H, w]` uint8
-    index map."""
+def _unpack_nibbles(packed: np.ndarray, w: int, bits: int = 4) -> np.ndarray:
+    """Invert `_pack_nibbles`: `[H, ceil(w/per)]` uint8 -> `[H, w]` uint8
+    index map (`per = 8 // bits`)."""
+    per = 8 // bits
+    mask = (1 << bits) - 1
     h = packed.shape[0]
-    idx = np.empty((h, packed.shape[1] * 2), np.uint8)
-    idx[:, 0::2] = packed >> 4
-    idx[:, 1::2] = packed & 0x0F
+    idx = np.empty((h, packed.shape[1] * per), np.uint8)
+    for j in range(per):
+        idx[:, j::per] = (packed >> (8 - bits * (j + 1))) & mask
     return idx[:, :w]
 
 
@@ -328,7 +346,7 @@ def _assign_indexed_jit(
         row_offset=row_offset, fast=fast, metric=metric,
     )
     if _nibble_packed(palette_lab.shape[0]):
-        idx = _pack_nibbles(idx)
+        idx = _pack_nibbles(idx, _pack_bits(palette_lab.shape[0]))
     return idx
 
 
@@ -435,7 +453,7 @@ def _reduce_bucketed_indexed_jit(
         fast=fast, metric=metric,
     )
     if _nibble_packed(kp):
-        idx = _pack_nibbles(idx)
+        idx = _pack_nibbles(idx, _pack_bits(kp))
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return idx, palette_rgba
 
@@ -771,7 +789,7 @@ class ImageProcessor:
             )
             idx_np = np.asarray(idx)
             if _nibble_packed(kp):
-                idx_np = _unpack_nibbles(idx_np, bw)
+                idx_np = _unpack_nibbles(idx_np, bw, _pack_bits(kp))
             return np.asarray(pal)[idx_np[:h, :w]]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
@@ -961,7 +979,9 @@ class ImageProcessor:
                 )
                 idx_np = np.asarray(idx)
                 if _nibble_packed(color_count):
-                    idx_np = _unpack_nibbles(idx_np, w)
+                    idx_np = _unpack_nibbles(
+                        idx_np, w, _pack_bits(color_count)
+                    )
                 out = np.asarray(palette_rgba)[idx_np]
             else:
                 out, _ = _reduce_jit(
@@ -1008,7 +1028,10 @@ class ImageProcessor:
                 )
                 idx_np = np.asarray(idx)
                 if _nibble_packed(palette_lab.shape[0]):
-                    idx_np = _unpack_nibbles(idx_np, pixels_u8.shape[1])
+                    idx_np = _unpack_nibbles(
+                        idx_np, pixels_u8.shape[1],
+                        _pack_bits(palette_lab.shape[0]),
+                    )
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[idx_np]
             return _quantize_fused_jit(
@@ -1451,7 +1474,10 @@ class ImageProcessor:
                 )
                 idx_np = np.asarray(idx)
                 if _nibble_packed(palette_lab.shape[0]):
-                    idx_np = _unpack_nibbles(idx_np, padded.shape[1])
+                    idx_np = _unpack_nibbles(
+                        idx_np, padded.shape[1],
+                        _pack_bits(palette_lab.shape[0]),
+                    )
                 out[r0 : r0 + bh_real] = palette_rgba[idx_np[:bh_real, :w]]
             elif self.fused:
                 band_out = _quantize_fused_jit(
@@ -1529,8 +1555,8 @@ class ImageProcessor:
         def _crop(h, w):
             return lambda a: a[:h, :w]
 
-        def _unpack_crop(wp, h, w):
-            return lambda a: _unpack_nibbles(a, wp)[:h, :w]
+        def _unpack_crop(wp, h, w, bits):
+            return lambda a: _unpack_nibbles(a, wp, bits)[:h, :w]
 
         for im in images:
             if len(pending) >= WINDOW:
@@ -1552,7 +1578,7 @@ class ImageProcessor:
                         metric=self.delta_e,
                     )
                     post = (
-                        _unpack_crop(bw, h, w)
+                        _unpack_crop(bw, h, w, _pack_bits(kp))
                         if _nibble_packed(kp)
                         else _crop(h, w)
                     )
@@ -1582,7 +1608,7 @@ class ImageProcessor:
                     metric=self.delta_e,
                 )
                 post = (
-                    _unpack_crop(w, h, w)
+                    _unpack_crop(w, h, w, _pack_bits(color_count))
                     if _nibble_packed(color_count)
                     else None
                 )

@@ -368,17 +368,23 @@ def test_restarts_processor(blobs_image):
 
 def test_unpack_nibbles_inverts_packing():
     """The host unpack must invert the production device-side pack
-    exactly, including odd widths (padded column)."""
+    exactly, at both bit widths, including ragged widths (pad columns)."""
     import jax.numpy as jnp
 
-    from kmeans_tpu.api import _pack_nibbles, _unpack_nibbles
+    from kmeans_tpu.api import _pack_bits, _pack_nibbles, _unpack_nibbles
 
     rng = np.random.default_rng(51)
-    for w in (8, 9, 33, 128):
-        idx = rng.integers(0, 16, (12, w), dtype=np.uint8)
-        packed = np.asarray(_pack_nibbles(jnp.asarray(idx)))
-        assert packed.shape[1] == (w + 1) // 2
-        np.testing.assert_array_equal(_unpack_nibbles(packed, w), idx)
+    for bits in (2, 4):
+        per = 8 // bits
+        for w in (8, 9, 33, 127, 128):
+            idx = rng.integers(0, 1 << bits, (12, w), dtype=np.uint8)
+            packed = np.asarray(_pack_nibbles(jnp.asarray(idx), bits))
+            assert packed.shape[1] == -(-w // per)
+            np.testing.assert_array_equal(
+                _unpack_nibbles(packed, w, bits), idx
+            )
+    assert _pack_bits(4) == 2 and _pack_bits(5) == 4
+    assert _pack_bits(16) == 4 and _pack_bits(17) == 8
 
 
 def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
