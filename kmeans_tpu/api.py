@@ -310,7 +310,11 @@ def _pack_nibbles(idx: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
         idx = jnp.pad(idx, ((0, 0), (0, per - idx.shape[1] % per)))
     out = idx[:, 0::per] << (8 - bits)
     for j in range(1, per):
-        out = out | (idx[:, j::per] << (8 - bits * (j + 1)))
+        shift = 8 - bits * (j + 1)
+        term = idx[:, j::per]
+        # skip <<0 so the bits=4 expression (and its compiled-cache hash)
+        # stays identical to the original two-term nibble pack
+        out = out | (term << shift if shift else term)
     return out
 
 
