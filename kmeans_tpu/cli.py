@@ -45,9 +45,11 @@ def validate_filename(value: str) -> str:
 
 
 def validate_band_rows(value: str) -> int:
+    # The streamed API clamps band_rows to >= 4 (api.py); reject smaller
+    # values here instead of silently ignoring the user's choice.
     n = int(value)
-    if n < 1:
-        raise argparse.ArgumentTypeError("band-rows must be >= 1")
+    if n < 4:
+        raise argparse.ArgumentTypeError("band-rows must be >= 4")
     return n
 
 

@@ -75,7 +75,16 @@ def distance_cie94_sq(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
 
 
 def distance_cie2000(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
-    """CIEDE2000 delta-E (Sharma et al. formulation; delta_e.wgsl:24-97)."""
+    """CIEDE2000 delta-E (Sharma et al. formulation; delta_e.wgsl:24-97).
+
+    Deliberate deviation: the reference shader (dead code upstream — never
+    wired into a pipeline) has two bugs this implementation does NOT
+    reproduce: its hue guard tests `a1Prime` twice instead of `lab1.b`
+    (delta_e.wgsl:52), and its delta-h wrap yields `dh` instead of
+    `dh + 360` when |dh| > 180 with h2 <= h1 (delta_e.wgsl:60-66). This
+    repo implements Sharma et al. correctly (validated against the
+    published test pairs in tests/test_delta_e.py); do not "fix" it back
+    to the buggy shader form for parity's sake."""
     return jnp.sqrt(distance_cie2000_sq(lab1, lab2))
 
 

@@ -40,6 +40,11 @@ log = logging.getLogger("kmeans_tpu.serve")
 _HEX_RE = re.compile(r"^[0-9a-fA-F]{6}$")
 MAX_BODY = 256 * 1024 * 1024  # 256 MB: a 8192x8192 RGBA PNG fits comfortably
 
+# Stats are keyed by this fixed endpoint set; anything else records under
+# "other" so a client POSTing unique random paths can't grow the stats
+# dict without bound in a long-lived daemon.
+POST_ENDPOINTS = ("/reduce", "/palette", "/find", "/reduce-gif", "/find-gif")
+
 
 class QuantizeService:
     """Protocol-independent request handlers around one ImageProcessor."""
@@ -270,8 +275,9 @@ def _make_handler(service: QuantizeService):
             try:
                 self._do_post(url)
             finally:
+                endpoint = url.path if url.path in POST_ENDPOINTS else "other"
                 service.record(
-                    url.path, time.perf_counter() - t0, self._last_code < 400
+                    endpoint, time.perf_counter() - t0, self._last_code < 400
                 )
 
         def _do_post(self, url):

@@ -275,6 +275,11 @@ def test_cli_band_rows(sample_png, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["reduce", "-i", sample_png, "-c", "3", "--band-rows", "16",
                   "-a", "octree", "-o", out])
+    # The API clamps band_rows to >= 4; the CLI rejects smaller values
+    # up front instead of silently ignoring them (ADVICE.md round 1).
+    with pytest.raises(SystemExit):
+        cli.main(["reduce", "-i", sample_png, "-c", "3", "--band-rows", "2",
+                  "-o", out])
 
 
 def test_cli_delta_e_2000(sample_png, tmp_path):

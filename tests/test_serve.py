@@ -260,3 +260,19 @@ def test_stats_endpoint(server, png_body):
     assert red["requests"] >= 1 and red["seconds_avg"] > 0
     gif = data["endpoints"]["/reduce-gif"]
     assert gif["errors"] >= 1
+
+
+def test_stats_unknown_paths_bounded(server, png_body):
+    # Unknown POST paths must collapse into one "other" key, not grow the
+    # stats dict per unique path (unbounded memory in a long-lived daemon).
+    for i in range(3):
+        _post(server, f"/bogus-{i}", b"x")
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("GET", "/stats")
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    eps = data["endpoints"]
+    assert not any(name.startswith("/bogus") for name in eps)
+    assert eps["other"]["requests"] >= 3 and eps["other"]["errors"] >= 3
