@@ -153,8 +153,10 @@ def _fit_auto(
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
-    # It is single-seeded, so multi-restart training runs on the XLA path,
-    # and only kernel-supported metrics may route to it.
+    # Only kernel-supported metrics may route to it. Multi-restart training
+    # routes to fit_large_restarts (sequential Pallas runs + accumulator
+    # inertia) so full-resolution restarts never materialize the XLA
+    # path's [N, K] one-hot.
     from kmeans_tpu.ops.kernels import PALLAS_METRICS
 
     if use_pallas is None:
@@ -163,10 +165,15 @@ def _fit_auto(
         work.shape[0] > _LARGE_TRAIN_PIXELS
         and k <= 64
         and use_pallas
-        and restarts <= 1
         and metric in PALLAS_METRICS
     )
     if large:
+        if restarts > 1:
+            return kmeans_model.fit_large_restarts(
+                work, k, first_index, restarts=restarts,
+                convergence=convergence, weight=weight, k_active=k_active,
+                metric=metric,
+            )
         return kmeans_model.fit_large(
             work, k, first_index, convergence=convergence, weight=weight,
             k_active=k_active, metric=metric,
@@ -258,8 +265,9 @@ def _reduce_indexed_jit(
     )
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     # This executable is only built on the fused (TPU) path, so the Pallas
-    # trainer is valid here (multi-restart training still routes to the
-    # XLA trainer inside _fit_auto; both metrics have kernel lowerings).
+    # trainer is valid here (multi-restart large trainings route to
+    # fit_large_restarts inside _fit_auto; both metrics have kernel
+    # lowerings).
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas=True, restarts=restarts,
         metric=metric,
@@ -689,12 +697,14 @@ class ImageProcessor:
         # docs/perf.md. Only affects the fused (TPU) output stage; training
         # and CPU paths are unchanged.
         self.fast = bool(fast)
-        # restarts=N trains N independent k-means++ seedings per request in
-        # one vmapped executable and keeps the lowest-inertia run (restart 0
-        # is always the reference seed, so restarts=1 is exact reference
-        # behavior). Applies to every kmeans training path except the
-        # sharded (multi-chip) trainers, which raise. See
-        # models/kmeans.py::fit_restarts.
+        # restarts=N trains N independent k-means++ seedings per request
+        # and keeps the lowest-inertia run (restart 0 is always the
+        # reference seed, so restarts=1 is exact reference behavior).
+        # Applies to EVERY kmeans training path: vmapped on the XLA
+        # trainer (fit_restarts), sequential through the Pallas
+        # accumulator for large/full-res trainings (fit_large_restarts),
+        # and vmapped inside the shard_map on the multi-chip trainers
+        # (fit_sharded(restarts=)).
         restarts = int(restarts)
         if restarts < 1:
             raise ValueError("restarts must be >= 1")
@@ -1233,11 +1243,6 @@ class ImageProcessor:
         pad to the shard count (0-weight padding), pixel-sharded fit."""
         from kmeans_tpu.parallel.distributed import fit_sharded
 
-        if self.restarts > 1:
-            raise ValueError(
-                "sharded training is single-seeded; restarts > 1 is not "
-                "supported on the multi-chip paths"
-            )
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
@@ -1256,6 +1261,7 @@ class ImageProcessor:
         centroids, _ = fit_sharded(
             mesh, work, weight, k, first,
             convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
+            restarts=self.restarts,
         )
         return centroids
 
@@ -1292,11 +1298,6 @@ class ImageProcessor:
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
-        if self.restarts > 1:
-            raise ValueError(
-                "sharded training is single-seeded; restarts > 1 is not "
-                "supported on the multi-chip paths"
-            )
         image = _as_image(image)
         _validate_k(color_count)
         if mesh is None:
@@ -1320,7 +1321,7 @@ class ImageProcessor:
             centroids, _ = fit_sharded(
                 mesh, work, wvec, bucket_k(color_count), first,
                 convergence=ColorSpace.LAB.convergence, k_active=color_count,
-                metric=self.delta_e,
+                metric=self.delta_e, restarts=self.restarts,
             )
             out = quantize_image_sharded(
                 mesh, padded, centroids, mode=reduce_mode.value,

@@ -303,6 +303,37 @@ def lloyd_pallas(
     return centroids, iters
 
 
+def derive_restart_seeds(
+    n: int,
+    first_index,
+    restarts: int,
+    weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Flat seed-pixel indices for `restarts` independent runs: restart 0
+    is the caller's reference seed, restarts 1..R-1 stride the flat pixel
+    index by the golden ratio (deterministic, documented in
+    `fit_restarts`). Shared by the XLA, Pallas, and sharded multi-restart
+    trainers so every path derives identical seeds."""
+    offs = jnp.floor(
+        jnp.arange(restarts, dtype=jnp.float32)
+        * jnp.float32(0.6180339887498949)
+        * n
+    ).astype(jnp.int32)
+    seeds = jnp.mod(jnp.asarray(first_index, jnp.int32) + offs, jnp.int32(n))
+    if weight is not None:
+        # A pad pixel (weight 0) must never seed a run: walk each derived
+        # seed forward to the nearest real pixel (restart 0 keeps the
+        # caller's reference seed, which callers already point at a real
+        # pixel).
+        real = weight > 0
+        order = jnp.argsort(jnp.logical_not(real))  # real-pixel indices first
+        n_real = jnp.sum(real.astype(jnp.int32))
+        ranks = jnp.mod(seeds, jnp.maximum(n_real, 1))
+        derived = order[ranks]
+        seeds = jnp.concatenate([seeds[:1], derived[1:]])
+    return seeds
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "max_iterations", "metric", "restarts"),
@@ -337,24 +368,9 @@ def fit_restarts(
             max_iterations=max_iterations, k_active=k_active, weight=weight,
             metric=metric,
         )
-    n = pixels.shape[0]
-    offs = jnp.floor(
-        jnp.arange(restarts, dtype=jnp.float32)
-        * jnp.float32(0.6180339887498949)
-        * n
-    ).astype(jnp.int32)
-    seeds = jnp.mod(jnp.asarray(first_index, jnp.int32) + offs, jnp.int32(n))
-    if weight is not None:
-        # A pad pixel (weight 0) must never seed a run: walk each derived
-        # seed forward to the nearest real pixel (restart 0 keeps the
-        # caller's reference seed, which callers already point at a real
-        # pixel).
-        real = weight > 0
-        order = jnp.argsort(jnp.logical_not(real))  # real-pixel indices first
-        n_real = jnp.sum(real.astype(jnp.int32))
-        ranks = jnp.mod(seeds, jnp.maximum(n_real, 1))
-        derived = order[ranks]
-        seeds = jnp.concatenate([seeds[:1], derived[1:]])
+    seeds = derive_restart_seeds(
+        pixels.shape[0], first_index, restarts, weight
+    )
 
     def one(fi):
         return fit(
@@ -412,6 +428,73 @@ def fit_large(
         interpret=interpret,
         metric=metric,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_iterations", "interpret", "metric", "restarts"),
+)
+def fit_large_restarts(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    restarts: int = 1,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
+    interpret: bool = False,
+    metric: str = "cie94",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`fit_large` with `restarts` independent seedings — the Pallas-trainer
+    counterpart of `fit_restarts`, so full-resolution multi-restart training
+    never pays the XLA path's [N, K] one-hot intermediate.
+
+    Seeds come from `derive_restart_seeds` (identical to `fit_restarts`;
+    restart 0 is the reference seed, so restarts=1 is bit-equal to
+    `fit_large`). Each restart trains sequentially through the Pallas
+    accumulator (unrolled — R is small and HBM holds one run's state at a
+    time); its weighted inertia comes from one extra accumulator pass with
+    `emit_inertia=True` (squared-delta-E sums per cluster, summed on
+    device). Winner = lowest inertia, picked on device like
+    `fit_restarts`."""
+    if restarts <= 1:
+        return fit_large(
+            pixels, k, first_index, convergence=convergence,
+            max_iterations=max_iterations, k_active=k_active, weight=weight,
+            interpret=interpret, metric=metric,
+        )
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    seeds = derive_restart_seeds(
+        pixels.shape[0], first_index, restarts, weight
+    )
+    planes, n_valid = pack_lab_planes(pixels)
+    weight_planes = None if weight is None else pack_plane(weight)
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+
+    cents_runs, iters_runs, inertia_runs = [], [], []
+    for r in range(restarts):
+        cents, iters = fit_large(
+            pixels, k, seeds[r], convergence=convergence,
+            max_iterations=max_iterations, k_active=k_active, weight=weight,
+            interpret=interpret, metric=metric,
+        )
+        totals = lloyd_accumulate(
+            planes, cents, n_valid, k_active=k_act,
+            weight_planes=weight_planes, interpret=interpret, metric=metric,
+            emit_inertia=True,
+        )  # [k, 5]; column 4 = per-cluster squared-distance sums
+        cents_runs.append(cents)
+        iters_runs.append(iters)
+        inertia_runs.append(jnp.sum(totals[:, 4]))
+
+    best = jnp.argmin(jnp.stack(inertia_runs))
+    return jnp.stack(cents_runs)[best], jnp.stack(iters_runs)[best]
 
 
 @partial(jax.jit, static_argnames=("k", "max_iterations", "metric"))

@@ -556,6 +556,7 @@ def _lloyd_acc_kernel(
     kp: int,
     weighted: bool = False,
     metric: str = "cie94",
+    emit_inertia: bool = False,
 ):
     """One tile of the Lloyd update: assign each pixel to its nearest
     centroid (CIE94 or CIEDE2000 via `metric`) and emit per-centroid
@@ -565,7 +566,15 @@ def _lloyd_acc_kernel(
     partials over tiles+lanes outside. No [N, K] one-hot ever exists, so
     full-resolution training stays at the bandwidth floor (12 B/px/iter;
     +4 B/px with a weight plane, used by the shape-bucketing path where
-    pad pixels carry weight 0)."""
+    pad pixels carry weight 0).
+
+    `emit_inertia=True` adds a fifth stat row: the (weighted) sum of each
+    assigned pixel's squared distance to its centroid — summing it over
+    clusters gives the within-cluster inertia the multi-restart winner
+    selection minimizes (`models/kmeans.py::fit_large_restarts`), for the
+    cost of one extra multiply-reduce per cluster. The default (False)
+    keeps the original output shape, so existing compiled executables'
+    cache keys are untouched."""
     if weighted:
         w_ref, out_ref = refs
     else:
@@ -625,6 +634,8 @@ def _lloyd_acc_kernel(
         out_ref[0, k, 1, :] = jnp.sum(a_p * maskf, axis=0)
         out_ref[0, k, 2, :] = jnp.sum(b_p * maskf, axis=0)
         out_ref[0, k, 3, :] = jnp.sum(maskf, axis=0)
+        if emit_inertia:
+            out_ref[0, k, 4, :] = jnp.sum(best_d * maskf, axis=0)
 
 
 def lloyd_accumulate(
@@ -635,11 +646,14 @@ def lloyd_accumulate(
     weight_planes: jnp.ndarray | None = None,  # [M, 128] f32
     interpret: bool = False,
     metric: str = "cie94",
+    emit_inertia: bool = False,
 ) -> jnp.ndarray:
     """Per-cluster (sumL, suma, sumb, count) totals `[KP, 4]` over all valid
     pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`;
     `weight_planes` (from `pack_plane`, optional) scales each pixel's
-    contribution — weight-0 pixels vanish from sums and counts."""
+    contribution — weight-0 pixels vanish from sums and counts.
+    `emit_inertia=True` appends a fifth column: the weighted sum of each
+    member pixel's squared distance to the centroid (`[KP, 5]` result)."""
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
@@ -672,20 +686,26 @@ def lloyd_accumulate(
         )
         operands.append(jnp.asarray(weight_planes, jnp.float32))
 
+    stats = 5 if emit_inertia else 4
     partials = pl.pallas_call(
         functools.partial(
-            _lloyd_acc_kernel, kp=kp, weighted=weighted, metric=metric
+            _lloyd_acc_kernel, kp=kp, weighted=weighted, metric=metric,
+            emit_inertia=emit_inertia,
         ),
-        out_shape=jax.ShapeDtypeStruct((grid[0], kp, 4, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0], kp, stats, LANES), jnp.float32
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, kp, 4, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, kp, stats, LANES),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(*operands)
 
-    return partials.sum(axis=(0, 3))  # [KP, 4]
+    return partials.sum(axis=(0, 3))  # [KP, stats]
 
 
 def pack_lab_planes(lab: jnp.ndarray) -> tuple[jnp.ndarray, int]:

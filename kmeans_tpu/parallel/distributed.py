@@ -41,6 +41,7 @@ from kmeans_tpu.models.kmeans import (
     CONVERGENCE_CHECK_EVERY,
     LAB_CONVERGENCE,
     MAX_ITERATIONS,
+    derive_restart_seeds,
 )
 from kmeans_tpu.ops.delta_e import metric_fns
 from kmeans_tpu.parallel.mesh import DATA_AXIS, PIXEL_AXIS
@@ -157,6 +158,43 @@ def _fit_local(
     return centroids, iters
 
 
+def _fit_local_restarts(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    seeds: jnp.ndarray,  # [R] replicated flat seed indices
+    k: int,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+):
+    """Multi-restart body: vmap `_fit_local` over the seed vector (the
+    collectives batch over the restart axis, exactly like
+    `fit_sharded_batch`'s per-frame vmap), then pick the lowest-weighted-
+    inertia run with a psum'd distance sum — the distributed counterpart
+    of `models/kmeans.py::fit_restarts`' winner selection."""
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    _, dist_sq = metric_fns(metric)
+
+    def one(fi):
+        return _fit_local(
+            pixels_local, weight_local, k, fi, convergence, k_active,
+            axis_name, metric,
+        )
+
+    cents_v, iters_v = jax.vmap(one)(seeds)  # [R, k, 3], [R]
+
+    def inertia(cents):
+        d2 = dist_sq(pixels_local[:, None, :], cents[None, :, :])
+        d2 = jnp.where(valid[None, :], d2, _BIG)
+        dmin = jnp.min(d2, axis=1) * weight_local
+        return jax.lax.psum(jnp.sum(dmin), axis_name)
+
+    best = jnp.argmin(jax.vmap(inertia)(cents_v))
+    return cents_v[best], iters_v[best]
+
+
 def fit_sharded(
     mesh,
     pixels: jnp.ndarray,
@@ -166,12 +204,41 @@ def fit_sharded(
     convergence: float = LAB_CONVERGENCE,
     k_active=None,
     metric: str = "cie94",
+    restarts: int = 1,
 ):
     """Pixel-sharded fit of a single image: `pixels[N, 3]` sharded over the
     mesh's pixel axis (N must divide by the pixel-axis size; pad + weight).
 
+    With `restarts > 1`, R independent seedings (restart 0 = the caller's
+    reference seed; `derive_restart_seeds`) train vmapped inside the
+    shard_map and the lowest-inertia run wins — same semantics as the
+    single-device `fit_restarts`, with the inertia reduction psum'd over
+    the pixel axis.
+
     Returns replicated `(centroids[k, 3], iterations)`.
     """
+    if restarts > 1:
+        # Seed derivation runs outside the shard_map on the (tiny, shrunk)
+        # training inputs; XLA gathers the sharded weight vector once.
+        seeds = derive_restart_seeds(
+            pixels.shape[0], first_index, restarts, weight
+        )
+        local = partial(
+            _fit_local_restarts,
+            k=k,
+            convergence=convergence,
+            k_active=k_active,
+            axis_name=PIXEL_AXIS,
+            metric=metric,
+        )
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(PIXEL_AXIS, None), P(PIXEL_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(pixels, weight, seeds)
     local = partial(
         _fit_local,
         k=k,

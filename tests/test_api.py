@@ -362,8 +362,11 @@ def test_restarts_processor(blobs_image):
     assert b.pixels.shape == out.pixels.shape
     with pytest.raises(ValueError, match="restarts"):
         ImageProcessor(restarts=0)
-    with pytest.raises(ValueError, match="single-seeded"):
-        ImageProcessor(restarts=2).reduce_sharded(4, image)
+    # Sharded restarts are first-class (round 2): multi-chip reduce with
+    # restarts>1 must run and still quantize to <= k colors.
+    sh = ImageProcessor(restarts=2).reduce_sharded(4, image)
+    assert sh.pixels.shape == out.pixels.shape
+    assert len(np.unique(sh.pixels.reshape(-1, 4), axis=0)) <= 4
 
 
 def test_unpack_nibbles_inverts_packing():

@@ -63,6 +63,43 @@ def test_fit_sharded_batch_dp_sp():
     )
 
 
+def test_fit_sharded_restarts_selects_min_inertia_run():
+    """fit_sharded(restarts=R) returns bit-for-bit the lowest-inertia run
+    among individually-run sharded fits seeded by derive_restart_seeds —
+    the same winner-selection semantics as the single-device
+    fit_restarts."""
+    pts = _blob_pixels(n=4096, seed=7)
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)
+
+    # restarts=1 goes through the original single-seed path untouched.
+    base, itb = fit_sharded(mesh, pts, weight, 3, 0)
+    one, ito = fit_sharded(mesh, pts, weight, 3, 0, restarts=1)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(one))
+    assert int(itb) == int(ito)
+
+    R = 3
+    seeds = np.asarray(km.derive_restart_seeds(4096, 0, R, weight))
+    runs = [
+        fit_sharded(mesh, pts, weight, 3, int(s)) for s in seeds
+    ]
+
+    def inertia(c):
+        d2 = np.asarray(km._masked_d2(pts, jnp.asarray(c), jnp.ones(3, bool)))
+        return float(d2.min(axis=1).sum())
+
+    best = int(np.argmin([inertia(c) for c, _ in runs]))
+    cR, iR = fit_sharded(mesh, pts, weight, 3, 0, restarts=R)
+    # vmapping _fit_local over seeds batches the dot_general/collectives,
+    # which reorders f32 reductions vs the individually-run fits — within
+    # float tolerance, not bit-equal (same caveat as fit_sharded itself
+    # vs the single-device fit).
+    np.testing.assert_allclose(
+        np.asarray(cR), np.asarray(runs[best][0]), atol=1e-3
+    )
+    assert int(iR) == int(runs[best][1])
+
+
 def test_quantize_sharded_matches_unsharded():
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.integers(0, 256, (64, 128, 4), dtype=np.uint8))

@@ -101,6 +101,80 @@ def test_lloyd_accumulate_matches_matmul():
     np.testing.assert_allclose(totals[:, 3], np.asarray(counts), atol=0)
 
 
+def test_lloyd_accumulate_emit_inertia():
+    """emit_inertia adds a 5th column = per-cluster weighted sums of the
+    squared distance to the assigned (nearest) centroid; columns 0-3 are
+    untouched."""
+    from kmeans_tpu.models.kmeans import _masked_d2, assign_clusters
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    rng = np.random.default_rng(29)
+    pix = jnp.asarray(rng.normal(50, 25, (4000, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(50, 25, (5, 3)).astype(np.float32))
+    weight = jnp.asarray(rng.uniform(0, 2, 4000).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    totals = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n, weight_planes=pack_plane(weight),
+            interpret=True, emit_inertia=True,
+        )
+    )
+    assert totals.shape == (5, 5)
+    base = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n, weight_planes=pack_plane(weight), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(totals[:, :4], base)
+    d2 = np.asarray(_masked_d2(pix, cents, jnp.ones(5, bool)))
+    assign = np.asarray(assign_clusters(pix, cents))
+    dmin = d2[np.arange(4000), assign] * np.asarray(weight)
+    expect = np.array([dmin[assign == k].sum() for k in range(5)])
+    np.testing.assert_allclose(totals[:, 4], expect, rtol=1e-4, atol=1e-2)
+
+
+def test_fit_large_restarts_selects_min_inertia_run():
+    """fit_large_restarts: restarts=1 is exactly fit_large; restarts=R
+    returns bit-for-bit the lowest-inertia run among the individually-run
+    seeded fits (same seeds as derive_restart_seeds)."""
+    from kmeans_tpu.models.kmeans import (
+        _masked_d2,
+        derive_restart_seeds,
+        fit_large,
+        fit_large_restarts,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = np.array(
+        [[15.0, 5, -20], [55.0, 35, 25], [80.0, -35, -25], [45.0, -45, 45]]
+    )
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 4, 3000)] + rng.normal(0, 1.0, (3000, 3)))
+        .astype(np.float32)
+    )
+    c1, i1 = fit_large(pix, 4, 0, interpret=True)
+    cr, ir = fit_large_restarts(pix, 4, 0, restarts=1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(cr))
+    assert int(i1) == int(ir)
+
+    R = 4
+    seeds = np.asarray(derive_restart_seeds(3000, 0, R))
+    runs = [fit_large(pix, 4, int(s), interpret=True) for s in seeds]
+
+    def inertia(c):
+        d2 = _masked_d2(pix, jnp.asarray(c), jnp.ones(4, bool))
+        return float(jnp.sum(jnp.min(d2, axis=1)))
+
+    best = int(np.argmin([inertia(c) for c, _ in runs]))
+    cR, iR = fit_large_restarts(pix, 4, 0, restarts=R, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cR), np.asarray(runs[best][0]))
+    assert int(iR) == int(runs[best][1])
+
+
 def test_fit_large_matches_fit():
     from kmeans_tpu.models.kmeans import fit, fit_large
 
