@@ -7,13 +7,24 @@ user hits it — uint8 RGBA host array in, trained palette (shrink + k-means++
 megapixels per second of 4K (3840x2160) wall-clock.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` is the
-ratio against a measured-class estimate for the wgpu reference on a
-discrete GPU: its reduce path serializes k x scan dispatch chains with a
-host `device.poll(Wait)` per Lloyd iteration plus init/readback, ~150 ms
-end-to-end for 4K at k=8 => ~55 Mpix/s. See BASELINE.md for why this must
-be an estimate (the Rust toolchain and a GPU are unavailable here).
+ratio against a DERIVED estimate of the wgpu reference on a discrete GPU
+(the Rust toolchain and a GPU are unavailable here — BASELINE.md carries
+the full derivation). Summary of the derivation, counted from the
+reference's dispatch structure for this exact workload: the 256px-shrunk
+training converges after 17 Lloyd iterations (measured with the identical
+protocol, `core/src/modules.rs:764-836`), each iteration costing two
+host-synchronized submit+poll(Wait) round trips (modules.rs:790-791,
+811-819) plus a mapped convergence readback every 8th; seeding is one
+polled chain (modules.rs:1211-1247); the full-res output chain moves
+~800 MB of Rgba32Float texture traffic (operations.rs:99-271); 33 MB
+uploads/readbacks cross PCIe. At discrete-GPU constants (0.5-1.5 ms per
+poll round trip, 250-360 GB/s HBM, 4-8 GB/s effective PCIe) that totals
+~45-85 ms => ~100-185 Mpix/s; the published number uses the central
+~140 Mpix/s. Both bounds and the sensitivity are in BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+the on-device throughput, the measured per-call tunnel latency, a
+PCIe-transport projection, and the five BASELINE.json config timings.
 """
 
 import json
@@ -25,10 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REFERENCE_BASELINE_MPIX_S = 55.0
+REFERENCE_BASELINE_MPIX_S = 140.0  # derived central estimate; BASELINE.md
 K = 8
 WIDTH, HEIGHT = 3840, 2160
 REPS = 5
+# Effective PCIe Gen3/4 staging rate used for the transport projection
+# (what the same pipeline would see with a locally-attached accelerator,
+# instead of this harness's ~30-40 MB/s dev tunnel).
+PCIE_GBPS = 6.0
 
 
 def _load_4k_image() -> np.ndarray:
@@ -81,6 +96,20 @@ def _probe_device(timeout_s: int = 480) -> bool:
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def _measure_call_latency(reps: int = 12) -> float:
+    """Per-call roundtrip latency of the device transport, measured in-run
+    (round 1 hardcoded 30 ms): the time to read back one tiny
+    device-resident array, min over `reps`. This is the constant the
+    in-jit loop timing subtracts, so it must come from the same session
+    the loop runs in."""
+    import jax.numpy as jnp
+    import numpy as onp
+
+    tiny = jnp.zeros(8, jnp.uint8) + 1  # device-resident, forces execution
+    onp.asarray(tiny)  # warm
+    return min(_timed(lambda: onp.asarray(tiny)) for _ in range(reps))
 
 
 def main() -> None:
@@ -139,9 +168,12 @@ def main() -> None:
     e2e_mpix_s = mpix / e2e
     log(f"bench: e2e best {e2e*1e3:.0f} ms")
 
+    call_latency = _measure_call_latency()
+    log(f"bench: per-call transport latency {call_latency*1e3:.1f} ms")
+
     # Device-side throughput of the same full reduce (train + assign),
     # excluding the dev-harness tunnel transfers (~30-40 MB/s here, vs
-    # ~10 GB/s PCIe in the reference's setting): force execution with a
+    # GB/s PCIe in the reference's setting): force execution with a
     # single-element readback, subtract the measured call latency.
     from kmeans_tpu.api import (
         MAX_IMAGE_DIMENSION,
@@ -158,7 +190,7 @@ def main() -> None:
     first = km.reference_seed_index(sw, sh)
     fused = _pallas_available()
 
-    # In-jit loop: N full reduces per dispatch, so the ~30 ms tunnel call
+    # In-jit loop: N full reduces per dispatch, so the per-call transport
     # latency amortizes away instead of dominating the ~2 ms signal.
     import jax
 
@@ -181,8 +213,26 @@ def main() -> None:
 
     onp.asarray(dev_loop(img_dev))
     loop_t = min((_timed(lambda: onp.asarray(dev_loop(img_dev))) for _ in range(3)))
-    device_s = max((loop_t - 0.030) / LOOP, 1e-6)
+    device_s = max((loop_t - call_latency) / LOOP, 1e-6)
     log(f"bench: device {device_s*1e3:.2f} ms/reduce ({LOOP}-loop)")
+
+    # Transport projection: the same pipeline behind a locally-attached
+    # accelerator (PCIe staging instead of the dev tunnel). Bytes moved by
+    # the flagship path: RGB-only upload (3 B/px) + bit-packed index
+    # readback (0.5 B/px at k=8).
+    bytes_moved = WIDTH * HEIGHT * 3 + WIDTH * HEIGHT // 2
+    pcie_s = device_s + bytes_moved / (PCIE_GBPS * 1e9)
+    log(f"bench: PCIe-projected e2e {pcie_s*1e3:.1f} ms")
+
+    # The full BASELINE.json config matrix (reference workloads on
+    # tokyo.png) — per-config failures are recorded, not fatal.
+    log("bench: config matrix ...")
+    try:
+        from benchmarks.run_configs import collect_configs
+
+        configs = collect_configs(reps=3)
+    except Exception as e:  # keep the headline metric alive regardless
+        configs = {"error": str(e)}
 
     print(
         json.dumps(
@@ -192,9 +242,19 @@ def main() -> None:
                 "unit": "Mpix/s",
                 "vs_baseline": round(e2e_mpix_s / REFERENCE_BASELINE_MPIX_S, 3),
                 "device_mpix_s": round(mpix / device_s, 1),
-                "device_ms": round(device_s * 1e3, 1),
+                "device_ms": round(device_s * 1e3, 2),
                 "e2e_ms": round(e2e * 1e3, 1),
-                "note": "e2e includes this harness's ~30-40MB/s host<->TPU tunnel; device_mpix_s is the on-device train+assign throughput",
+                "call_latency_ms": round(call_latency * 1e3, 1),
+                "pcie_projected_mpix_s": round(mpix / pcie_s, 1),
+                "baseline_mpix_s": REFERENCE_BASELINE_MPIX_S,
+                "configs": configs,
+                "note": (
+                    "e2e includes this harness's ~30-40MB/s host<->TPU "
+                    "tunnel; device_mpix_s is the on-device train+assign "
+                    "throughput; pcie_projected_mpix_s re-prices the "
+                    "measured bytes at a local-accelerator transport; "
+                    "baseline derivation in BASELINE.md"
+                ),
             }
         )
     )

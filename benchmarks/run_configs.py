@@ -12,7 +12,8 @@ BASELINE.json configs) and writes `benchmarks/results.json`:
 
 Each config is timed end-to-end (decode -> compute -> encode), after one
 warmup to exclude XLA compilation. Usage: python benchmarks/run_configs.py
-[--gfx DIR] [--out results.json].
+[--gfx DIR] [--out results.json]. `collect_configs` is importable —
+`bench.py` embeds the per-config matrix in the driver's JSON line.
 """
 
 from __future__ import annotations
@@ -36,17 +37,10 @@ def _timed(fn, reps=3):
     return min(times)
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--gfx", default="/root/reference/gfx")
-    parser.add_argument(
-        "--out", default=os.path.join(os.path.dirname(__file__), "results.json")
-    )
-    parser.add_argument("--reps", type=int, default=3)
-    args = parser.parse_args()
-
-    import jax
-
+def collect_configs(gfx: str = "/root/reference/gfx", reps: int = 3) -> dict:
+    """Time the five BASELINE.json configs; returns the per-config dict
+    (seconds + Mpix/s each). Failures are recorded per-config so one bad
+    asset/path cannot sink the whole matrix."""
     from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
     from kmeans_tpu.cli import parse_colors, parse_palette_image, render_swatch
     from kmeans_tpu.utils import imageio
@@ -54,27 +48,29 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    tokyo = imageio.load_image(os.path.join(args.gfx, "tokyo.png"))
+    tokyo = imageio.load_image(os.path.join(gfx, "tokyo.png"))
     w, h = tokyo.dimensions
     mpix = w * h / 1e6
     p = ImageProcessor()
     hex3 = parse_colors("#050505,#ffffff,#ff0000")
-    apollo = parse_palette_image(os.path.join(args.gfx, "apollo-1x.png"))
 
-    results = {
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "image": f"tokyo.png {w}x{h}",
-        "configs": {},
-    }
+    configs: dict[str, dict] = {}
 
     def record(name, fn, pixels_m=mpix):
-        t = _timed(fn, args.reps)
-        results["configs"][name] = {
+        try:
+            t = _timed(fn, reps)
+        except Exception as e:  # record, don't sink the matrix
+            configs[name] = {"error": str(e)}
+            print(f"{name:40s} ERROR {e}", file=sys.stderr)
+            return
+        configs[name] = {
             "seconds": round(t, 4),
             "mpix_s": round(pixels_m / t, 2),
         }
-        print(f"{name:40s} {t*1e3:8.1f} ms  {pixels_m/t:8.2f} Mpix/s", file=sys.stderr)
+        print(
+            f"{name:40s} {t*1e3:8.1f} ms  {pixels_m/t:8.2f} Mpix/s",
+            file=sys.stderr,
+        )
 
     record("reduce c8 replace", lambda: p.reduce(8, tokyo))
     record(
@@ -87,8 +83,9 @@ def main() -> None:
         "find 3 colors dither", lambda: p.find(tokyo, hex3, ReduceMode.DITHER)
     )
 
-    gif_path = os.path.join(args.gfx, "turtles.gif")
+    gif_path = os.path.join(gfx, "turtles.gif")
     if imageio.HAVE_NATIVE and os.path.exists(gif_path):
+        apollo = parse_palette_image(os.path.join(gfx, "apollo-1x.png"))
         frames = imageio.load_gif(gif_path)
         fw, fh = frames[0].dimensions
         record(
@@ -96,6 +93,31 @@ def main() -> None:
             lambda: p.find_batch(frames, apollo, ReduceMode.DITHER),
             pixels_m=len(frames) * fw * fh / 1e6,
         )
+    return configs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gfx", default="/root/reference/gfx")
+    parser.add_argument(
+        "--out", default=os.path.join(os.path.dirname(__file__), "results.json")
+    )
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    tokyo_path = os.path.join(args.gfx, "tokyo.png")
+    from kmeans_tpu.utils import imageio
+
+    tokyo = imageio.load_image(tokyo_path)
+    w, h = tokyo.dimensions
+    results = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "image": f"tokyo.png {w}x{h}",
+        "configs": collect_configs(args.gfx, args.reps),
+    }
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

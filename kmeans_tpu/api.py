@@ -286,56 +286,17 @@ def _reduce_indexed_jit(
     return idx, palette_rgba
 
 
-# Small palettes pack multiple pixel indices per byte on the device
-# before readback (2 bits/px for k <= 4, 4 bits/px for k <= 16, raw u8
-# otherwise). Every device-side pack and host-side unpack MUST consult
-# this single function (they sit in different executables/processes and
-# drift here means silently garbled pixels).
-NIBBLE_PACK_MAX_K = 16
-CRUMB_PACK_MAX_K = 4
-
-
-def _pack_bits(k: int) -> int:
-    """Bits per packed index for a (static) palette size."""
-    if k <= CRUMB_PACK_MAX_K:
-        return 2
-    if k <= NIBBLE_PACK_MAX_K:
-        return 4
-    return 8
-
-
-def _nibble_packed(k: int) -> bool:
-    return _pack_bits(k) < 8
-
-
-def _pack_nibbles(idx: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
-    """Device-side pack of an index map: `bits` in {2, 4} packs 4 or 2
-    pixels per byte (every index must be < 2**bits; widths pad to the
-    pack factor, cropped on unpack). Cuts the index readback to
-    0.25/0.5 B/px."""
-    per = 8 // bits
-    if idx.shape[1] % per:
-        idx = jnp.pad(idx, ((0, 0), (0, per - idx.shape[1] % per)))
-    out = idx[:, 0::per] << (8 - bits)
-    for j in range(1, per):
-        shift = 8 - bits * (j + 1)
-        term = idx[:, j::per]
-        # skip <<0 so the bits=4 expression (and its compiled-cache hash)
-        # stays identical to the original two-term nibble pack
-        out = out | (term << shift if shift else term)
-    return out
-
-
-def _unpack_nibbles(packed: np.ndarray, w: int, bits: int = 4) -> np.ndarray:
-    """Invert `_pack_nibbles`: `[H, ceil(w/per)]` uint8 -> `[H, w]` uint8
-    index map (`per = 8 // bits`)."""
-    per = 8 // bits
-    mask = (1 << bits) - 1
-    h = packed.shape[0]
-    idx = np.empty((h, packed.shape[1] * per), np.uint8)
-    for j in range(per):
-        idx[:, j::per] = (packed >> (8 - bits * (j + 1))) & mask
-    return idx[:, :w]
+# Index-map bit packing lives in utils/packing.py (shared with the
+# sharded readback paths); these aliases keep the API module's historical
+# names working.
+from kmeans_tpu.utils.packing import (  # noqa: E402
+    CRUMB_PACK_MAX_K,
+    NIBBLE_PACK_MAX_K,
+    nibble_packed as _nibble_packed,
+    pack_bits as _pack_bits,
+    pack_nibbles as _pack_nibbles,
+    unpack_nibbles as _unpack_nibbles,
+)
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
@@ -897,6 +858,12 @@ class ImageProcessor:
                             (bh, bw, fb, bucket_k(k), mode.value, "rimg"),
                             lambda: self.reduce_images(frames, k, mode),
                         )
+                        # Serving micro-batches (reduce_many) use their own
+                        # executable (per-frame traced sizes/seeds).
+                        once(
+                            (bh, bw, fb, bucket_k(k), mode.value, "rmany"),
+                            lambda: self.reduce_many(frames, k, mode),
+                        )
                 for kf in find_palette_sizes:
                     kf = int(kf)
                     colors = rng.integers(0, 256, (kf, 4), dtype=np.uint8)
@@ -1221,7 +1188,10 @@ class ImageProcessor:
     ) -> Image:
         """Multi-chip `find`: fixed-palette recolor with the image's rows
         sharded over the mesh's pixel axis (no collectives — the output
-        pass is embarrassingly parallel)."""
+        pass is embarrassingly parallel). Transfer parity with the
+        single-chip path: RGB-only upload; replace/dither with k <= 256
+        read back a bit-packed index map (2/4/8 bits per pixel) that the
+        host expands via `palette[idx]`."""
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
@@ -1232,11 +1202,38 @@ class ImageProcessor:
         palette_lab = jnp.asarray(_colors_to_lab(palette_rgba))
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
-        out = quantize_image_sharded(
-            mesh, image.pixels, palette_lab, mode=reduce_mode.value,
+        rgb = _host_rgb(image.pixels)  # alpha is ignored
+        if reduce_mode is not ReduceMode.MELD and palette_lab.shape[0] <= 256:
+            out = self._quantize_indexed_sharded(
+                mesh, rgb, palette_lab, reduce_mode
+            )
+        else:
+            out = np.asarray(
+                quantize_image_sharded(
+                    mesh, rgb, palette_lab, mode=reduce_mode.value,
+                    metric=self.delta_e,
+                )
+            )
+        return Image(image.dimensions, out)
+
+    def _quantize_indexed_sharded(
+        self, mesh, rgb, palette_lab, reduce_mode, k_active=None
+    ) -> np.ndarray:
+        """Shared sharded indexed-readback epilogue: packed index map off
+        the mesh (2/4/8 bits per pixel), host unpack + `palette[idx]`
+        gather — the multi-chip twin of the single-chip `_assign_indexed_jit`
+        readback path."""
+        from kmeans_tpu.parallel.sharded_ops import assign_indexed_sharded
+
+        packed, bits = assign_indexed_sharded(
+            mesh, rgb, palette_lab, mode=reduce_mode.value, k_active=k_active,
             metric=self.delta_e,
         )
-        return Image(image.dimensions, np.asarray(out))
+        arr = np.asarray(packed)
+        w = rgb.shape[1]
+        idx = _unpack_nibbles(arr, w, bits) if bits < 8 else arr[:, :w]
+        palette_rgba, _ = _lab_palette_to_u8(jnp.asarray(palette_lab))
+        return np.asarray(palette_rgba)[idx]
 
     def _fit_sharded_centroids(self, image: Image, k: int, mesh):
         """Shared trainer for the sharded entry points: shrink, convert,
@@ -1246,7 +1243,8 @@ class ImageProcessor:
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        pixels_u8 = jnp.asarray(image.pixels)
+        # RGB-only upload (alpha never participates) — single-chip parity.
+        pixels_u8 = jnp.asarray(_host_rgb(image.pixels))
         train_u8 = (
             resize_uint8(pixels_u8, sh, sw) if (sw, sh) != (w, h) else pixels_u8
         )
@@ -1303,7 +1301,9 @@ class ImageProcessor:
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
         if self.bucketing:
-            padded, h, w = pad_to_bucket(image.pixels)
+            # RGB-only upload of the bucket-padded pixels (alpha never
+            # participates) — single-chip transfer parity.
+            padded, h, w = pad_to_bucket(_host_rgb(image.pixels))
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             ch, cw = canvas
@@ -1323,17 +1323,32 @@ class ImageProcessor:
                 convergence=ColorSpace.LAB.convergence, k_active=color_count,
                 metric=self.delta_e, restarts=self.restarts,
             )
-            out = quantize_image_sharded(
-                mesh, padded, centroids, mode=reduce_mode.value,
-                k_active=color_count, metric=self.delta_e,
-            )
-            return Image(image.dimensions, np.asarray(out)[:h, :w])
+            if reduce_mode is not ReduceMode.MELD and color_count <= 256:
+                out = self._quantize_indexed_sharded(
+                    mesh, padded, centroids, reduce_mode, k_active=color_count
+                )
+            else:
+                out = np.asarray(
+                    quantize_image_sharded(
+                        mesh, padded, centroids, mode=reduce_mode.value,
+                        k_active=color_count, metric=self.delta_e,
+                    )
+                )
+            return Image(image.dimensions, out[:h, :w])
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
-        out = quantize_image_sharded(
-            mesh, image.pixels, centroids, mode=reduce_mode.value,
-            metric=self.delta_e,
-        )
-        return Image(image.dimensions, np.asarray(out))
+        rgb = _host_rgb(image.pixels)
+        if reduce_mode is not ReduceMode.MELD and color_count <= 256:
+            out = self._quantize_indexed_sharded(
+                mesh, rgb, centroids, reduce_mode
+            )
+        else:
+            out = np.asarray(
+                quantize_image_sharded(
+                    mesh, rgb, centroids, mode=reduce_mode.value,
+                    metric=self.delta_e,
+                )
+            )
+        return Image(image.dimensions, out)
 
     @_on_device
     def reduce_streamed(
@@ -1695,6 +1710,86 @@ class ImageProcessor:
         )
         return [Image(image.dimensions, outs[i]) for i in range(len(ks))]
 
+    @_on_device
+    def reduce_many(
+        self,
+        images,
+        color_count: int,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Quantize a batch of images that may DIFFER in size, coalescing
+        same-bucket frames into one vmapped executable — the serving-side
+        micro-batching primitive (`serve.py` aggregates concurrent
+        same-(k, mode) requests through this instead of serializing them
+        behind the device lock one executable launch at a time).
+
+        Requires bucketing for the coalescing to engage (frames group by
+        their shape bucket; per-frame real/shrunk dims and seed indices
+        are traced vectors, so the executable population stays the
+        bounded warmable set). Without bucketing — or for any frame alone
+        in its bucket — falls back to per-image `reduce`. Each frame
+        trains its own palette with the standard protocol; batched
+        outputs can differ from solo `reduce` only by vmap's f32
+        reduction reordering (same caveat as `reduce_images`)."""
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one image")
+        _validate_k(color_count)
+        if not self.bucketing:
+            return [
+                self.reduce(color_count, f, Algorithm.KMEANS, reduce_mode)
+                for f in frames
+            ]
+        from kmeans_tpu.utils.bucketing import bucket_shape
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, f in enumerate(frames):
+            h, w = f.pixels.shape[:2]
+            groups.setdefault(bucket_shape(h, w), []).append(i)
+
+        results: list[Image | None] = [None] * len(frames)
+        kp = bucket_k(color_count)
+        conv = ColorSpace.LAB.convergence
+        for (bh, bw), idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                results[i] = self.reduce(
+                    color_count, frames[i], Algorithm.KMEANS, reduce_mode
+                )
+                continue
+            padded, firsts = [], []
+            src_hs, src_ws, out_hs, out_ws = [], [], [], []
+            canvas = None
+            for i in idxs:
+                pad, h, w = pad_to_bucket(_host_rgb(frames[i].pixels))
+                canvas, (sw, sh), first = self._bucket_train_args(
+                    w, h, bw, bh
+                )
+                padded.append(pad)
+                firsts.append(first)
+                src_hs.append(h)
+                src_ws.append(w)
+                out_hs.append(sh)
+                out_ws.append(sw)
+            n_pad = bucket_frames(len(idxs)) - len(idxs)
+            stack = np.stack(padded + [padded[0]] * n_pad)
+
+            def vec(v):
+                return jnp.asarray(v + [v[0]] * n_pad, jnp.int32)
+
+            outs = np.asarray(
+                _reduce_many_bucketed_jit(
+                    jnp.asarray(stack), kp, canvas, vec(firsts),
+                    vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                    conv, reduce_mode.value, color_count,
+                    metric=self.delta_e, restarts=self.restarts,
+                )
+            )
+            for j, i in enumerate(idxs):
+                h, w = frames[i].pixels.shape[:2]
+                results[i] = Image(frames[i].dimensions, outs[j][:h, :w])
+        return results
+
 
 @partial(
     jax.jit,
@@ -1758,6 +1853,52 @@ def _reduce_images_bucketed_jit(
         )
 
     return jax.vmap(one)(frames_u8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "metric", "restarts"),
+)
+def _reduce_many_bucketed_jit(
+    frames_u8,  # [B, BH, BW, 3|4] bucket-padded, sizes may differ per frame
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_indices,  # [B] per-frame seed (depends on each frame's shrink)
+    src_hs,  # [B] per-frame real heights
+    src_ws,  # [B] per-frame real widths
+    out_hs,  # [B] per-frame shrunk heights
+    out_ws,  # [B] per-frame shrunk widths
+    convergence,
+    mode: str,
+    k_active,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """Batched bucketed reduce over frames of DIFFERENT original sizes:
+    every per-frame quantity (real dims, shrunk dims, seed index) is a
+    traced vector, so one executable per (bucket, frame bucket, kp, mode)
+    serves any mix of image sizes inside the bucket — the serving-side
+    micro-batching executable (`ImageProcessor.reduce_many`,
+    `serve.py`). Same per-frame semantics as `_reduce_bucketed_jit`."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def one(frame, first, src_h, src_w, out_h, out_w):
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = kmeans_model.fit_restarts(
+            work, kp, first, restarts=restarts, convergence=convergence,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+        )
+        return quantize_image(
+            frame, centroids, mode=mode, k_active=k_active, metric=metric
+        )
+
+    return jax.vmap(one)(
+        frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws
+    )
 
 
 @partial(

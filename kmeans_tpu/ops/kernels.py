@@ -557,6 +557,7 @@ def _lloyd_acc_kernel(
     weighted: bool = False,
     metric: str = "cie94",
     emit_inertia: bool = False,
+    fast: bool = False,
 ):
     """One tile of the Lloyd update: assign each pixel to its nearest
     centroid (CIE94 or CIEDE2000 via `metric`) and emit per-centroid
@@ -574,7 +575,18 @@ def _lloyd_acc_kernel(
     selection minimizes (`models/kmeans.py::fit_large_restarts`), for the
     cost of one extra multiply-reduce per cluster. The default (False)
     keeps the original output shape, so existing compiled executables'
-    cache keys are untouched."""
+    cache keys are untouched.
+
+    `fast=True` (CIE94 only) replaces the per-centroid divides with an
+    algebraically-expanded distance on hoisted per-pixel reciprocals:
+    d = dL^2 + (da^2+db^2)/Sh^2 + dCab^2*(1/Sc^2 - 1/Sh^2), dropping the
+    dhab_sq >= 0 clamp (mathematically redundant: da^2+db^2 >= dCab^2 by
+    the triangle inequality; the clamp only guards f32 noise at dhab ~ 0).
+    Not bit-identical — knife-edge assignments can flip — so it is opt-in,
+    like the quantize kernels' fast mode. bf16 `lab_ref` planes are
+    up-cast to f32 on load (accumulation always f32): half the HBM
+    traffic per iteration for ~0.3 delta-E input quantization, also
+    opt-in."""
     if weighted:
         w_ref, out_ref = refs
     else:
@@ -584,6 +596,10 @@ def _lloyd_acc_kernel(
     l_p = lab_ref[0]
     a_p = lab_ref[1]
     b_p = lab_ref[2]
+    if l_p.dtype != jnp.float32:
+        l_p = l_p.astype(jnp.float32)
+        a_p = a_p.astype(jnp.float32)
+        b_p = b_p.astype(jnp.float32)
 
     tile = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, l_p.shape, 0)
@@ -598,7 +614,22 @@ def _lloyd_acc_kernel(
     # expressions on the same inputs, so every distance (and therefore
     # every assignment) is bit-identical to the rolled form.
     c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
-    if metric == "cie94":
+    if metric == "cie94" and fast:
+        # Algebraic expansion on per-pixel reciprocals (see docstring):
+        # zero divides, zero clamps in the centroid loop.
+        sc_p = 1.0 + _K1 * c1_p
+        sh_p = 1.0 + _K2 * c1_p
+        rsh2_p = 1.0 / (sh_p * sh_p)
+        q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+
+        def dist(cl, ca, cb):
+            dl = l_p - cl
+            da = a_p - ca
+            db = b_p - cb
+            c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
+            dcab = c1_p - c2
+            return dl * dl + (da * da + db * db) * rsh2_p + dcab * dcab * q_p
+    elif metric == "cie94":
         sc_p = 1.0 + _K1 * c1_p
         sh_p = 1.0 + _K2 * c1_p
         sh2_p = sh_p * sh_p
@@ -647,13 +678,17 @@ def lloyd_accumulate(
     interpret: bool = False,
     metric: str = "cie94",
     emit_inertia: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Per-cluster (sumL, suma, sumb, count) totals `[KP, 4]` over all valid
-    pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`;
-    `weight_planes` (from `pack_plane`, optional) scales each pixel's
-    contribution — weight-0 pixels vanish from sums and counts.
-    `emit_inertia=True` appends a fifth column: the weighted sum of each
-    member pixel's squared distance to the centroid (`[KP, 5]` result)."""
+    pixels. `lab_planes` is the padded plane layout from `pack_lab_planes`
+    (f32, or bf16 for half the per-iteration HBM traffic — up-cast on
+    load, f32 accumulation); `weight_planes` (from `pack_plane`, optional)
+    scales each pixel's contribution — weight-0 pixels vanish from sums
+    and counts. `emit_inertia=True` appends a fifth column: the weighted
+    sum of each member pixel's squared distance to the centroid
+    (`[KP, 5]` result). `fast=True` uses the divide-free algebraic CIE94
+    distance (knife-edge assignments may flip; see `_lloyd_acc_kernel`)."""
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
@@ -690,7 +725,7 @@ def lloyd_accumulate(
     partials = pl.pallas_call(
         functools.partial(
             _lloyd_acc_kernel, kp=kp, weighted=weighted, metric=metric,
-            emit_inertia=emit_inertia,
+            emit_inertia=emit_inertia, fast=fast,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (grid[0], kp, stats, LANES), jnp.float32
@@ -708,12 +743,19 @@ def lloyd_accumulate(
     return partials.sum(axis=(0, 3))  # [KP, stats]
 
 
-def pack_lab_planes(lab: jnp.ndarray) -> tuple[jnp.ndarray, int]:
-    """`[N, 3]` Lab -> padded plane layout `[3, M, 128]` + valid count."""
+def pack_lab_planes(
+    lab: jnp.ndarray, dtype=None
+) -> tuple[jnp.ndarray, int]:
+    """`[N, 3]` Lab -> padded plane layout `[3, M, 128]` + valid count.
+    `dtype=jnp.bfloat16` stores half-width planes (half the training
+    kernel's per-iteration HBM traffic; ~0.3 delta-E input quantization —
+    opt-in, see `lloyd_accumulate`)."""
     n = lab.shape[0]
     n_pad = _round_up(n, TILE_ROWS * LANES)
     padded = jnp.pad(lab, ((0, n_pad - n), (0, 0)))
     planes = padded.T.reshape(3, n_pad // LANES, LANES)
+    if dtype is not None and planes.dtype != dtype:
+        planes = planes.astype(dtype)
     return planes, n
 
 

@@ -72,6 +72,41 @@ def nearest_color(
     return palette[idx]
 
 
+def nearest_index(
+    lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, metric: str = "cie94"
+) -> jnp.ndarray:
+    """Index of each Lab pixel's nearest palette entry (uint8, k <= 256) —
+    the XLA counterpart of the fused kernel's `emit_index` output, used by
+    indexed readback paths where the host reconstructs `palette[idx]`."""
+    valid = _valid_mask(palette.shape[0], k_active)
+    return jnp.argmin(_d2_matrix(lab, palette, valid, metric), axis=-1).astype(
+        jnp.uint8
+    )
+
+
+def assign_index(
+    lab: jnp.ndarray,
+    palette: jnp.ndarray,
+    mode: str = "replace",
+    k_active=None,
+    row_offset=0,
+    metric: str = "cie94",
+) -> jnp.ndarray:
+    """Per-pixel palette index `[H, W]` uint8 for replace/dither (meld
+    blends colors, so it has no index representation). Selecting
+    `palette[idx]` is exactly `nearest_color`/`dither`'s output: dither's
+    k == 1 short-circuit emits palette[0], which IS index 0's color (the
+    only valid argmin when one entry is active)."""
+    if mode == "replace":
+        return nearest_index(lab, palette, k_active, metric)
+    if mode == "dither":
+        h, w = lab.shape[0], lab.shape[1]
+        threshold = dither_threshold(palette, k_active, metric)
+        adjusted = lab + (threshold * bayer_values(h, w, row_offset))[..., None]
+        return nearest_index(adjusted, palette, k_active, metric)
+    raise ValueError("assign_index supports replace/dither only")
+
+
 def dither_threshold(
     palette: jnp.ndarray, k_active=None, metric: str = "cie94"
 ) -> jnp.ndarray:

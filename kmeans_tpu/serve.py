@@ -46,16 +46,95 @@ MAX_BODY = 256 * 1024 * 1024  # 256 MB: a 8192x8192 RGBA PNG fits comfortably
 POST_ENDPOINTS = ("/reduce", "/palette", "/find", "/reduce-gif", "/find-gif")
 
 
+class _MicroBatcher:
+    """Coalesce concurrent same-(k, mode) kmeans /reduce requests into ONE
+    batched executable launch.
+
+    Round 1 serialized every request behind the device lock — correct, but
+    N concurrent clients paid N sequential launches. Here the first thread
+    to arrive for a (k, mode) key becomes the batch leader: it sleeps a
+    short collection window (a few ms — noise next to device work), drains
+    everything that arrived for the key, and runs the whole batch through
+    `ImageProcessor.reduce_many`, which coalesces same-bucket frames (any
+    sizes) into one vmapped executable. Followers wait on an event and
+    PNG-encode their own results in their own handler threads, so only
+    the device section is shared. `window_s=0` disables batching (the
+    round-1 behavior). Batches are closed at `max_batch` to bound the
+    vmapped executable size (frame-count bucketing pads the rest)."""
+
+    def __init__(self, service, window_s: float = 0.005, max_batch: int = 16):
+        self.service = service
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._pending: dict[tuple, list] = {}
+        # Telemetry for the load test / stats: launches vs requests.
+        self.batches = 0
+        self.batched_requests = 0
+
+    def reduce(self, image, k: int, mode):
+        from kmeans_tpu.api import Algorithm
+
+        if self.window_s <= 0:
+            with self.service._lock:
+                return self.service.processor.reduce(
+                    k, image, Algorithm.KMEANS, mode
+                )
+        entry = {
+            "image": image,
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        key = (int(k), mode.value)
+        with self._lock:
+            batch = self._pending.get(key)
+            leader = batch is None
+            if leader:
+                batch = []
+                self._pending[key] = batch
+            batch.append(entry)
+            if len(batch) >= self.max_batch and self._pending.get(key) is batch:
+                del self._pending[key]  # close: next arrival starts fresh
+        if leader:
+            time.sleep(self.window_s)
+            with self._lock:
+                if self._pending.get(key) is batch:
+                    del self._pending[key]
+                items = list(batch)  # append-safe: key is gone from dict
+            try:
+                with self.service._lock:
+                    outs = self.service.processor.reduce_many(
+                        [e["image"] for e in items], k, mode
+                    )
+                for e, o in zip(items, outs):
+                    e["result"] = o
+                self.batches += 1
+                self.batched_requests += len(items)
+            except Exception as ex:
+                for e in items:
+                    e["error"] = ex
+            finally:
+                for e in items:
+                    e["event"].set()
+        if not entry["event"].wait(timeout=600):
+            raise RuntimeError("batched device request timed out")
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["result"]
+
+
 class QuantizeService:
     """Protocol-independent request handlers around one ImageProcessor."""
 
-    def __init__(self, processor=None):
+    def __init__(self, processor=None, batch_window_s: float = 0.005):
         if processor is None:
             from kmeans_tpu.api import ImageProcessor
 
             processor = ImageProcessor(bucketing=True)
         self.processor = processor
         self._lock = threading.Lock()
+        self.batcher = _MicroBatcher(self, window_s=batch_window_s)
         # Per-endpoint request counters + latency accumulators (observed
         # under _stats_lock; exposed at GET /stats).
         self._stats_lock = threading.Lock()
@@ -88,7 +167,12 @@ class QuantizeService:
             }
         return json.dumps(
             {"uptime_s": round(time.time() - self._started, 1),
-             "endpoints": snapshot},
+             "endpoints": snapshot,
+             "batching": {
+                 "window_ms": self.batcher.window_s * 1e3,
+                 "launches": self.batcher.batches,
+                 "requests_batched": self.batcher.batched_requests,
+             }},
             indent=2,
         ).encode()
 
@@ -100,10 +184,15 @@ class QuantizeService:
         from kmeans_tpu.utils.imageio import encode_png_bytes
 
         image = _decode_image(body)
-        with self._lock:
-            out = self.processor.reduce(
-                k, image, Algorithm(algo), ReduceMode(mode)
-            )
+        if algo == "kmeans":
+            # Concurrent same-(k, mode) requests coalesce into one batched
+            # executable launch (any image sizes; see _MicroBatcher).
+            out = self.batcher.reduce(image, k, ReduceMode(mode))
+        else:
+            with self._lock:
+                out = self.processor.reduce(
+                    k, image, Algorithm(algo), ReduceMode(mode)
+                )
         return encode_png_bytes(out)
 
     def palette(self, body: bytes, k: int, algo: str) -> bytes:
@@ -355,11 +444,19 @@ def _parse_choice(q: dict, key: str, default: str, choices) -> str:
     return v
 
 
-def create_server(host: str = "127.0.0.1", port: int = 8080, processor=None):
+def create_server(
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    processor=None,
+    batch_window_s: float = 0.005,
+):
     """Build (but don't start) the HTTP server; `server.server_address[1]`
-    holds the bound port (use port=0 for ephemeral)."""
-    service = QuantizeService(processor)
-    return ThreadingHTTPServer((host, port), _make_handler(service))
+    holds the bound port (use port=0 for ephemeral). `server.service`
+    exposes the QuantizeService (stats, batcher)."""
+    service = QuantizeService(processor, batch_window_s=batch_window_s)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server.service = service
+    return server
 
 
 def main(argv=None) -> int:
@@ -418,6 +515,14 @@ def main(argv=None) -> int:
         help="independent k-means++ seedings per request (lowest-inertia "
         "palette wins; one vmapped executable)",
     )
+    parser.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=5.0,
+        help="micro-batching collection window: concurrent same-(k, mode) "
+        "/reduce requests within this window coalesce into one batched "
+        "executable launch (0 disables)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -442,7 +547,10 @@ def main(argv=None) -> int:
         n = processor.warmup(sizes, ks)
         log.info("warmup done: %d executable(s)", n)
 
-    server = create_server(args.host, args.port, processor)
+    server = create_server(
+        args.host, args.port, processor,
+        batch_window_s=args.batch_window_ms / 1e3,
+    )
     log.info("serving on %s:%d", *server.server_address)
 
     import signal as _signal

@@ -1,0 +1,64 @@
+"""Device-side index-map bit packing for small palettes.
+
+Small palettes pack multiple pixel indices per byte on the device before
+readback (2 bits/px for k <= 4, 4 bits/px for k <= 16, raw u8 otherwise) —
+8-16x less device->host traffic than raw RGBA. Every device-side pack and
+host-side unpack MUST consult `pack_bits` (they sit in different
+executables/processes and drift here means silently garbled pixels).
+
+Used by the single-chip indexed paths (`api.py`) and the sharded
+(multi-chip) indexed readback (`parallel/sharded_ops.py`); the pack runs
+along the width axis so row-sharded layouts pack shard-locally with no
+collectives.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+NIBBLE_PACK_MAX_K = 16
+CRUMB_PACK_MAX_K = 4
+
+
+def pack_bits(k: int) -> int:
+    """Bits per packed index for a (static) palette size."""
+    if k <= CRUMB_PACK_MAX_K:
+        return 2
+    if k <= NIBBLE_PACK_MAX_K:
+        return 4
+    return 8
+
+
+def nibble_packed(k: int) -> bool:
+    return pack_bits(k) < 8
+
+
+def pack_nibbles(idx: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
+    """Device-side pack of an index map: `bits` in {2, 4} packs 4 or 2
+    pixels per byte (every index must be < 2**bits; widths pad to the
+    pack factor, cropped on unpack). Cuts the index readback to
+    0.25/0.5 B/px."""
+    per = 8 // bits
+    if idx.shape[1] % per:
+        idx = jnp.pad(idx, ((0, 0), (0, per - idx.shape[1] % per)))
+    out = idx[:, 0::per] << (8 - bits)
+    for j in range(1, per):
+        shift = 8 - bits * (j + 1)
+        term = idx[:, j::per]
+        # skip <<0 so the bits=4 expression (and its compiled-cache hash)
+        # stays identical to the original two-term nibble pack
+        out = out | (term << shift if shift else term)
+    return out
+
+
+def unpack_nibbles(packed: np.ndarray, w: int, bits: int = 4) -> np.ndarray:
+    """Invert `pack_nibbles`: `[H, ceil(w/per)]` uint8 -> `[H, w]` uint8
+    index map (`per = 8 // bits`)."""
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    h = packed.shape[0]
+    idx = np.empty((h, packed.shape[1] * per), np.uint8)
+    for j in range(per):
+        idx[:, j::per] = (packed >> (8 - bits * (j + 1))) & mask
+    return idx[:, :w]

@@ -375,23 +375,26 @@ def test_warmup_gif_paths():
     n = p.warmup(
         [(26, 18)], [2], find_palette_sizes=[2], gif_frame_counts=[3]
     )
-    assert n == 6  # reduce, palette, find, pimg, rimg, fbatch
+    assert n == 7  # reduce, palette, find, pimg, rimg, rmany, fbatch
     before = (
         api._reduce_images_bucketed_jit._cache_size()
         + api._train_frames_bucketed_jit._cache_size()
         + api._find_batch_jit._cache_size()
+        + api._reduce_many_bucketed_jit._cache_size()
     )
     frames = [_blob_image(26, 18, seed=i) for i in range(3)]
     p.reduce_images(frames, 2)
     p.palette_images(frames, 2)
+    p.reduce_many(frames, 2)
     colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8)
     p.find_batch(frames, colors)
     after = (
         api._reduce_images_bucketed_jit._cache_size()
         + api._train_frames_bucketed_jit._cache_size()
         + api._find_batch_jit._cache_size()
+        + api._reduce_many_bucketed_jit._cache_size()
     )
-    assert after == before  # warmup covered all three GIF executables
+    assert after == before  # warmup covered all four GIF/batch executables
 
 
 def test_find_streamed_matches_bucketed_find():

@@ -126,6 +126,40 @@ def test_quantize_image_sharded_helper():
     np.testing.assert_array_equal(got, want)
 
 
+def test_assign_indexed_sharded_bit_equal_and_rgb_upload():
+    """Multi-chip transfer parity: the packed-index readback must be
+    bit-equal to the full-RGBA sharded quantize (odd width exercises the
+    pack padding), and RGB-only input must give identical output to RGBA
+    (alpha never participates)."""
+    from kmeans_tpu.parallel.sharded_ops import (
+        assign_indexed_sharded,
+        quantize_image_sharded,
+    )
+    from kmeans_tpu.utils.packing import unpack_nibbles
+    from kmeans_tpu.ops.colorspace import lab_to_srgb8
+
+    rng = np.random.default_rng(13)
+    rgba = rng.integers(0, 256, (61, 97, 4), dtype=np.uint8)  # odd h, w
+    rgba[..., 3] = rng.integers(0, 256, (61, 97), dtype=np.uint8)  # junk alpha
+    rgb = np.ascontiguousarray(rgba[..., :3])
+    mesh = make_mesh(jax.devices(), data=1)
+    for k, mode in ((3, "replace"), (3, "dither"), (7, "dither"), (20, "replace")):
+        pal_u8 = rng.integers(0, 256, (k, 3), dtype=np.uint8)
+        pal = srgb8_to_lab(jnp.asarray(pal_u8))
+        want = np.asarray(
+            quantize_image_sharded(mesh, rgba, pal, mode=mode)
+        )
+        packed, bits = assign_indexed_sharded(mesh, rgb, pal, mode=mode)
+        arr = np.asarray(packed)
+        idx = unpack_nibbles(arr, 97, bits) if bits < 8 else arr
+        rgb8 = np.asarray(lab_to_srgb8(pal))
+        palette_rgba = np.concatenate(
+            [rgb8, np.full((k, 1), 255, np.uint8)], axis=1
+        )
+        got = palette_rgba[idx]
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k} {mode}")
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip_topologies(n):
     import importlib.util

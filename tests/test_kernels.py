@@ -137,6 +137,36 @@ def test_lloyd_accumulate_emit_inertia():
     np.testing.assert_allclose(totals[:, 4], expect, rtol=1e-4, atol=1e-2)
 
 
+def test_lloyd_accumulate_fast_and_bf16_variants():
+    """Opt-in traffic/flop variants track the exact kernel: fast
+    (algebraic CIE94) totals match within float noise; bf16 planes match
+    within the ~0.3 delta-E input quantization."""
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+
+    rng = np.random.default_rng(41)
+    pix = jnp.asarray(rng.normal(50, 25, (6000, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(50, 25, (8, 3)).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    exact = np.asarray(lloyd_accumulate(planes, cents, n, interpret=True))
+
+    fast = np.asarray(
+        lloyd_accumulate(planes, cents, n, interpret=True, fast=True)
+    )
+    # counts may differ by a few knife-edge pixels; sums track closely
+    assert np.abs(fast[:, 3] - exact[:, 3]).max() <= 3
+    np.testing.assert_allclose(fast[:, :3], exact[:, :3], rtol=2e-2, atol=60)
+
+    bplanes, n2 = pack_lab_planes(pix, dtype=jnp.bfloat16)
+    assert bplanes.dtype == jnp.bfloat16 and n2 == n
+    b16 = np.asarray(lloyd_accumulate(bplanes, cents, n, interpret=True))
+    assert np.abs(b16[:, 3] - exact[:, 3]).max() <= 30  # ~0.5% of pixels
+    counts = np.maximum(exact[:, 3], 1)
+    # per-cluster mean Lab error stays at the bf16 quantization scale
+    mean_err = np.abs(b16[:, :3] / np.maximum(b16[:, 3:4], 1) -
+                      exact[:, :3] / counts[:, None])
+    assert mean_err.max() < 1.0
+
+
 def test_fit_large_restarts_selects_min_inertia_run():
     """fit_large_restarts: restarts=1 is exactly fit_large; restarts=R
     returns bit-for-bit the lowest-inertia run among the individually-run

@@ -262,6 +262,80 @@ def test_stats_endpoint(server, png_body):
     assert gif["errors"] >= 1
 
 
+def test_micro_batcher_coalesces_unit():
+    """_MicroBatcher: concurrent submits with one key produce one
+    reduce_many launch covering all of them; results map back per-entry."""
+    from kmeans_tpu.serve import QuantizeService
+
+    class FakeProcessor:
+        def __init__(self):
+            self.calls = []
+
+        def reduce_many(self, images, k, mode):
+            self.calls.append(len(images))
+            return [f"out-{id(im)}" for im in images]
+
+    svc = QuantizeService(processor=FakeProcessor(), batch_window_s=0.2)
+    from kmeans_tpu.api import ReduceMode
+
+    results = {}
+
+    def worker(i):
+        img = object()
+        results[i] = (img, svc.batcher.reduce(img, 3, ReduceMode.REPLACE))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 5
+    for img, out in results.values():
+        assert out == f"out-{id(img)}"  # each caller got ITS result
+    # All five coalesced into far fewer launches than requests.
+    assert sum(svc.processor.calls) == 5
+    assert len(svc.processor.calls) < 5
+    assert svc.batcher.batched_requests == 5
+
+
+def test_concurrent_reduce_requests_batched(png_body):
+    """End-to-end: N parallel clients on /reduce coalesce into fewer
+    device launches; every client gets a correct PNG back."""
+    from kmeans_tpu.serve import create_server
+
+    srv = create_server(port=0, batch_window_s=0.25)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+        # warm the executables so the measured burst is steady-state
+        _post(addr, "/reduce?k=3", png_body)
+
+        out = {}
+
+        def client(i):
+            out[i] = _post(addr, "/reduce?k=3", png_body)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (status, ctype, data) in out.items():
+            assert status == 200 and ctype == "image/png", (i, status)
+            img = decode_image_bytes(data)
+            assert img.dimensions == (56, 40)
+            assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
+        b = srv.service.batcher
+        assert b.batched_requests >= 5
+        assert b.batches < b.batched_requests  # at least one real batch
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_stats_unknown_paths_bounded(server, png_body):
     # Unknown POST paths must collapse into one "other" key, not grow the
     # stats dict per unique path (unbounded memory in a long-lived daemon).

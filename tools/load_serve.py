@@ -1,0 +1,131 @@
+"""Serving load test: N parallel clients hammering POST /reduce.
+
+Measures end-to-end requests/sec twice — micro-batching disabled
+(window=0, the round-1 serialize-behind-one-lock behavior) and enabled —
+and prints one JSON line with both, plus the batcher's launch counters.
+Run on the TPU host for the docs/serving.md numbers; runs fine on CPU too
+(conftest-style forcing is NOT applied here — wrap with JAX_PLATFORMS=cpu
+for a local run).
+
+    python tools/load_serve.py [clients=8] [requests_per_client=4] [window_ms=25]
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _png_body():
+    import numpy as np
+
+    from kmeans_tpu.image import Image
+    from kmeans_tpu.utils.imageio import encode_png_bytes
+
+    rng = np.random.default_rng(7)
+    base = np.array([[220, 50, 40], [40, 200, 70], [60, 70, 220]], np.int32)
+    idx = rng.integers(0, 3, (240, 320))
+    rgb = np.clip(base[idx] + rng.integers(-8, 9, (240, 320, 3)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((240, 320, 1), 255, np.uint8)], -1
+    )
+    return encode_png_bytes(Image((320, 240), rgba))
+
+
+def _run(window_s: float, body: bytes, clients: int, per_client: int):
+    from kmeans_tpu.serve import create_server
+
+    srv = create_server(port=0, batch_window_s=window_s)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    addr = srv.server_address
+    try:
+        # Warm every executable out of band so the measurement is
+        # steady-state serving, not compiles: the solo path plus every
+        # frame-count bucket the batcher can hit (batch sizes vary run to
+        # run; each frame bucket is its own executable).
+        _post(addr, body)
+        from kmeans_tpu.api import ReduceMode
+        from kmeans_tpu.utils.bucketing import bucket_frames
+        from kmeans_tpu.utils.imageio import decode_image_bytes
+
+        img = decode_image_bytes(body)
+        proc = srv.service.processor
+        buckets = sorted(
+            {bucket_frames(n) for n in range(2, srv.service.batcher.max_batch + 1)}
+        )
+        for fb in buckets:
+            proc.reduce_many([img] * fb, 8, ReduceMode.REPLACE)
+
+        errors = []
+
+        def client():
+            for _ in range(per_client):
+                status = _post(addr, body)
+                if status != 200:
+                    errors.append(status)
+
+        threads = [threading.Thread(target=client) for _ in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.perf_counter() - t0
+        assert not errors, errors
+        n = clients * per_client
+        b = srv.service.batcher
+        return {
+            "window_ms": window_s * 1e3,
+            "requests": n,
+            "seconds": round(elapsed, 3),
+            "rps": round(n / elapsed, 2),
+            "device_launches": b.batches if window_s > 0 else n,
+            "requests_batched": b.batched_requests,
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _post(addr, body) -> int:
+    conn = http.client.HTTPConnection(*addr, timeout=600)
+    conn.request("POST", "/reduce?k=8", body)
+    resp = conn.getresponse()
+    resp.read()
+    conn.close()
+    return resp.status
+
+
+def main() -> None:
+    clients = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    window_ms = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+
+    body = _png_body()
+    serial = _run(0.0, body, clients, per_client)
+    print(f"serialized: {serial}", file=sys.stderr)
+    batched = _run(window_ms / 1e3, body, clients, per_client)
+    print(f"batched:    {batched}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "clients": clients,
+                "serialized_rps": serial["rps"],
+                "batched_rps": batched["rps"],
+                "speedup": round(batched["rps"] / serial["rps"], 2),
+                "serial": serial,
+                "batched": batched,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
