@@ -100,16 +100,22 @@ def _probe_device(timeout_s: int = 480) -> bool:
 
 def _measure_call_latency(reps: int = 12) -> float:
     """Per-call roundtrip latency of the device transport, measured in-run
-    (round 1 hardcoded 30 ms): the time to read back one tiny
-    device-resident array, min over `reps`. This is the constant the
+    (round 1 hardcoded 30 ms): the time to dispatch a tiny device
+    computation and read its result back, min over `reps`. Each rep uses
+    a FRESH result array — JAX caches the host copy after the first
+    np.asarray of the same Array, which would otherwise measure a cache
+    hit (~0 ms) instead of the transport. This is the constant the
     in-jit loop timing subtracts, so it must come from the same session
     the loop runs in."""
     import jax.numpy as jnp
     import numpy as onp
 
-    tiny = jnp.zeros(8, jnp.uint8) + 1  # device-resident, forces execution
-    onp.asarray(tiny)  # warm
-    return min(_timed(lambda: onp.asarray(tiny)) for _ in range(reps))
+    base = jnp.zeros(8, jnp.uint8)
+    onp.asarray(base + onp.uint8(255))  # warm dispatch + transfer path
+    return min(
+        _timed(lambda i=i: onp.asarray(base + onp.uint8(i)))
+        for i in range(reps)
+    )
 
 
 def main() -> None:

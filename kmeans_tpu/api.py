@@ -46,7 +46,12 @@ from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
-from kmeans_tpu.ops.resize import resize_to_canvas, resize_uint8, shrunk_dimensions
+from kmeans_tpu.ops.resize import (
+    resize_to_canvas,
+    resize_uint8,
+    resize_uint8_np,
+    shrunk_dimensions,
+)
 from kmeans_tpu.utils.bucketing import (
     bucket_frames,
     bucket_k,
@@ -59,6 +64,15 @@ from kmeans_tpu.utils.bucketing import (
 MAX_IMAGE_DIMENSION = 256
 # Octree sampling cap (`core/src/lib.rs:293`).
 OCTREE_MAX_SIZE = 128
+# Pipelined (banded) reduce: rows per band, and the minimum band count at
+# which the pipeline engages (ImageProcessor(pipeline=True), opt-in). The
+# host<->device transport measured ~63% overlap between an in-flight
+# upload and a readback (tools/exp_duplex.py) — but through this
+# harness's high-latency tunnel the per-band call overheads outweigh the
+# hidden readback (~2x slower in an interleaved A/B; docs/perf.md), so
+# the monolithic single-dispatch path stays the default.
+PIPELINE_BAND_ROWS = 512
+PIPELINE_MIN_BANDS = 4
 
 
 class ColorSpace(Enum):
@@ -94,6 +108,7 @@ class ReduceMode(Enum):
     jax.jit,
     static_argnames=(
         "k", "train_shape", "lab", "use_pallas", "metric", "restarts",
+        "fast",
     ),
 )
 def _train_jit(
@@ -106,6 +121,7 @@ def _train_jit(
     use_pallas: bool = False,
     metric: str = "cie94",
     restarts: int = 1,
+    fast: bool = False,
 ):
     """Single-executable training path: shrink -> colorspace -> seed ->
     Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
@@ -117,7 +133,7 @@ def _train_jit(
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
     centroids, iters = _fit_auto(
         work, k, first_index, convergence, use_pallas, metric=metric,
-        restarts=restarts,
+        restarts=restarts, fast=fast,
     )
     return centroids, iters
 
@@ -149,7 +165,7 @@ def _host_rgb(pixels: np.ndarray) -> np.ndarray:
 
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
-    k_active=None, metric="cie94", restarts=1,
+    k_active=None, metric="cie94", restarts=1, fast=False,
 ):
     # The Pallas trainer unrolls its centroid loop and supports k <= 64;
     # larger k falls back to the one-hot matmul path regardless of size.
@@ -168,15 +184,17 @@ def _fit_auto(
         and metric in PALLAS_METRICS
     )
     if large:
+        # fast only changes the Pallas trainer for k > 16 (the gate sits
+        # in lloyd_pallas, matching the quantize kernels' policy).
         if restarts > 1:
             return kmeans_model.fit_large_restarts(
                 work, k, first_index, restarts=restarts,
                 convergence=convergence, weight=weight, k_active=k_active,
-                metric=metric,
+                metric=metric, fast=fast,
             )
         return kmeans_model.fit_large(
             work, k, first_index, convergence=convergence, weight=weight,
-            k_active=k_active, metric=metric,
+            k_active=k_active, metric=metric, fast=fast,
         )
     return kmeans_model.fit_restarts(
         work, k, first_index, restarts=restarts, convergence=convergence,
@@ -219,7 +237,7 @@ def _reduce_jit(
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas, metric=metric,
-        restarts=restarts,
+        restarts=restarts, fast=fast,
     )
     if use_pallas:
         threshold = (
@@ -270,7 +288,7 @@ def _reduce_indexed_jit(
     # lowerings).
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas=True, restarts=restarts,
-        metric=metric,
+        metric=metric, fast=fast,
     )
     threshold = (
         dither_threshold(centroids, metric=metric)
@@ -346,6 +364,7 @@ def _quantize_fused_jit(
     jax.jit,
     static_argnames=(
         "kp", "canvas_shape", "lab", "use_pallas", "metric", "restarts",
+        "fast",
     ),
 )
 def _train_bucketed_jit(
@@ -363,6 +382,7 @@ def _train_bucketed_jit(
     use_pallas: bool = False,
     metric: str = "cie94",
     restarts: int = 1,
+    fast: bool = False,
 ):
     """Training with bucketed (padded) input: the real image lives in the
     top-left `[src_h, src_w]` of `padded_u8` and is shrunk to the dynamic
@@ -382,7 +402,7 @@ def _train_bucketed_jit(
     return _fit_auto(
         work, kp, first_index, convergence, use_pallas,
         weight=weight.reshape(-1), k_active=k_active, metric=metric,
-        restarts=restarts,
+        restarts=restarts, fast=fast,
     )
 
 
@@ -414,7 +434,7 @@ def _reduce_bucketed_indexed_jit(
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=True,  # fused-only executable
-        restarts=restarts, metric=metric,
+        restarts=restarts, metric=metric, fast=fast,
     )
     threshold = (
         dither_threshold(centroids, k_active=k_active, metric=metric)
@@ -461,7 +481,7 @@ def _reduce_bucketed_jit(
     centroids, _ = _train_bucketed_jit(
         padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
         convergence, k_active, use_pallas=use_pallas, metric=metric,
-        restarts=restarts,
+        restarts=restarts, fast=fast,
     )
     if use_pallas:
         threshold = (
@@ -591,6 +611,7 @@ class ImageProcessor:
         fast: bool = False,
         delta_e: str = "94",
         restarts: int = 1,
+        pipeline: bool = False,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -652,11 +673,14 @@ class ImageProcessor:
         self.bucketing = bool(bucketing)
         # fast=True: the fused quantize/assign kernels hoist the CIE94
         # divides into per-pixel reciprocals (2 divides total instead of
-        # 2 per centroid). ~1e-4 of pixels can flip to the other side of a
-        # nearest-centroid knife edge (a*(1/b) != a/b in f32), giving up
-        # bit-parity with the XLA formulas for measurable speed — see
-        # docs/perf.md. Only affects the fused (TPU) output stage; training
-        # and CPU paths are unchanged.
+        # 2 per centroid), and the Pallas Lloyd accumulator (large/full-res
+        # training) uses the divide-free algebraic CIE94 distance —
+        # measured 1.5-1.56x on k>16 quantize and 1.23x/iter on k=64
+        # training (docs/perf.md). ~1e-4 of pixels can flip to the other
+        # side of a nearest-centroid knife edge (a*(1/b) != a/b in f32),
+        # giving up bit-parity with the XLA formulas for measurable speed.
+        # k <= 16 stays exact under fast on every kernel (no measured gain
+        # there); CPU/XLA paths are unchanged.
         self.fast = bool(fast)
         # restarts=N trains N independent k-means++ seedings per request
         # and keeps the lowest-inertia run (restart 0 is always the
@@ -670,6 +694,19 @@ class ImageProcessor:
         if restarts < 1:
             raise ValueError("restarts must be >= 1")
         self.restarts = restarts
+        # pipeline=True (opt-in): large exact-path reduces stream the
+        # image through the device in row bands, overlapping each band's
+        # packed-index readback with later bands' uploads. The transport
+        # here measured ~63% duplex overlap (tools/exp_duplex.py), but
+        # the per-band call overheads made the banded path ~2x SLOWER
+        # end-to-end through this harness's high-latency tunnel
+        # (interleaved A/B, docs/perf.md round 2), so the monolithic
+        # single-dispatch path stays the default. The banded path remains
+        # available for low-latency local transports. Training runs first
+        # on a host-shrunk strip (numpy mirror of the device sampler —
+        # bit-equal on CPU; the TPU's f32 resize rounds ~13% of strip
+        # pixels one u8 step differently, a documented deviation).
+        self.pipeline = bool(pipeline)
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -699,6 +736,7 @@ class ImageProcessor:
             use_pallas=self.fused,
             metric=self.delta_e,
             restarts=self.restarts,
+            fast=self.fast,
         )
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
@@ -898,7 +936,7 @@ class ImageProcessor:
                 jnp.asarray(padded), bucket_k(color_count), canvas, first,
                 h, w, sh, sw, ColorSpace.LAB.convergence, color_count,
                 use_pallas=self.fused, metric=self.delta_e,
-                restarts=self.restarts,
+                restarts=self.restarts, fast=self.fast,
             )
             return _palette_readback(centroids, color_count)
         centroids = self.extract_palette_kmeans(image, color_count)
@@ -947,6 +985,13 @@ class ImageProcessor:
                 and reduce_mode is not ReduceMode.MELD
                 and color_count <= 256
             ):
+                if (
+                    self.pipeline
+                    and self.train_max_size is not None
+                    and h >= PIPELINE_BAND_ROWS * PIPELINE_MIN_BANDS
+                ):
+                    out = self._reduce_banded(image, color_count, reduce_mode)
+                    return Image(image.dimensions, out)
                 idx, palette_rgba = _reduce_indexed_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
@@ -991,6 +1036,50 @@ class ImageProcessor:
                     jnp.asarray(rgb), palette_lab, reduce_mode
                 )
         return Image(image.dimensions, np.asarray(out))
+
+    def _reduce_banded(self, image: Image, color_count: int, reduce_mode):
+        """Transfer-pipelined exact-path reduce (large images, fused
+        indexed path): train on a HOST-shrunk strip first, then stream the
+        full-resolution rows through the device in `PIPELINE_BAND_ROWS`
+        bands — every band's upload+assign is dispatched before any
+        readback blocks, so each band's packed-index readback rides the
+        transport's duplex overlap (~63% measured, tools/exp_duplex.py)
+        under the later bands' uploads, instead of serializing after them.
+        Dither rows are offset per band (seamless Bayer). vs the
+        monolithic `_reduce_indexed_jit`: same executables' math, palette
+        trained on the numpy-mirrored shrink (equal or ~1 u8 step apart on
+        isolated pixels — documented deviation, quality-asserted in
+        tests)."""
+        pixels = image.pixels
+        h, w = pixels.shape[:2]
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        rgb = np.asarray(pixels)[..., :3]  # view; bands copied per band
+        strip = resize_uint8_np(rgb, sh, sw)
+        centroids, _ = _train_jit(
+            jnp.asarray(strip), color_count, (sh, sw), first,
+            ColorSpace.LAB.convergence, use_pallas=self.fused,
+            metric=self.delta_e, restarts=self.restarts, fast=self.fast,
+        )
+        # Dispatch every band (upload + fused assign + device-side bit
+        # pack) before blocking on any result: JAX's async dispatch keeps
+        # the transfer queue full in both directions.
+        pending = []
+        for r0 in range(0, h, PIPELINE_BAND_ROWS):
+            band = np.ascontiguousarray(rgb[r0 : r0 + PIPELINE_BAND_ROWS])
+            idx = _assign_indexed_jit(
+                jnp.asarray(band), centroids, reduce_mode.value, None, r0,
+                fast=self.fast, metric=self.delta_e,
+            )
+            pending.append((r0, band.shape[0], idx))
+        palette_rgba = np.asarray(_lab_palette_to_u8(centroids)[0])
+        bits = _pack_bits(color_count)
+        out = np.empty((h, w, 4), np.uint8)
+        for r0, bh, idx in pending:
+            arr = np.asarray(idx)
+            imap = _unpack_nibbles(arr, w, bits) if bits < 8 else arr
+            out[r0 : r0 + bh] = palette_rgba[imap[:bh, :w]]
+        return out
 
     def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
         palette_lab = jnp.asarray(palette_lab, jnp.float32)
@@ -1444,7 +1533,7 @@ class ImageProcessor:
             jnp.asarray(strip_padded), kp, canvas, first,
             strip_h, strip_w, sh, sw, conv, color_count,
             use_pallas=self.fused, metric=self.delta_e,
-            restarts=self.restarts,
+            restarts=self.restarts, fast=self.fast,
         )
         return centroids
 

@@ -247,6 +247,7 @@ def lloyd_pallas(
     weight: jnp.ndarray | None = None,
     interpret: bool = False,
     metric: str = "cie94",
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd loop backed by the Pallas tile accumulator
     (`ops.kernels.lloyd_accumulate`): assignment + per-cluster (sum, count)
@@ -254,7 +255,13 @@ def lloyd_pallas(
     termination protocol as `lloyd`; f32 totals differ from the matmul path
     only by summation order. Intended for full-resolution training where
     the one-hot intermediate would dominate HBM. `weight[N]` (optional)
-    scales contributions (0 = pad pixel), via the kernel's weight plane."""
+    scales contributions (0 = pad pixel), via the kernel's weight plane.
+
+    `fast=True` engages the divide-free algebraic CIE94 distance for
+    LARGE palettes only (k > 16 — same policy as the fused quantize
+    kernels: measured 1.23x/iter at 4K k=64, no gain at k=8, so small-k
+    training stays bit-exact even under fast; docs/perf.md round 2).
+    Knife-edge assignments may flip, like quantize fast mode."""
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
         pack_lab_planes,
@@ -262,6 +269,7 @@ def lloyd_pallas(
     )
 
     k = centroids.shape[0]
+    fast = bool(fast) and k > 16 and metric == "cie94"
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
     dist, _ = metric_fns(metric)
@@ -286,6 +294,7 @@ def lloyd_pallas(
             weight_planes=weight_planes,
             interpret=interpret,
             metric=metric,
+            fast=fast,
         )  # [K, 4]
         sums, counts = totals[:, :3], totals[:, 3]
         nonempty = counts > 0
@@ -396,7 +405,8 @@ def fit_restarts(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "max_iterations", "interpret", "metric")
+    jax.jit,
+    static_argnames=("k", "max_iterations", "interpret", "metric", "fast"),
 )
 def fit_large(
     pixels: jnp.ndarray,
@@ -408,6 +418,7 @@ def fit_large(
     weight: jnp.ndarray | None = None,
     interpret: bool = False,
     metric: str = "cie94",
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fit() for large pixel counts: XLA farthest-point seeding (pure
     elementwise + argmax streams, no big intermediates) + Pallas Lloyd.
@@ -427,12 +438,15 @@ def fit_large(
         weight=weight,
         interpret=interpret,
         metric=metric,
+        fast=fast,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_iterations", "interpret", "metric", "restarts"),
+    static_argnames=(
+        "k", "max_iterations", "interpret", "metric", "restarts", "fast",
+    ),
 )
 def fit_large_restarts(
     pixels: jnp.ndarray,
@@ -445,6 +459,7 @@ def fit_large_restarts(
     weight: jnp.ndarray | None = None,
     interpret: bool = False,
     metric: str = "cie94",
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """`fit_large` with `restarts` independent seedings — the Pallas-trainer
     counterpart of `fit_restarts`, so full-resolution multi-restart training
@@ -462,7 +477,7 @@ def fit_large_restarts(
         return fit_large(
             pixels, k, first_index, convergence=convergence,
             max_iterations=max_iterations, k_active=k_active, weight=weight,
-            interpret=interpret, metric=metric,
+            interpret=interpret, metric=metric, fast=fast,
         )
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
@@ -482,7 +497,7 @@ def fit_large_restarts(
         cents, iters = fit_large(
             pixels, k, seeds[r], convergence=convergence,
             max_iterations=max_iterations, k_active=k_active, weight=weight,
-            interpret=interpret, metric=metric,
+            interpret=interpret, metric=metric, fast=fast,
         )
         totals = lloyd_accumulate(
             planes, cents, n_valid, k_active=k_act,

@@ -11,6 +11,11 @@ entire chain in ONE pass at the memory-bandwidth floor:
   inside the kernel;
 - sRGB -> Lab, the CIE94 argmin over centroids, the mode math (replace /
   Bayer dither / meld) and Lab -> sRGB all happen in registers/VMEM;
+- the sRGB gamma linearization runs as a 256-entry LUT gather by default
+  (use_lut; two 128-lane half-tables via take_along_axis — the one gather
+  shape Mosaic lowers): measured 1.16x over the pow chain at 4K k=8 AND
+  exactly XLA-valued by construction (0 hardware mismatches vs the XLA
+  path in 393K pixels, where the Mosaic pow chain showed ulp deviations);
 - the centroid loop walks an SMEM-resident palette with a `k_active`
   mask, so one compiled kernel serves every k <= K_pad; for static
   kp <= 16 it unrolls to straight-line VPU code (no loop-carried VMEM,
@@ -62,11 +67,10 @@ _K2 = 0.015
 # ------------------------------------------------------------------ #
 
 
-def _srgb_to_lab_planes(r, g, b):
-    def lin(c):
-        return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92) * 100.0
-
-    r, g, b = lin(r), lin(g), lin(b)
+def _lab_from_linear_planes(r, g, b):
+    """Matrix + cube-root half of sRGB->Lab over pre-linearized planes
+    (each already scaled by 100) — shared by the pow path and the gamma-LUT
+    path so both produce identical downstream arithmetic."""
     planes = []
     for row, wp in zip(cs.RGB_TO_XYZ, cs.WHITE_POINT):
         t = (row[0] * r + row[1] * g + row[2] * b) / wp
@@ -79,6 +83,37 @@ def _srgb_to_lab_planes(r, g, b):
         )
     fx, fy, fz = planes
     return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _srgb_to_lab_planes(r, g, b):
+    def lin(c):
+        return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92) * 100.0
+
+    return _lab_from_linear_planes(lin(r), lin(g), lin(b))
+
+
+def gamma_lut_values() -> jnp.ndarray:
+    """The 256-entry sRGB linearization LUT as `[2, 128]` f32 (x100, the
+    scale `_srgb_to_lab_planes` uses), computed with the SAME XLA formula
+    the unfused path applies per pixel — so kernel outputs via the LUT are
+    bit-identical to the XLA path by construction. Mosaic lowers exactly
+    one gather shape (indices == operand shape + 1, i.e. element-wise
+    take_along_axis), hence the two 128-lane half-tables; see
+    tools/exp_gather.py for the measured forms."""
+    v = jnp.arange(256, dtype=jnp.float32) / 255.0
+    lin = jnp.where(v > 0.04045, ((v + 0.055) / 1.055) ** 2.4, v / 12.92)
+    return (lin * 100.0).reshape(2, 128)
+
+
+def _lut_gather(lut_ref, idx):
+    """LUT lookup of u8-valued int32 `idx` via the one gather form Mosaic
+    supports: per-lane take_along_axis against two broadcast half-tables,
+    selected by the index's top bit."""
+    lo_t = jnp.broadcast_to(lut_ref[0:1, :], idx.shape)
+    hi_t = jnp.broadcast_to(lut_ref[1:2, :], idx.shape)
+    lo = jnp.take_along_axis(lo_t, jnp.minimum(idx, 127), axis=1)
+    hi = jnp.take_along_axis(hi_t, jnp.maximum(idx - 128, 0), axis=1)
+    return jnp.where(idx < 128, lo, hi)
 
 
 def _lab_to_srgb_planes(l, a, b):
@@ -256,16 +291,19 @@ def _quantize_kernel(
     thr_ref,  # SMEM [1] f32: dither threshold
     cents_ref,  # SMEM [KP, 3] f32 Lab centroids
     pal_ref,  # SMEM [KP] i32 packed RGBA palette colors (replace/dither out)
-    in_ref,  # VMEM [TILE_ROWS, 128] i32 packed RGBA
-    out_ref,  # VMEM [TILE_ROWS, 128] i32: packed RGBA, or palette index
-    *,
+    *refs,  # [lut VMEM [2, 128] f32 if use_lut,] in_ref, out_ref VMEM tiles
     kp: int,
     mode: str,
     width: int,
     emit_index: bool = False,
     fast: bool = False,
     metric: str = "cie94",
+    use_lut: bool = True,
 ):
+    if use_lut:
+        lut_ref, in_ref, out_ref = refs
+    else:
+        in_ref, out_ref = refs
     k_active = scalar_ref[0]
     threshold = thr_ref[0]
 
@@ -273,11 +311,19 @@ def _quantize_kernel(
     # byte masks make every extracted channel a small non-negative int32,
     # and the arithmetic >> before & 0xFF is harmless.
     x = in_ref[:]
-    r = (x & 0xFF).astype(jnp.float32) / 255.0
-    g = ((x >> 8) & 0xFF).astype(jnp.float32) / 255.0
-    b = ((x >> 16) & 0xFF).astype(jnp.float32) / 255.0
-
-    l_p, a_p, b_p = _srgb_to_lab_planes(r, g, b)
+    if use_lut:
+        # Gamma by 256-entry LUT gather (gamma_lut_values: the XLA lin
+        # formula on the u8 grid — bit-identical by construction) instead
+        # of three pow chains; see tools/exp_gather.py measurements.
+        rl = _lut_gather(lut_ref, x & 0xFF)
+        gl = _lut_gather(lut_ref, (x >> 8) & 0xFF)
+        bl = _lut_gather(lut_ref, (x >> 16) & 0xFF)
+        l_p, a_p, b_p = _lab_from_linear_planes(rl, gl, bl)
+    else:
+        r = (x & 0xFF).astype(jnp.float32) / 255.0
+        g = ((x >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        b = ((x >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        l_p, a_p, b_p = _srgb_to_lab_planes(r, g, b)
 
     if mode == "dither":
         # Pixel coordinates from the flat element index (mix_colors.wgsl:70).
@@ -460,7 +506,7 @@ def _packed_palette(centroids_lab: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "fast", "metric")
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
 )
 def fused_quantize(
     rgba_u8: jnp.ndarray,
@@ -472,6 +518,7 @@ def fused_quantize(
     row_offset=0,
     fast: bool = False,
     metric: str = "cie94",
+    use_lut: bool = True,
 ) -> jnp.ndarray:
     """Fused single-pass quantize: `[H, W, 4]` u8 -> `[H, W, 4]` u8.
 
@@ -490,7 +537,7 @@ def fused_quantize(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, False,
-        row_offset, fast, metric,
+        row_offset, fast, metric, use_lut,
     )
     out_flat = out.reshape(-1)[:n]
     rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [N, 4]
@@ -500,7 +547,7 @@ def fused_quantize(
 @jax.named_scope("quantize.fused")
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
-    row_offset=0, fast=False, metric="cie94",
+    row_offset=0, fast=False, metric="cie94", use_lut=True,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
     The named_scope labels the pass in profiler traces, like the
@@ -519,33 +566,41 @@ def _run_quantize_kernel(
     scalars = jnp.stack([k_act, jnp.asarray(row_offset, jnp.int32)])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
 
-    return pl.pallas_call(
-        functools.partial(
-            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
-            fast=fast, metric=metric,
-        ),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [
         scalars,
         thr,
         jnp.asarray(centroids_lab, jnp.float32),
         _packed_palette(centroids_lab),
-        tiles,
+    ]
+    if use_lut:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(gamma_lut_values())
+    in_specs.append(
+        pl.BlockSpec(
+            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
     )
+    operands.append(tiles)
+
+    return pl.pallas_call(
+        functools.partial(
+            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
+            fast=fast, metric=metric, use_lut=use_lut,
+        ),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def _lloyd_acc_kernel(
@@ -767,7 +822,7 @@ def pack_plane(vec: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "fast", "metric")
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
 )
 def fused_assign(
     rgba_u8: jnp.ndarray,
@@ -779,6 +834,7 @@ def fused_assign(
     row_offset=0,
     fast: bool = False,
     metric: str = "cie94",
+    use_lut: bool = True,
 ) -> jnp.ndarray:
     """Like `fused_quantize` but returns the per-pixel palette index
     `[H, W]` uint8 instead of recolored pixels — 1 B/px device->host
@@ -795,6 +851,6 @@ def fused_assign(
     n = h * w
     out = _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
-        row_offset, fast, metric,
+        row_offset, fast, metric, use_lut,
     )
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)

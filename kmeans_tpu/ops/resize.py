@@ -36,6 +36,47 @@ def shrunk_dimensions(
     return max(int(width * max_size / height), 1), max_size
 
 
+def resize_uint8_np(image_u8, new_height: int, new_width: int):
+    """Host (numpy) mirror of `resize_uint8`: same corner-aligned
+    clamp-to-edge sampler, same unorm round-trip, computed in f32 on the
+    CPU. Used by the pipelined reduce to build the training strip BEFORE
+    the full-resolution bands upload (the device shrink would need the
+    whole image device-resident first, serializing the transfers —
+    api.py::_reduce_banded). numpy evaluates the same f32 expressions
+    without XLA's FMA contraction, so isolated pixels can round one u8
+    step apart from the device shrink; the trained palette is equal or
+    near-identical (quality-asserted in tests/test_api.py)."""
+    import numpy as np
+
+    img = np.asarray(image_u8, np.float32) / np.float32(255.0)
+    h, w = img.shape[0], img.shape[1]
+
+    def axis_weights(n_out: int, n_in: int):
+        coord = (
+            np.arange(n_out, dtype=np.float32) / np.float32(n_out) * n_in
+            - np.float32(0.5)
+        )
+        i0 = np.floor(coord)
+        frac = coord - i0
+        lo = np.clip(i0.astype(np.int32), 0, n_in - 1)
+        hi = np.clip(i0.astype(np.int32) + 1, 0, n_in - 1)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_weights(new_height, h)
+    x0, x1, fx = axis_weights(new_width, w)
+    top = img[y0]
+    bot = img[y1]
+    fy = fy[:, None, None]
+    rows = top * (np.float32(1.0) - fy) + bot * fy
+    left = rows[:, x0]
+    right = rows[:, x1]
+    fx = fx[None, :, None]
+    out = left * (np.float32(1.0) - fx) + right * fx
+    return np.round(np.clip(out, 0.0, 1.0) * np.float32(255.0)).astype(
+        np.uint8
+    )
+
+
 def resize_bilinear(image: jnp.ndarray, new_height: int, new_width: int) -> jnp.ndarray:
     """Resize `image[H, W, C]` (float) to `[new_height, new_width, C]` using
     the reference sampler convention (corner-aligned, clamp-to-edge)."""

@@ -340,6 +340,45 @@ def test_reduce_ignores_input_alpha(blobs_image):
     assert (out.pixels[..., 3] == 255).all()
 
 
+def test_pipelined_banded_reduce_matches_monolithic():
+    """The transfer-pipelined (banded) reduce must match the monolithic
+    exact path: the host-side training shrink mirrors the device sampler
+    (bit-equal here), bands assign with the same executables, and dither
+    offsets keep the Bayer pattern seamless across band edges."""
+    from kmeans_tpu.ops.resize import resize_uint8, resize_uint8_np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(57)
+    img_u8 = rng.integers(0, 256, (2100, 640, 3), dtype=np.uint8)
+    dev = np.asarray(resize_uint8(jnp.asarray(img_u8), 144, 256))
+    host = resize_uint8_np(img_u8, 144, 256)
+    np.testing.assert_array_equal(dev, host)
+
+    base = np.array(
+        [[230, 40, 40], [40, 220, 60], [60, 60, 230], [240, 240, 30]],
+        np.int32,
+    )
+    idx = rng.integers(0, 4, (2100, 640))
+    rgb = np.clip(
+        base[idx] + rng.integers(-10, 11, (2100, 640, 3)), 0, 255
+    ).astype(np.uint8)
+    rgba = np.concatenate(
+        [rgb, np.full((2100, 640, 1), 255, np.uint8)], -1
+    )
+    image = Image((640, 2100), rgba)
+    banded = ImageProcessor(pipeline=True)
+    mono = ImageProcessor(pipeline=False)
+    for mode in (ReduceMode.REPLACE, ReduceMode.DITHER):
+        ob = banded.reduce(4, image, reduce_mode=mode)
+        om = mono.reduce(4, image, reduce_mode=mode)
+        frac = (ob.pixels == om.pixels).all(axis=-1).mean()
+        # bit-equal when the host/device shrinks agree (they do here);
+        # tolerate isolated knife-edge pixels if a backend's FMA fusion
+        # ever splits them
+        assert frac > 0.9999, (mode, frac)
+        assert (ob.pixels[..., 3] == 255).all()
+
+
 def test_restarts_processor(blobs_image):
     """ImageProcessor(restarts=N): restarts=1 matches the default exactly;
     restarts>1 runs end-to-end (exact + bucketed + batched) and still

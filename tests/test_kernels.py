@@ -137,6 +137,57 @@ def test_lloyd_accumulate_emit_inertia():
     np.testing.assert_allclose(totals[:, 4], expect, rtol=1e-4, atol=1e-2)
 
 
+def test_gamma_lut_bit_equal_discrete_modes():
+    """The default gamma-LUT kernels (use_lut=True) must be bit-identical
+    to the pow-chain kernels (use_lut=False) on every discrete-output
+    path — the LUT holds the XLA lin formula's values on the u8 grid by
+    construction (on hardware the LUT is in fact STRICTLY closer to XLA:
+    0 mismatches vs the pow chain's ulp deviations; docs/perf.md). meld's
+    continuous blend is allowed the same ±1-u8 FMA-contraction tolerance
+    as fused-vs-XLA."""
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab
+    from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
+
+    rng = np.random.default_rng(47)
+    img = jnp.asarray(rng.integers(0, 256, (61, 93, 4), dtype=np.uint8))
+    pal = srgb8_to_lab(
+        jnp.asarray(rng.integers(0, 256, (6, 3), dtype=np.uint8))
+    )
+    for mode in ("replace", "dither"):
+        a = np.asarray(
+            fused_quantize(
+                img, pal, 9.0, mode=mode, interpret=True, use_lut=False
+            )
+        )
+        b = np.asarray(
+            fused_quantize(
+                img, pal, 9.0, mode=mode, interpret=True, use_lut=True
+            )
+        )
+        np.testing.assert_array_equal(a, b, err_msg=mode)
+        ia = np.asarray(
+            fused_assign(
+                img, pal, 9.0, mode=mode, interpret=True, use_lut=False
+            )
+        )
+        ib = np.asarray(
+            fused_assign(
+                img, pal, 9.0, mode=mode, interpret=True, use_lut=True
+            )
+        )
+        np.testing.assert_array_equal(ia, ib, err_msg=mode)
+    a = np.asarray(
+        fused_quantize(img, pal, 9.0, mode="meld", interpret=True,
+                       use_lut=False)
+    ).astype(int)
+    b = np.asarray(
+        fused_quantize(img, pal, 9.0, mode="meld", interpret=True,
+                       use_lut=True)
+    ).astype(int)
+    d = np.abs(a - b)
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
 def test_lloyd_accumulate_fast_and_bf16_variants():
     """Opt-in traffic/flop variants track the exact kernel: fast
     (algebraic CIE94) totals match within float noise; bf16 planes match
