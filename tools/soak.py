@@ -267,6 +267,27 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] streamed != whole trial={t} {h}x{w} k={k} {mode} band={band}")
             failures += 1
 
+    # reduce_many (serving micro-batch executable): random mixed-size
+    # same-bucket batches must match per-image reduce (round 2).
+    for t in range(max(4, trials // 15)):
+        k = int(rng.integers(2, 6))
+        mode = ReduceMode(["replace", "dither"][t % 2])
+        imgs = []
+        for _ in range(int(rng.integers(2, 5))):
+            h = int(rng.integers(18, 40))
+            w = int(rng.integers(18, 40))
+            imgs.append(
+                Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+            )
+        outs = bucket_p.reduce_many(imgs, k, mode)
+        for im, out in zip(imgs, outs):
+            solo = bucket_p.reduce(k, im, reduce_mode=mode)
+            frac = (solo.pixels == out.pixels).all(axis=-1).mean()
+            if frac < 0.999:  # vmap f32 reordering tolerance
+                print(f"[FAIL] reduce_many != reduce trial={t} k={k} "
+                      f"{mode} frac={frac:.5f}")
+                failures += 1
+
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
 
