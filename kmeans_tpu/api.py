@@ -177,12 +177,16 @@ def _fit_auto(
 
     if use_pallas is None:
         use_pallas = _pallas_available()
-    large = (
-        work.shape[0] > _LARGE_TRAIN_PIXELS
-        and k <= 64
-        and use_pallas
-        and metric in PALLAS_METRICS
-    )
+    large_n = work.shape[0] > _LARGE_TRAIN_PIXELS
+    large = large_n and k <= 64 and use_pallas and metric in PALLAS_METRICS
+    if large_n and k > 64:
+        # Beyond the accumulator's k <= 64: the row-chunked XLA trainer —
+        # full-resolution training at k = 256 would otherwise materialize
+        # multi-GB [N, K] one-hot/distance intermediates.
+        return kmeans_model.fit_chunked(
+            work, k, first_index, restarts=restarts, convergence=convergence,
+            weight=weight, k_active=k_active, metric=metric,
+        )
     if large:
         # fast only changes the Pallas trainer for k > 16 (the gate sits
         # in lloyd_pallas, matching the quantize kernels' policy).

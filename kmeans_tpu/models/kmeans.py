@@ -512,6 +512,168 @@ def fit_large_restarts(
     return jnp.stack(cents_runs)[best], jnp.stack(iters_runs)[best]
 
 
+# Row-chunk size for the memory-bounded XLA trainer: [CHUNK, K] f32
+# intermediates stay <= 256 MB even at k = 256.
+_CHUNK_PIXELS = 1 << 18
+
+
+def _assign_chunked(pixels, centroids, valid, metric):
+    """`assign_clusters` over row chunks via `lax.map` — no [N, K]
+    intermediate ever exists (the same trick as `ops/quantize.py`'s
+    `_meld_chunked`)."""
+    n = pixels.shape[0]
+    n_pad = (n + _CHUNK_PIXELS - 1) // _CHUNK_PIXELS * _CHUNK_PIXELS
+    padded = jnp.pad(pixels, ((0, n_pad - n), (0, 0)))
+    chunks = padded.reshape(-1, _CHUNK_PIXELS, 3)
+    out = jax.lax.map(
+        lambda px: assign_clusters(px, centroids, valid, metric), chunks
+    )
+    return out.reshape(-1)[:n]
+
+
+def _update_chunked(pixels, assign, k, weight):
+    """`_update_centroids` over row chunks: per-chunk one-hot matmuls with
+    the partial (sums, counts) reduced across chunks."""
+    n = pixels.shape[0]
+    n_pad = (n + _CHUNK_PIXELS - 1) // _CHUNK_PIXELS * _CHUNK_PIXELS
+    padded = jnp.pad(pixels, ((0, n_pad - n), (0, 0)))
+    # pad assignments to k: an out-of-range one_hot row is all zeros, so
+    # pad pixels contribute nothing even without a weight vector
+    asg = jnp.pad(assign, (0, n_pad - n), constant_values=k)
+    if weight is None:
+        weight = jnp.ones(n, jnp.float32)
+    wgt = jnp.pad(weight, (0, n_pad - n))
+    sums, counts = jax.lax.map(
+        lambda args: _update_centroids(args[0], args[1], k, args[2]),
+        (
+            padded.reshape(-1, _CHUNK_PIXELS, 3),
+            asg.reshape(-1, _CHUNK_PIXELS),
+            wgt.reshape(-1, _CHUNK_PIXELS),
+        ),
+    )
+    return sums.sum(axis=0), counts.sum(axis=0)
+
+
+@jax.named_scope("kmeans.lloyd_chunked")
+def lloyd_chunked(
+    pixels: jnp.ndarray,
+    centroids: jnp.ndarray,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`lloyd` with every [N, K] intermediate row-chunked (`lax.map`):
+    the memory-bounded XLA trainer for LARGE pixel counts at palettes the
+    Pallas accumulator does not cover (k > 64) — full-resolution training
+    at k = 256 would otherwise materialize multi-GB one-hot/distance
+    matrices. Same termination protocol; results match `lloyd` up to f32
+    partial-sum reordering."""
+    k = centroids.shape[0]
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    dist, _ = metric_fns(metric)
+
+    assign0 = _assign_chunked(pixels, centroids, valid, metric)
+
+    def cond(carry):
+        _, _, converged, i = carry
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < max_iterations,
+            jnp.logical_not(jnp.logical_and(checked, converged)),
+        )
+
+    def body(carry):
+        centroids, assign, _, i = carry
+        sums, counts = _update_chunked(pixels, assign, k, weight)
+        nonempty = counts > 0
+        new_centroids = jnp.where(
+            nonempty[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        moved = dist(new_centroids, centroids)
+        votes = jnp.logical_and(nonempty, moved < convergence)
+        converged = jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
+        assign = _assign_chunked(pixels, new_centroids, valid, metric)
+        return new_centroids, assign, converged, i + 1
+
+    centroids, _, _, iters = jax.lax.while_loop(
+        cond, body, (centroids, assign0, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+@partial(
+    jax.jit, static_argnames=("k", "max_iterations", "metric", "restarts")
+)
+def fit_chunked(
+    pixels: jnp.ndarray,
+    k: int,
+    first_index,
+    restarts: int = 1,
+    convergence: float = LAB_CONVERGENCE,
+    max_iterations: int = MAX_ITERATIONS,
+    k_active: jnp.ndarray | int | None = None,
+    weight: jnp.ndarray | None = None,
+    metric: str = "cie94",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded fit for large pixel counts at k > 64: farthest-point
+    seeding (already O(N)-incremental, no big intermediates) + the
+    row-chunked Lloyd above. Multi-restart runs sequentially with a
+    chunked min-distance inertia — peak memory stays one [CHUNK, K]
+    block regardless of N, K, or R."""
+    seeds = (
+        derive_restart_seeds(pixels.shape[0], first_index, restarts, weight)
+        if restarts > 1
+        else None
+    )
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+
+    def one(fi):
+        cents = plusplus_init(
+            pixels, k, fi, k_active=k_active, weight=weight, metric=metric
+        )
+        return lloyd_chunked(
+            pixels, cents, convergence=convergence,
+            max_iterations=max_iterations, k_active=k_active, weight=weight,
+            metric=metric,
+        )
+
+    if restarts <= 1:
+        return one(first_index)
+
+    def inertia(cents):
+        n = pixels.shape[0]
+        n_pad = (n + _CHUNK_PIXELS - 1) // _CHUNK_PIXELS * _CHUNK_PIXELS
+        padded = jnp.pad(pixels, ((0, n_pad - n), (0, 0)))
+        w = jnp.ones(n, jnp.float32) if weight is None else weight
+        wpad = jnp.pad(w, (0, n_pad - n))
+
+        def chunk_sum(args):
+            px, cw = args
+            d2 = _masked_d2(px, cents, valid, metric)
+            return jnp.sum(jnp.min(d2, axis=1) * cw)
+
+        sums = jax.lax.map(
+            chunk_sum,
+            (padded.reshape(-1, _CHUNK_PIXELS, 3),
+             wpad.reshape(-1, _CHUNK_PIXELS)),
+        )
+        return jnp.sum(sums)
+
+    cents_runs, iters_runs, inert_runs = [], [], []
+    for r in range(restarts):
+        cents, iters = one(seeds[r])
+        cents_runs.append(cents)
+        iters_runs.append(iters)
+        inert_runs.append(inertia(cents))
+    best = jnp.argmin(jnp.stack(inert_runs))
+    return jnp.stack(cents_runs)[best], jnp.stack(iters_runs)[best]
+
+
 @partial(jax.jit, static_argnames=("k", "max_iterations", "metric"))
 def fit(
     pixels: jnp.ndarray,

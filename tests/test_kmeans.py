@@ -170,6 +170,31 @@ def test_fit_restarts_semantics():
     assert inertia(c6) <= inertia(c1) + 1e-2
 
 
+def test_fit_chunked_matches_fit():
+    """The memory-bounded k>64 trainer (row-chunked lax.map) must match
+    the plain fit within f32 partial-sum reordering; restarts pick the
+    same winner as the sequential construction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmeans_tpu.models.kmeans import fit, fit_chunked
+
+    rng = np.random.default_rng(61)
+    centers = rng.uniform(-60, 90, (12, 3)).astype(np.float32)
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 12, 4000)] + rng.normal(0, 1.0, (4000, 3)))
+        .astype(np.float32)
+    )
+    c1, i1 = fit(pix, 12, 7)
+    c2, i2 = fit_chunked(pix, 12, 7)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+    assert int(i1) == int(i2)
+    # weighted + k_active + restarts smoke (sequential path)
+    weight = jnp.asarray(rng.uniform(0.1, 1.0, 4000).astype(np.float32))
+    cr, _ = fit_chunked(pix, 16, 7, restarts=3, k_active=12, weight=weight)
+    assert np.isfinite(np.asarray(cr)).all() and cr.shape == (16, 3)
+
+
 def test_fit_restarts_weighted_pads_never_seed():
     import jax.numpy as jnp
     import numpy as np
