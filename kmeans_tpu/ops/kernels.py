@@ -49,7 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kmeans_tpu.ops import colorspace as cs
 
-TILE_ROWS = 128  # [128, 128] i32 tile: best measured pipelining on v5e (see docs/perf.md)
+# Tile heights measured independently per kernel (the round-2 gamma-LUT
+# shift moved the quantize optimum; re-swept on hardware, docs/perf.md):
+# quantize/assign pipelines best at 256 rows (0.629 vs 0.714 ms at 128),
+# the Lloyd accumulator at 128 (0.496 vs 0.621 ms at 256).
+QUANT_TILE_ROWS = 256
+ACCUM_TILE_ROWS = 128
+TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128
 
 # Metrics the hand-fused kernels implement. Routing decisions (e.g.
@@ -330,7 +336,7 @@ def _quantize_kernel(
         tile = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        flat = (tile * TILE_ROWS + rows) * LANES + lanes
+        flat = (tile * QUANT_TILE_ROWS + rows) * LANES + lanes
         # width is compile-time static: Mosaic strength-reduces the div/mod
         # into multiply-shift instead of a per-pixel integer divide.
         # row_offset shifts y for streamed row bands (0 for whole images).
@@ -558,10 +564,10 @@ def _run_quantize_kernel(
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
 
     packed = jax.lax.bitcast_convert_type(rgba_u8.reshape(n, 4), jnp.int32)
-    n_pad = _round_up(n, TILE_ROWS * LANES)
+    n_pad = _round_up(n, QUANT_TILE_ROWS * LANES)
     packed = jnp.pad(packed, (0, n_pad - n))
     tiles = packed.reshape(n_pad // LANES, LANES)
-    grid = (n_pad // (TILE_ROWS * LANES),)
+    grid = (n_pad // (QUANT_TILE_ROWS * LANES),)
 
     scalars = jnp.stack([k_act, jnp.asarray(row_offset, jnp.int32)])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
@@ -583,7 +589,8 @@ def _run_quantize_kernel(
         operands.append(gamma_lut_values())
     in_specs.append(
         pl.BlockSpec(
-            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (QUANT_TILE_ROWS, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         )
     )
     operands.append(tiles)
@@ -597,7 +604,8 @@ def _run_quantize_kernel(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (QUANT_TILE_ROWS, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(*operands)
@@ -659,7 +667,7 @@ def _lloyd_acc_kernel(
     tile = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, l_p.shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, l_p.shape, 1)
-    flat = (tile * TILE_ROWS + rows) * LANES + lanes
+    flat = (tile * ACCUM_TILE_ROWS + rows) * LANES + lanes
     valid = flat < n_valid
 
     big = jnp.float32(3.4e38)
@@ -750,12 +758,12 @@ def lloyd_accumulate(
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     m = lab_planes.shape[1]
-    if m % TILE_ROWS != 0:
+    if m % ACCUM_TILE_ROWS != 0:
         raise ValueError(
-            f"lab_planes rows ({m}) must be a multiple of {TILE_ROWS}; "
+            f"lab_planes rows ({m}) must be a multiple of {ACCUM_TILE_ROWS}; "
             "use pack_lab_planes"
         )
-    grid = (m // TILE_ROWS,)
+    grid = (m // ACCUM_TILE_ROWS,)
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
     scalars = jnp.stack([k_act, jnp.asarray(n_valid, jnp.int32)])
 
@@ -764,14 +772,16 @@ def lloyd_accumulate(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            (3, TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (3, ACCUM_TILE_ROWS, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
         ),
     ]
     operands = [scalars, jnp.asarray(centroids, jnp.float32), lab_planes]
     if weighted:
         in_specs.append(
             pl.BlockSpec(
-                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (ACCUM_TILE_ROWS, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
             )
         )
         operands.append(jnp.asarray(weight_planes, jnp.float32))
@@ -806,7 +816,7 @@ def pack_lab_planes(
     kernel's per-iteration HBM traffic; ~0.3 delta-E input quantization —
     opt-in, see `lloyd_accumulate`)."""
     n = lab.shape[0]
-    n_pad = _round_up(n, TILE_ROWS * LANES)
+    n_pad = _round_up(n, ACCUM_TILE_ROWS * LANES)
     padded = jnp.pad(lab, ((0, n_pad - n), (0, 0)))
     planes = padded.T.reshape(3, n_pad // LANES, LANES)
     if dtype is not None and planes.dtype != dtype:
@@ -817,7 +827,7 @@ def pack_lab_planes(
 def pack_plane(vec: jnp.ndarray) -> jnp.ndarray:
     """`[N]` -> padded `[M, 128]` plane (matching `pack_lab_planes`)."""
     n = vec.shape[0]
-    n_pad = _round_up(n, TILE_ROWS * LANES)
+    n_pad = _round_up(n, ACCUM_TILE_ROWS * LANES)
     return jnp.pad(vec, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
 
 
