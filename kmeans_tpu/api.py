@@ -44,7 +44,11 @@ from kmeans_tpu.models.mediancut import extract_palette_mediancut
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
-from kmeans_tpu.ops.kernels import fused_assign, fused_quantize
+from kmeans_tpu.ops.kernels import (
+    fused_assign,
+    fused_assign_packed,
+    fused_quantize,
+)
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import (
     resize_to_canvas,
@@ -299,18 +303,18 @@ def _reduce_indexed_jit(
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    idx = fused_assign(
+    words = fused_assign_packed(
         pixels_u8, centroids, threshold, mode=mode, fast=fast, metric=metric
     )
-    if _nibble_packed(k):
-        idx = _pack_nibbles(idx, _pack_bits(k))
     palette_rgba, _ = _lab_palette_to_u8(centroids)
-    return idx, palette_rgba
+    return words, palette_rgba
 
 
 # Index-map bit packing lives in utils/packing.py (shared with the
 # sharded readback paths); these aliases keep the API module's historical
-# names working.
+# names working. The fused single-chip paths use the IN-KERNEL tile-word
+# pack (fused_assign_packed + unpack_tile_words); the width-axis nibble
+# pack remains for the sharded (XLA) readback.
 from kmeans_tpu.utils.packing import (  # noqa: E402
     CRUMB_PACK_MAX_K,
     NIBBLE_PACK_MAX_K,
@@ -318,7 +322,15 @@ from kmeans_tpu.utils.packing import (  # noqa: E402
     pack_bits as _pack_bits,
     pack_nibbles as _pack_nibbles,
     unpack_nibbles as _unpack_nibbles,
+    unpack_tile_words as _unpack_tile_words,
 )
+
+
+def _unpack_idx(words: np.ndarray, h: int, w: int, kp: int) -> np.ndarray:
+    """Host inverse of the fused kernel's in-kernel index pack: `[h, w]`
+    uint8 indices from the `[M, 128]` i32 word readback (bits chosen by
+    the SAME `_pack_bits(kp)` predicate the kernel used)."""
+    return _unpack_tile_words(words, h, w, _pack_bits(kp))
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
@@ -336,13 +348,10 @@ def _assign_indexed_jit(
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    idx = fused_assign(
+    return fused_assign_packed(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
         row_offset=row_offset, fast=fast, metric=metric,
     )
-    if _nibble_packed(palette_lab.shape[0]):
-        idx = _pack_nibbles(idx, _pack_bits(palette_lab.shape[0]))
-    return idx
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
@@ -445,14 +454,12 @@ def _reduce_bucketed_indexed_jit(
         if mode == "dither"
         else jnp.float32(0.0)
     )
-    idx = fused_assign(
+    words = fused_assign_packed(
         padded_u8, centroids, threshold, k_active=k_active, mode=mode,
         fast=fast, metric=metric,
     )
-    if _nibble_packed(kp):
-        idx = _pack_nibbles(idx, _pack_bits(kp))
     palette_rgba, _ = _lab_palette_to_u8(centroids)
-    return idx, palette_rgba
+    return words, palette_rgba
 
 
 @partial(
@@ -799,14 +806,12 @@ class ImageProcessor:
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(k)
         if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
-            idx, pal = _reduce_bucketed_indexed_jit(
+            words, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
                 reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
                 metric=self.delta_e,
             )
-            idx_np = np.asarray(idx)
-            if _nibble_packed(kp):
-                idx_np = _unpack_nibbles(idx_np, bw, _pack_bits(kp))
+            idx_np = _unpack_idx(np.asarray(words), bh, bw, kp)
             return np.asarray(pal)[idx_np[:h, :w]]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
@@ -996,7 +1001,7 @@ class ImageProcessor:
                 ):
                     out = self._reduce_banded(image, color_count, reduce_mode)
                     return Image(image.dimensions, out)
-                idx, palette_rgba = _reduce_indexed_jit(
+                words, palette_rgba = _reduce_indexed_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
@@ -1007,11 +1012,7 @@ class ImageProcessor:
                     restarts=self.restarts,
                     metric=self.delta_e,
                 )
-                idx_np = np.asarray(idx)
-                if _nibble_packed(color_count):
-                    idx_np = _unpack_nibbles(
-                        idx_np, w, _pack_bits(color_count)
-                    )
+                idx_np = _unpack_idx(np.asarray(words), h, w, color_count)
                 out = np.asarray(palette_rgba)[idx_np]
             else:
                 out, _ = _reduce_jit(
@@ -1071,17 +1072,15 @@ class ImageProcessor:
         pending = []
         for r0 in range(0, h, PIPELINE_BAND_ROWS):
             band = np.ascontiguousarray(rgb[r0 : r0 + PIPELINE_BAND_ROWS])
-            idx = _assign_indexed_jit(
+            words = _assign_indexed_jit(
                 jnp.asarray(band), centroids, reduce_mode.value, None, r0,
                 fast=self.fast, metric=self.delta_e,
             )
-            pending.append((r0, band.shape[0], idx))
+            pending.append((r0, band.shape[0], words))
         palette_rgba = np.asarray(_lab_palette_to_u8(centroids)[0])
-        bits = _pack_bits(color_count)
         out = np.empty((h, w, 4), np.uint8)
-        for r0, bh, idx in pending:
-            arr = np.asarray(idx)
-            imap = _unpack_nibbles(arr, w, bits) if bits < 8 else arr
+        for r0, bh, words in pending:
+            imap = _unpack_idx(np.asarray(words), bh, w, color_count)
             out[r0 : r0 + bh] = palette_rgba[imap[:bh, :w]]
         return out
 
@@ -1096,16 +1095,14 @@ class ImageProcessor:
             palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
             if reduce_mode is not ReduceMode.MELD and k <= 256:
-                idx = _assign_indexed_jit(
+                words = _assign_indexed_jit(
                     pixels_u8, palette_lab, reduce_mode.value, k_active,
                     fast=self.fast, metric=self.delta_e,
                 )
-                idx_np = np.asarray(idx)
-                if _nibble_packed(palette_lab.shape[0]):
-                    idx_np = _unpack_nibbles(
-                        idx_np, pixels_u8.shape[1],
-                        _pack_bits(palette_lab.shape[0]),
-                    )
+                idx_np = _unpack_idx(
+                    np.asarray(words), pixels_u8.shape[0],
+                    pixels_u8.shape[1], palette_lab.shape[0],
+                )
                 palette_rgba, _ = _lab_palette_to_u8(palette_lab)
                 return np.asarray(palette_rgba)[idx_np]
             return _quantize_fused_jit(
@@ -1581,16 +1578,14 @@ class ImageProcessor:
             bh_real = band.shape[0]
             padded, _, _ = pad_to_bucket(band)
             if use_indexed:
-                idx = _assign_indexed_jit(
+                words = _assign_indexed_jit(
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
                     k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
-                idx_np = np.asarray(idx)
-                if _nibble_packed(palette_lab.shape[0]):
-                    idx_np = _unpack_nibbles(
-                        idx_np, padded.shape[1],
-                        _pack_bits(palette_lab.shape[0]),
-                    )
+                idx_np = _unpack_idx(
+                    np.asarray(words), padded.shape[0], padded.shape[1],
+                    palette_lab.shape[0],
+                )
                 out[r0 : r0 + bh_real] = palette_rgba[idx_np[:bh_real, :w]]
             elif self.fused:
                 band_out = _quantize_fused_jit(
@@ -1668,8 +1663,8 @@ class ImageProcessor:
         def _crop(h, w):
             return lambda a: a[:h, :w]
 
-        def _unpack_crop(wp, h, w, bits):
-            return lambda a: _unpack_nibbles(a, wp, bits)[:h, :w]
+        def _unpack_crop(hp, wp, h, w, kp):
+            return lambda a: _unpack_idx(a, hp, wp, kp)[:h, :w]
 
         for im in images:
             if len(pending) >= WINDOW:
@@ -1684,18 +1679,14 @@ class ImageProcessor:
                 conv = ColorSpace.LAB.convergence
                 kp = bucket_k(color_count)
                 if use_indexed:
-                    idx, pal = _reduce_bucketed_indexed_jit(
+                    words, pal = _reduce_bucketed_indexed_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, reduce_mode.value, color_count,
                         fast=self.fast, restarts=self.restarts,
                         metric=self.delta_e,
                     )
-                    post = (
-                        _unpack_crop(bw, h, w, _pack_bits(kp))
-                        if _nibble_packed(kp)
-                        else _crop(h, w)
-                    )
-                    pending.append((image.dimensions, idx, pal, post))
+                    post = _unpack_crop(bh, bw, h, w, kp)
+                    pending.append((image.dimensions, words, pal, post))
                 else:
                     out = _reduce_bucketed_jit(
                         jnp.asarray(padded), kp, canvas, first,
@@ -1709,7 +1700,7 @@ class ImageProcessor:
             sw, sh = shrunk_dimensions(w, h, self.train_max_size)
             first = kmeans_model.reference_seed_index(sw, sh)
             if use_indexed:
-                idx, palette_rgba = _reduce_indexed_jit(
+                words, palette_rgba = _reduce_indexed_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
                     (sh, sw),
@@ -1720,12 +1711,8 @@ class ImageProcessor:
                     restarts=self.restarts,
                     metric=self.delta_e,
                 )
-                post = (
-                    _unpack_crop(w, h, w, _pack_bits(color_count))
-                    if _nibble_packed(color_count)
-                    else None
-                )
-                pending.append((image.dimensions, idx, palette_rgba, post))
+                post = _unpack_crop(h, w, h, w, color_count)
+                pending.append((image.dimensions, words, palette_rgba, post))
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),

@@ -305,6 +305,7 @@ def _quantize_kernel(
     fast: bool = False,
     metric: str = "cie94",
     use_lut: bool = True,
+    pack_bits_n: int = 0,
 ):
     if use_lut:
         lut_ref, in_ref, out_ref = refs
@@ -432,7 +433,24 @@ def _quantize_kernel(
             ),
         )
         if emit_index:
-            out_ref[:] = best_k
+            if pack_bits_n:
+                # In-kernel sublane pack: fold 32/bits sublane blocks of
+                # the index tile into one i32 word each (static row
+                # slices + shifts — pure VPU). Cuts the kernel's output
+                # write traffic by that factor AND removes the separate
+                # XLA pack pass (docs/perf.md round 2). The host inverts
+                # this exact layout with utils.packing.unpack_tile_words.
+                ppw = 32 // pack_bits_n
+                blk = best_k.shape[0] // ppw
+                acc = best_k[0:blk, :]
+                for j in range(1, ppw):
+                    acc = acc | (
+                        best_k[blk * j : blk * (j + 1), :]
+                        << (pack_bits_n * j)
+                    )
+                out_ref[:] = acc
+            else:
+                out_ref[:] = best_k
             return
         # k == 1 short-circuit is a no-op here (argmin already yields
         # centroid 0); emit the precomputed packed palette color directly —
@@ -553,7 +571,7 @@ def fused_quantize(
 @jax.named_scope("quantize.fused")
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
-    row_offset=0, fast=False, metric="cie94", use_lut=True,
+    row_offset=0, fast=False, metric="cie94", use_lut=True, pack_bits_n=0,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
     The named_scope labels the pass in profiler traces, like the
@@ -595,16 +613,22 @@ def _run_quantize_kernel(
     )
     operands.append(tiles)
 
+    out_rows = QUANT_TILE_ROWS
+    out_shape = tiles.shape
+    if pack_bits_n:
+        ppw = 32 // pack_bits_n
+        out_rows = QUANT_TILE_ROWS // ppw
+        out_shape = (tiles.shape[0] // ppw, LANES)
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
-            fast=fast, metric=metric, use_lut=use_lut,
+            fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
         ),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (QUANT_TILE_ROWS, LANES), lambda i: (i, 0),
+            (out_rows, LANES), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
@@ -864,3 +888,41 @@ def fused_assign(
         row_offset, fast, metric, use_lut,
     )
     return out.reshape(-1)[:n].astype(jnp.uint8).reshape(h, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
+)
+def fused_assign_packed(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    threshold: jnp.ndarray,
+    k_active=None,
+    mode: str = "replace",
+    interpret: bool = False,
+    row_offset=0,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """`fused_assign` with the index map bit-packed INSIDE the kernel:
+    32/bits sublane blocks of each tile fold into one i32 word (bits =
+    `utils.packing.pack_bits(kp)`: 2/4/8), so the kernel writes 2-16x
+    fewer output bytes and the separate XLA pack pass disappears. Returns
+    `[ceil(n / (LANES * ppw)), LANES]` i32 words in the tile layout that
+    `utils.packing.unpack_tile_words(words, h, w, bits)` inverts on the
+    host (which then gathers `palette[idx]`). Same validity rules as
+    `fused_assign` (replace/dither, k <= 256)."""
+    from kmeans_tpu.utils.packing import pack_bits
+
+    if mode not in ("replace", "dither"):
+        raise ValueError("fused_assign supports replace/dither only")
+    if metric not in PALLAS_METRICS:
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    if centroids_lab.shape[0] > 256:
+        raise ValueError("indexed output requires k <= 256")
+    bits = pack_bits(centroids_lab.shape[0])
+    return _run_quantize_kernel(
+        rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
+        row_offset, fast, metric, use_lut, pack_bits_n=bits,
+    )

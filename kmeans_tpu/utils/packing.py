@@ -52,6 +52,36 @@ def pack_nibbles(idx: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     return out
 
 
+def unpack_tile_words(
+    words: np.ndarray,
+    h: int,
+    w: int,
+    bits: int,
+    tile_rows: int | None = None,
+    lanes: int = 128,
+) -> np.ndarray:
+    """Invert the fused kernel's IN-KERNEL index pack
+    (`ops/kernels.py::fused_assign_packed`): each i32 word holds
+    `32 // bits` pixel indices taken from equally-spaced sublane blocks of
+    one kernel tile. `words` is the `[M, lanes]` int32 readback; returns
+    the `[h, w]` uint8 index map. The layout constants MUST match the
+    kernel (`tile_rows` defaults to the quantize kernel's)."""
+    if tile_rows is None:
+        from kmeans_tpu.ops.kernels import QUANT_TILE_ROWS
+
+        tile_rows = QUANT_TILE_ROWS
+    ppw = 32 // bits
+    blk = tile_rows // ppw
+    mask = (1 << bits) - 1
+    wk = np.ascontiguousarray(words).view(np.uint32)  # logical shifts
+    n_tiles = wk.shape[0] // blk
+    wk = wk.reshape(n_tiles, blk, lanes)
+    idx = np.empty((n_tiles, tile_rows, lanes), np.uint8)
+    for j in range(ppw):
+        idx[:, blk * j : blk * (j + 1), :] = (wk >> (bits * j)) & mask
+    return idx.reshape(-1)[: h * w].reshape(h, w)
+
+
 def unpack_nibbles(packed: np.ndarray, w: int, bits: int = 4) -> np.ndarray:
     """Invert `pack_nibbles`: `[H, ceil(w/per)]` uint8 -> `[H, w]` uint8
     index map (`per = 8 // bits`)."""

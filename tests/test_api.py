@@ -444,6 +444,11 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
         api, "fused_assign", partial(kernels.fused_assign, interpret=True)
     )
     monkeypatch.setattr(
+        api,
+        "fused_assign_packed",
+        partial(kernels.fused_assign_packed, interpret=True),
+    )
+    monkeypatch.setattr(
         api, "fused_quantize", partial(kernels.fused_quantize, interpret=True)
     )
     monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)

@@ -137,6 +137,34 @@ def test_lloyd_accumulate_emit_inertia():
     np.testing.assert_allclose(totals[:, 4], expect, rtol=1e-4, atol=1e-2)
 
 
+@pytest.mark.parametrize(
+    "shape,k,mode",
+    [
+        ((61, 93), 3, "replace"),   # bits=2, ragged
+        ((257, 129), 8, "dither"),  # bits=4, > one tile
+        ((300, 511), 40, "dither"), # bits=8 (4 px/word)
+        ((8, 8), 200, "replace"),   # tiny, large palette
+    ],
+)
+def test_fused_assign_packed_roundtrip(shape, k, mode):
+    """The in-kernel sublane pack must invert exactly through
+    utils.packing.unpack_tile_words for every bit width and ragged
+    shape — drift between the kernel's layout and the host unpack means
+    silently garbled pixels."""
+    from kmeans_tpu.ops.kernels import fused_assign, fused_assign_packed
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    h, w = shape
+    img = _image(h, w, seed=k)
+    pal = _palette(k, seed=k + 1)
+    idx = np.asarray(fused_assign(img, pal, 9.0, mode=mode, interpret=True))
+    words = np.asarray(
+        fused_assign_packed(img, pal, 9.0, mode=mode, interpret=True)
+    )
+    got = unpack_tile_words(words, h, w, pack_bits(k))
+    np.testing.assert_array_equal(got, idx)
+
+
 def test_gamma_lut_bit_equal_discrete_modes():
     """The default gamma-LUT kernels (use_lut=True) must be bit-identical
     to the pow-chain kernels (use_lut=False) on every discrete-output
