@@ -64,6 +64,23 @@ def validate_kernels(verbose: bool = True) -> bool:
                     f"fused_assign   mode={mode:7s} k={k}",
                     bool((idx < max(k, 1)).all()),
                 )
+                # In-kernel sublane pack must invert exactly (round 2).
+                from kmeans_tpu.ops.kernels import fused_assign_packed
+                from kmeans_tpu.utils.packing import (
+                    pack_bits,
+                    unpack_tile_words,
+                )
+
+                words = np.asarray(
+                    fused_assign_packed(
+                        img, pal, thr, mode=mode, interpret=True
+                    )
+                )
+                got_idx = unpack_tile_words(words, 31, 45, pack_bits(k))
+                report(
+                    f"assign_packed  mode={mode:7s} k={k}",
+                    bool(np.array_equal(got_idx, idx)),
+                )
 
     # CIEDE2000 kernels (polynomial atan2): knife-edge flips only.
     for mode in ("replace", "dither", "meld"):
