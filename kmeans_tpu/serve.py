@@ -109,8 +109,9 @@ class _MicroBatcher:
                     )
                 for e, o in zip(items, outs):
                     e["result"] = o
-                self.batches += 1
-                self.batched_requests += len(items)
+                with self._lock:  # leaders of other keys race these
+                    self.batches += 1
+                    self.batched_requests += len(items)
             except Exception as ex:
                 for e in items:
                     e["error"] = ex
