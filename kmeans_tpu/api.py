@@ -1060,7 +1060,14 @@ class ImageProcessor:
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         rgb = np.asarray(pixels)[..., :3]  # view; bands copied per band
-        strip = resize_uint8_np(rgb, sh, sw)
+        # Same-size "resize" is NOT identity under the corner-aligned
+        # sampler (it blends adjacent texels); skip it exactly like the
+        # monolithic path does when no shrink is needed.
+        strip = (
+            np.ascontiguousarray(rgb)
+            if (sw, sh) == (w, h)
+            else resize_uint8_np(rgb, sh, sw)
+        )
         centroids, _ = _train_jit(
             jnp.asarray(strip), color_count, (sh, sw), first,
             ColorSpace.LAB.convergence, use_pallas=self.fused,

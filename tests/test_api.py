@@ -378,6 +378,15 @@ def test_pipelined_banded_reduce_matches_monolithic():
         assert frac > 0.9999, (mode, frac)
         assert (ob.pixels[..., 3] == 255).all()
 
+    # No-shrink case (train_max_size covers the image): the banded path
+    # must skip the host resize entirely — a same-size corner-aligned
+    # "resize" is NOT identity (it blends adjacent texels).
+    big_cap_b = ImageProcessor(pipeline=True, train_max_size=4096)
+    big_cap_m = ImageProcessor(pipeline=False, train_max_size=4096)
+    ob = big_cap_b.reduce(4, image)
+    om = big_cap_m.reduce(4, image)
+    np.testing.assert_array_equal(ob.pixels, om.pixels)
+
 
 def test_restarts_processor(blobs_image):
     """ImageProcessor(restarts=N): restarts=1 matches the default exactly;
