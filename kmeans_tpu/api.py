@@ -44,11 +44,7 @@ from kmeans_tpu.models.mediancut import extract_palette_mediancut
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
-from kmeans_tpu.ops.kernels import (
-    fused_assign,
-    fused_assign_packed,
-    fused_quantize,
-)
+from kmeans_tpu.ops.kernels import fused_assign_packed, fused_quantize
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import (
     resize_to_canvas,
@@ -145,6 +141,11 @@ def _train_jit(
 # Above this many training pixels, the matmul update's [N, K] one-hot
 # intermediate dominates HBM; switch to the Pallas tile accumulator.
 _LARGE_TRAIN_PIXELS = 1 << 20
+# For k > 64 (beyond the accumulator), route to the row-chunked XLA
+# trainer only when N*K crosses this element budget (~768 MB per f32
+# [N, K] intermediate) — where the unchunked path was OOM-class anyway.
+# Below it, defaults stay on the bit-exact unchunked protocol.
+_CHUNKED_TRAIN_ELEMS = 192 * (1 << 20)
 
 
 def _ensure_rgba(pixels_u8: jnp.ndarray) -> jnp.ndarray:
@@ -183,10 +184,14 @@ def _fit_auto(
         use_pallas = _pallas_available()
     large_n = work.shape[0] > _LARGE_TRAIN_PIXELS
     large = large_n and k <= 64 and use_pallas and metric in PALLAS_METRICS
-    if large_n and k > 64:
-        # Beyond the accumulator's k <= 64: the row-chunked XLA trainer —
-        # full-resolution training at k = 256 would otherwise materialize
-        # multi-GB [N, K] one-hot/distance intermediates.
+    if k > 64 and work.shape[0] * k > _CHUNKED_TRAIN_ELEMS:
+        # Beyond the accumulator's k <= 64 AND past the memory budget
+        # where the plain trainer's [N, K] one-hot/distance intermediates
+        # turn into multi-GB allocations (full-resolution training at
+        # k = 256 previously OOM-class): the row-chunked XLA trainer.
+        # Chunk partial sums reorder f32 additions, so this kicks in ONLY
+        # where the bit-exact path was never viable — smaller trainings
+        # keep the unchunked (bit-exact) protocol.
         return kmeans_model.fit_chunked(
             work, k, first_index, restarts=restarts, convergence=convergence,
             weight=weight, k_active=k_active, metric=metric,
@@ -828,6 +833,7 @@ class ImageProcessor:
         palette: bool = True,
         find_palette_sizes=(),
         gif_frame_counts=(),
+        batch_sizes=(),
     ) -> int:
         """Precompile bucketed executables before serving traffic.
 
@@ -841,8 +847,11 @@ class ImageProcessor:
         (user palettes pad to `bucket_k` rows, so one size per power-of-two
         bucket suffices). With `gif_frame_counts`, also warms the batched
         GIF executables (`reduce_images` frame + global palettes and
-        `find_batch`) for each frame-count bucket. Returns the number of
-        dummy requests issued. Requires bucketing=True.
+        `find_batch`) for each frame-count bucket. With `batch_sizes`,
+        warms ONLY the `reduce_many` micro-batching executables for those
+        frame-count buckets (what the serving daemon's concurrent-request
+        coalescing hits — serve.py passes the batcher's ladder). Returns
+        the number of dummy requests issued. Requires bucketing=True.
         """
 
         from kmeans_tpu.utils.bucketing import bucket_shape
@@ -920,6 +929,17 @@ class ImageProcessor:
                         once(
                             (bh, bw, fb, bucket_k(kf), mode.value, "fbatch"),
                             lambda: self.find_batch(frames, colors, mode),
+                        )
+            for bs in batch_sizes:
+                fb = bucket_frames(int(bs))
+                frames = [dummy_image(bh, bw) for _ in range(fb)]
+                for k in color_counts:
+                    k = int(k)
+                    for mode in modes:
+                        mode = ReduceMode(mode)
+                        once(
+                            (bh, bw, fb, bucket_k(k), mode.value, "rmany"),
+                            lambda: self.reduce_many(frames, k, mode),
                         )
         return len(seen)
 
@@ -1822,7 +1842,12 @@ class ImageProcessor:
         if not frames:
             raise ValueError("need at least one image")
         _validate_k(color_count)
-        if not self.bucketing:
+        if not self.bucketing or self.fast:
+            # No bucketing -> nothing to coalesce on. fast=True -> the
+            # coalesced executable quantizes with the exact XLA formulas
+            # while solo requests use the fast fused kernels; batching
+            # would make the SAME input's output depend on concurrent
+            # traffic, so fast processors keep per-image semantics.
             return [
                 self.reduce(color_count, f, Algorithm.KMEANS, reduce_mode)
                 for f in frames

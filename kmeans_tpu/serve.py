@@ -544,8 +544,20 @@ def main(argv=None) -> int:
             w, _, h = part.lower().partition("x")
             sizes.append((int(w), int(h)))
         ks = [int(k) for k in args.warmup_k.split(",")]
-        log.info("warming %d size(s) x %d k value(s)...", len(sizes), len(ks))
-        n = processor.warmup(sizes, ks)
+        # With micro-batching on, coalesced requests hit the reduce_many
+        # executables — warm every frame-count bucket the batcher can
+        # produce (up to its max_batch of 16), or the first batch pays a
+        # cold remote compile while all its followers block.
+        batch_sizes = ()
+        if args.batch_window_ms > 0:
+            from kmeans_tpu.utils.bucketing import bucket_frames
+
+            batch_sizes = sorted({bucket_frames(n) for n in range(2, 17)})
+        log.info(
+            "warming %d size(s) x %d k value(s) (+%d batch bucket(s))...",
+            len(sizes), len(ks), len(batch_sizes),
+        )
+        n = processor.warmup(sizes, ks, batch_sizes=batch_sizes)
         log.info("warmup done: %d executable(s)", n)
 
     server = create_server(

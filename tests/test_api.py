@@ -450,9 +450,6 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
     from kmeans_tpu.ops import kernels
 
     monkeypatch.setattr(
-        api, "fused_assign", partial(kernels.fused_assign, interpret=True)
-    )
-    monkeypatch.setattr(
         api,
         "fused_assign_packed",
         partial(kernels.fused_assign_packed, interpret=True),

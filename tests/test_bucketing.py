@@ -397,6 +397,24 @@ def test_warmup_gif_paths():
     assert after == before  # warmup covered all four GIF/batch executables
 
 
+def test_warmup_batch_sizes_covers_reduce_many():
+    """warmup(batch_sizes=...) must precompile exactly the reduce_many
+    executables the serving micro-batcher hits — a later coalesced batch
+    of those sizes causes zero new compiles."""
+    p = ImageProcessor(bucketing=True)
+    # (22, 30) -> unique bucket for this test; batcher sizes 2 and 3.
+    n = p.warmup(
+        [(22, 30)], [3], modes=(ReduceMode.REPLACE,), palette=False,
+        batch_sizes=[2, 3],
+    )
+    assert n == 3  # reduce + rmany(fb=2) + rmany(fb=3)
+    before = api._reduce_many_bucketed_jit._cache_size()
+    frames = [_blob_image(22, 30, seed=i) for i in range(3)]
+    p.reduce_many(frames, 3)
+    p.reduce_many(frames[:2], 3)
+    assert api._reduce_many_bucketed_jit._cache_size() == before
+
+
 def test_find_streamed_matches_bucketed_find():
     """find_streamed is purely per-pixel: bit-equal to whole-image find on
     a bucketed processor, at any band split, for every mode."""
