@@ -333,9 +333,13 @@ from kmeans_tpu.utils.packing import (  # noqa: E402
 
 def _unpack_idx(words: np.ndarray, h: int, w: int, kp: int) -> np.ndarray:
     """Host inverse of the fused kernel's in-kernel index pack: `[h, w]`
-    uint8 indices from the `[M, 128]` i32 word readback (bits chosen by
-    the SAME `_pack_bits(kp)` predicate the kernel used)."""
-    return _unpack_tile_words(words, h, w, _pack_bits(kp))
+    uint8 indices from the `[M, 128]` i32 word readback (bit width AND
+    tile height chosen by the SAME kp-keyed functions the kernel used)."""
+    from kmeans_tpu.ops.kernels import quant_tile_rows
+
+    return _unpack_tile_words(
+        words, h, w, _pack_bits(kp), tile_rows=quant_tile_rows(kp)
+    )
 
 
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))

@@ -49,14 +49,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kmeans_tpu.ops import colorspace as cs
 
-# Tile heights measured independently per kernel (the round-2 gamma-LUT
-# shift moved the quantize optimum; re-swept on hardware, docs/perf.md):
-# quantize/assign pipelines best at 256 rows (0.629 vs 0.714 ms at 128),
-# the Lloyd accumulator at 128 (0.496 vs 0.621 ms at 256).
-QUANT_TILE_ROWS = 256
+# Tile heights measured independently per kernel shape (re-swept on
+# hardware after the round-2 gamma-LUT change; docs/perf.md): the
+# UNROLLED small-k quantize kernel pipelines best at 256 rows (0.629 vs
+# 0.714 ms at 128, 4K k=8), the ROLLED k>16 kernel at 128 (its three
+# loop-carried VMEM buffers scale with the tile: 6.00 vs 6.65 ms at 4K
+# k=64), and the Lloyd accumulator at 128 (0.496 vs 0.621 ms).
+QUANT_TILE_ROWS = 256          # unrolled quantize/assign (kp <= 16)
+QUANT_TILE_ROWS_ROLLED = 128   # rolled quantize/assign (kp > 16)
 ACCUM_TILE_ROWS = 128
 TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128
+
+
+def quant_tile_rows(kp: int) -> int:
+    """Static tile height the quantize kernel uses for a palette size —
+    the host unpack of in-kernel-packed indices MUST consult this same
+    function (utils/packing.unpack_tile_words does)."""
+    return QUANT_TILE_ROWS if kp <= 16 else QUANT_TILE_ROWS_ROLLED
 
 # Metrics the hand-fused kernels implement. Routing decisions (e.g.
 # api._fit_auto's large-trainer gate) consult this rather than assuming
@@ -306,6 +316,7 @@ def _quantize_kernel(
     metric: str = "cie94",
     use_lut: bool = True,
     pack_bits_n: int = 0,
+    tile_rows: int = QUANT_TILE_ROWS,
 ):
     if use_lut:
         lut_ref, in_ref, out_ref = refs
@@ -337,7 +348,7 @@ def _quantize_kernel(
         tile = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        flat = (tile * QUANT_TILE_ROWS + rows) * LANES + lanes
+        flat = (tile * tile_rows + rows) * LANES + lanes
         # width is compile-time static: Mosaic strength-reduces the div/mod
         # into multiply-shift instead of a per-pixel integer divide.
         # row_offset shifts y for streamed row bands (0 for whole images).
@@ -581,11 +592,12 @@ def _run_quantize_kernel(
     kp = centroids_lab.shape[0]
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
 
+    tile_rows = quant_tile_rows(kp)
     packed = jax.lax.bitcast_convert_type(rgba_u8.reshape(n, 4), jnp.int32)
-    n_pad = _round_up(n, QUANT_TILE_ROWS * LANES)
+    n_pad = _round_up(n, tile_rows * LANES)
     packed = jnp.pad(packed, (0, n_pad - n))
     tiles = packed.reshape(n_pad // LANES, LANES)
-    grid = (n_pad // (QUANT_TILE_ROWS * LANES),)
+    grid = (n_pad // (tile_rows * LANES),)
 
     scalars = jnp.stack([k_act, jnp.asarray(row_offset, jnp.int32)])
     thr = jnp.asarray(threshold, jnp.float32).reshape(1)
@@ -607,22 +619,23 @@ def _run_quantize_kernel(
         operands.append(gamma_lut_values())
     in_specs.append(
         pl.BlockSpec(
-            (QUANT_TILE_ROWS, LANES), lambda i: (i, 0),
+            (tile_rows, LANES), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         )
     )
     operands.append(tiles)
 
-    out_rows = QUANT_TILE_ROWS
+    out_rows = tile_rows
     out_shape = tiles.shape
     if pack_bits_n:
         ppw = 32 // pack_bits_n
-        out_rows = QUANT_TILE_ROWS // ppw
+        out_rows = tile_rows // ppw
         out_shape = (tiles.shape[0] // ppw, LANES)
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
             fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
+            tile_rows=tile_rows,
         ),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
         grid=grid,

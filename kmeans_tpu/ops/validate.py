@@ -65,7 +65,10 @@ def validate_kernels(verbose: bool = True) -> bool:
                     bool((idx < max(k, 1)).all()),
                 )
                 # In-kernel sublane pack must invert exactly (round 2).
-                from kmeans_tpu.ops.kernels import fused_assign_packed
+                from kmeans_tpu.ops.kernels import (
+                    fused_assign_packed,
+                    quant_tile_rows,
+                )
                 from kmeans_tpu.utils.packing import (
                     pack_bits,
                     unpack_tile_words,
@@ -76,7 +79,10 @@ def validate_kernels(verbose: bool = True) -> bool:
                         img, pal, thr, mode=mode, interpret=True
                     )
                 )
-                got_idx = unpack_tile_words(words, 31, 45, pack_bits(k))
+                got_idx = unpack_tile_words(
+                    words, 31, 45, pack_bits(k),
+                    tile_rows=quant_tile_rows(k),
+                )
                 report(
                     f"assign_packed  mode={mode:7s} k={k}",
                     bool(np.array_equal(got_idx, idx)),

@@ -65,11 +65,13 @@ def unpack_tile_words(
     `32 // bits` pixel indices taken from equally-spaced sublane blocks of
     one kernel tile. `words` is the `[M, lanes]` int32 readback; returns
     the `[h, w]` uint8 index map. The layout constants MUST match the
-    kernel (`tile_rows` defaults to the quantize kernel's)."""
+    kernel: pass `tile_rows=ops.kernels.quant_tile_rows(kp)` (the tile is
+    a function of the palette size)."""
     if tile_rows is None:
-        from kmeans_tpu.ops.kernels import QUANT_TILE_ROWS
-
-        tile_rows = QUANT_TILE_ROWS
+        raise ValueError(
+            "tile_rows must come from ops.kernels.quant_tile_rows(kp) — "
+            "it is a function of the palette size"
+        )
     ppw = 32 // bits
     blk = tile_rows // ppw
     mask = (1 << bits) - 1

@@ -151,7 +151,11 @@ def test_fused_assign_packed_roundtrip(shape, k, mode):
     utils.packing.unpack_tile_words for every bit width and ragged
     shape — drift between the kernel's layout and the host unpack means
     silently garbled pixels."""
-    from kmeans_tpu.ops.kernels import fused_assign, fused_assign_packed
+    from kmeans_tpu.ops.kernels import (
+        fused_assign,
+        fused_assign_packed,
+        quant_tile_rows,
+    )
     from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
 
     h, w = shape
@@ -161,7 +165,9 @@ def test_fused_assign_packed_roundtrip(shape, k, mode):
     words = np.asarray(
         fused_assign_packed(img, pal, 9.0, mode=mode, interpret=True)
     )
-    got = unpack_tile_words(words, h, w, pack_bits(k))
+    got = unpack_tile_words(
+        words, h, w, pack_bits(k), tile_rows=quant_tile_rows(k)
+    )
     np.testing.assert_array_equal(got, idx)
 
 
