@@ -422,27 +422,28 @@ def _quantize_kernel(
         pair_sq = _cie2000_sq_planes
 
     if mode in ("replace", "dither"):
+        # Each output form needs exactly TWO loop carries: the index map
+        # carries best_k, the color modes carry the packed palette select
+        # (pal_ref[k] at loop-trip time — a scalar SMEM read, so carrying
+        # it is as cheap as carrying k). Dropping the unused third carry
+        # cuts the rolled (k > 16) loop's carried VMEM a third; selection
+        # logic is unchanged, so outputs are bit-identical.
+        sel0 = jnp.zeros(l_p.shape, jnp.int32)
 
         def body(k, carry):
-            best_d, best_k, best_packed = carry
+            best_d, best_sel = carry
             cl, ca, cb = centroid(k)
             d = dist_sq(cl, ca, cb)
             d = jnp.where(k < k_active, d, big)
             take = d < best_d
+            sel = k if emit_index else pal_ref[k]
             return (
                 jnp.where(take, d, best_d),
-                jnp.where(take, k, best_k),
-                jnp.where(take, pal_ref[k], best_packed),
+                jnp.where(take, sel, best_sel),
             )
 
-        _, best_k, best_packed = k_loop(
-            body,
-            (
-                jnp.full_like(l_p, big),
-                jnp.zeros(l_p.shape, jnp.int32),
-                jnp.zeros(l_p.shape, jnp.int32),
-            ),
-        )
+        _, best_sel = k_loop(body, (jnp.full_like(l_p, big), sel0))
+        best_k = best_packed = best_sel
         if emit_index:
             if pack_bits_n:
                 # In-kernel sublane pack: fold 32/bits sublane blocks of
