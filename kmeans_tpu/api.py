@@ -1170,27 +1170,40 @@ class ImageProcessor:
         if palette_rgba.shape[0] == 0:
             raise ValueError("palette must contain at least one color")
         palette_lab = jnp.asarray(_colors_to_lab(palette_rgba))
+        h, w = frames[0].pixels.shape[:2]
+        k_active = None
         if self.bucketing:
             # Per-pixel op: pad to the bucket (spatially, in frame count —
             # pad frames repeat frame 0 and are discarded — and in palette
             # size, masked by k_active), crop after — bit-equal.
-            palette_lab, k = pad_palette_k(palette_lab)
+            palette_lab, k_active = pad_palette_k(palette_lab)
             padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
-            h, w = frames[0].pixels.shape[:2]
+            stack = np.stack(padded)
+        else:
+            stack = np.stack([_host_rgb(f.pixels) for f in frames])
+        kp = palette_lab.shape[0]
+        if self.fused and reduce_mode is not ReduceMode.MELD and kp <= 256:
+            # Fused-kernel batch: one tall packed assign over every frame
+            # (see _find_batch_fused_jit — bit-equal to per-frame).
+            words = _find_batch_fused_jit(
+                jnp.asarray(stack), palette_lab, reduce_mode.value,
+                k_active, fast=self.fast, metric=self.delta_e,
+            )
+            bsz, sh_, sw_ = stack.shape[:3]
+            h4 = -(-sh_ // 4) * 4
+            idx = _unpack_idx(
+                np.asarray(words), bsz * h4, sw_, kp
+            ).reshape(bsz, h4, sw_)
+            pal_u8 = np.asarray(_lab_palette_to_u8(palette_lab)[0])
+            outs = pal_u8[idx[: len(frames), :h, :w]]
+        else:
             outs = np.asarray(
                 _find_batch_jit(
-                    jnp.asarray(np.stack(padded)), palette_lab,
-                    reduce_mode.value, k, metric=self.delta_e,
+                    jnp.asarray(stack), palette_lab, reduce_mode.value,
+                    k_active, metric=self.delta_e,
                 )
             )[: len(frames), :h, :w]
-        else:
-            stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
-            outs = np.asarray(
-                _find_batch_jit(
-                    stack, palette_lab, reduce_mode.value, metric=self.delta_e
-                )
-            )
         return [Image(dims, outs[i]) for i in range(len(frames))]
 
     @_on_device
@@ -2088,6 +2101,40 @@ def _find_batch_jit(
             f, palette_lab, mode=mode, k_active=k_active, metric=metric
         )
     )(frames_u8)
+
+
+@partial(jax.jit, static_argnames=("mode", "fast", "metric"))
+def _find_batch_fused_jit(
+    frames_u8,  # [B, H, W, 3|4]
+    palette_lab,
+    mode: str,
+    k_active=None,
+    fast: bool = False,
+    metric: str = "cie94",
+):
+    """Fused-kernel `find_batch`: stack the same-sized frames into ONE
+    tall image and run a single packed fused assign over it — a frame
+    batch is just more rows to a per-pixel pass. Each frame's rows pad to
+    a multiple of 4 first, so every frame starts at Bayer phase y%4 == 0
+    and the tall image's dither is BIT-EQUAL to per-frame dithering
+    (the 4x4 matrix is 4-periodic in y; pad rows are cropped by the host
+    unpack). Returns the packed index words for the `[B*H4, W]` tall
+    image (`utils.packing.unpack_tile_words`, then reshape/slice)."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    b, h, w = frames_u8.shape[:3]
+    h4 = -(-h // 4) * 4
+    if h4 != h:
+        frames_u8 = jnp.pad(frames_u8, ((0, 0), (0, h4 - h), (0, 0), (0, 0)))
+    tall = frames_u8.reshape(b * h4, w, 4)
+    threshold = (
+        dither_threshold(palette_lab, k_active=k_active, metric=metric)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+    return fused_assign_packed(
+        tall, palette_lab, threshold, k_active=k_active, mode=mode,
+        fast=fast, metric=metric,
+    )
 
 
 @partial(

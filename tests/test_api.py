@@ -479,6 +479,20 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
     fused_b = api.ImageProcessor(fused=True, bucketing=True)
     out = fused_b.reduce(4, odd)
     assert len(np.unique(out.pixels.reshape(-1, 4), axis=0)) <= 4
+
+    # find_batch tall-stack fused path: frames with H % 4 != 0 exercise
+    # the per-frame Bayer phase padding; must be bit-equal to the XLA
+    # batch for replace AND dither.
+    f1 = Image((50, 39), image.pixels[:39, :50])
+    f2 = Image((50, 39), image.pixels[30:69, 20:70])
+    for mode in (api.ReduceMode.REPLACE, api.ReduceMode.DITHER):
+        got = fused_p.find_batch([f1, f2], colors, mode)
+        want = xla_p.find_batch([f1, f2], colors, mode)
+        for g, x in zip(got, want):
+            np.testing.assert_array_equal(g.pixels, x.pixels)
+        gotb = fused_b.find_batch([f1, f2], colors, mode)
+        for g, x in zip(gotb, want):
+            np.testing.assert_array_equal(g.pixels, x.pixels)
     fs = fused_p.find_streamed(odd, colors, api.ReduceMode.DITHER, band_rows=16)
     ws = api.ImageProcessor(fused=False, bucketing=True).find(
         odd, colors, api.ReduceMode.DITHER
