@@ -44,7 +44,12 @@ from kmeans_tpu.models.mediancut import extract_palette_mediancut
 from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
-from kmeans_tpu.ops.kernels import fused_assign_packed, fused_quantize
+from kmeans_tpu.ops.kernels import (
+    FRAMES_MAX_BK,
+    fused_assign_frames_packed,
+    fused_assign_packed,
+    fused_quantize,
+)
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
 from kmeans_tpu.ops.resize import (
     resize_to_canvas,
@@ -1227,31 +1232,74 @@ class ImageProcessor:
                 raise ValueError("all frames must share dimensions")
         w, h = dims
         if self.bucketing:
-    
             padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
             padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
             padded = np.stack(padded)
             bh, bw = padded.shape[1:3]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
-            outs = np.asarray(
-                _reduce_images_bucketed_jit(
-                    jnp.asarray(padded), bucket_k(color_count), canvas, first,
-                    h, w, sh, sw, ColorSpace.LAB.convergence,
-                    reduce_mode.value, color_count, metric=self.delta_e,
+            kp = bucket_k(color_count)
+            if self._frames_fused_ok(padded.shape[0], kp, reduce_mode):
+                words, palettes = _reduce_images_bucketed_fused_jit(
+                    jnp.asarray(padded), kp, canvas, first, h, w, sh, sw,
+                    ColorSpace.LAB.convergence, reduce_mode.value,
+                    color_count, fast=self.fast, metric=self.delta_e,
                     restarts=self.restarts,
                 )
-            )[: len(frames), :h, :w]
+                outs = self._frames_fused_outs(
+                    words, palettes, len(frames), bh, bw, kp
+                )[:, :h, :w]
+            else:
+                outs = np.asarray(
+                    _reduce_images_bucketed_jit(
+                        jnp.asarray(padded), kp, canvas, first,
+                        h, w, sh, sw, ColorSpace.LAB.convergence,
+                        reduce_mode.value, color_count, metric=self.delta_e,
+                        restarts=self.restarts,
+                    )
+                )[: len(frames), :h, :w]
             return [Image(dims, outs[i]) for i in range(len(frames))]
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
         stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
-        outs = np.asarray(
-            _reduce_images_jit(
+        if self._frames_fused_ok(len(frames), color_count, reduce_mode):
+            words, palettes = _reduce_images_fused_jit(
                 stack, color_count, (sh, sw), first, reduce_mode.value,
-                metric=self.delta_e, restarts=self.restarts,
+                fast=self.fast, metric=self.delta_e, restarts=self.restarts,
             )
-        )
+            outs = self._frames_fused_outs(
+                words, palettes, len(frames), h, w, color_count
+            )
+        else:
+            outs = np.asarray(
+                _reduce_images_jit(
+                    stack, color_count, (sh, sw), first, reduce_mode.value,
+                    metric=self.delta_e, restarts=self.restarts,
+                )
+            )
         return [Image(dims, outs[i]) for i in range(len(frames))]
+
+    def _frames_fused_ok(self, b: int, kp: int, reduce_mode) -> bool:
+        """Gate for the per-frame-palette fused batch kernels: TPU fused
+        processor, replace/dither (bit-exact; see `_frames_quantize_tail`
+        on meld), indexable palette, and the stacked SMEM centroid table
+        within the kernel's budget (`FRAMES_MAX_BK`)."""
+        return (
+            self.fused
+            and reduce_mode is not ReduceMode.MELD
+            and kp <= 256
+            and b * kp <= FRAMES_MAX_BK
+        )
+
+    @staticmethod
+    def _frames_fused_outs(
+        words, palettes, n: int, h: int, w: int, kp: int
+    ) -> np.ndarray:
+        """Host tail of the fused frame-batch reduce: unpack each frame's
+        in-kernel-packed index words and gather its own palette."""
+        words, pals = np.asarray(words), np.asarray(palettes)
+        return np.stack(
+            [pals[i][_unpack_idx(words[i], h, w, kp)] for i in range(n)]
+        )
 
     @_on_device
     def palette_images(
@@ -1906,14 +1954,28 @@ class ImageProcessor:
             def vec(v):
                 return jnp.asarray(v + [v[0]] * n_pad, jnp.int32)
 
-            outs = np.asarray(
-                _reduce_many_bucketed_jit(
+            if self._frames_fused_ok(stack.shape[0], kp, reduce_mode):
+                # Fused frame-batch tail (exact kernels: this processor is
+                # not `fast`, so outputs stay bit-equal to the XLA
+                # quantizer the non-fused executable uses).
+                words, palettes = _reduce_many_bucketed_fused_jit(
                     jnp.asarray(stack), kp, canvas, vec(firsts),
                     vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
                     conv, reduce_mode.value, color_count,
                     metric=self.delta_e, restarts=self.restarts,
                 )
-            )
+                outs = self._frames_fused_outs(
+                    words, palettes, len(idxs), bh, bw, kp
+                )
+            else:
+                outs = np.asarray(
+                    _reduce_many_bucketed_jit(
+                        jnp.asarray(stack), kp, canvas, vec(firsts),
+                        vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                        conv, reduce_mode.value, color_count,
+                        metric=self.delta_e, restarts=self.restarts,
+                    )
+                )
             for j, i in enumerate(idxs):
                 h, w = frames[i].pixels.shape[:2]
                 results[i] = Image(frames[i].dimensions, outs[j][:h, :w])
@@ -1982,6 +2044,153 @@ def _reduce_images_bucketed_jit(
         )
 
     return jax.vmap(one)(frames_u8)
+
+
+def _frames_quantize_tail(frames_u8, cents, mode, k_active, fast, metric):
+    """Shared tail of the fused frame-batch reduce paths: per-frame dither
+    thresholds, then ONE per-frame-palette Pallas launch over the full-res
+    frames with in-kernel index packing (`fused_assign_frames_packed`), so
+    the readback is packed indices + `[B, kp, 4]` palettes instead of full
+    RGBA. Replace/dither only: those are bit-exact vs the XLA quantizer;
+    meld's 2-centroid blend is NOT guaranteed bit-stable under the frame
+    kernel's dynamic centroid indexing (1-ulp rounding flips observed), so
+    meld batches keep the vmapped XLA path. Returns `(words,
+    palettes_rgba)`."""
+    if mode == "dither":
+        thr = jax.vmap(
+            lambda c: dither_threshold(c, k_active=k_active, metric=metric)
+        )(cents)
+    else:
+        thr = jnp.zeros((frames_u8.shape[0],), jnp.float32)
+    k_actives = None if k_active is None else jnp.asarray(k_active, jnp.int32)
+    palettes = jax.vmap(lambda c: _lab_palette_to_u8(c)[0])(cents)
+    words = fused_assign_frames_packed(
+        frames_u8, cents, thr, k_actives, mode=mode, fast=fast, metric=metric
+    )
+    return words, palettes
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "train_shape", "mode", "fast", "metric", "restarts"),
+)
+def _reduce_images_fused_jit(
+    frames_u8, k: int, train_shape, first_index, mode: str,
+    fast: bool = False, metric: str = "cie94", restarts: int = 1,
+):
+    """Fused-kernel `reduce_images`: vmapped per-frame training (XLA — the
+    Pallas trainer cannot vmap on Mosaic), then one per-frame-palette
+    fused assign launch over ALL frames (`fused_assign_frames_packed`)
+    instead of the vmapped XLA quantizer, with in-kernel index packing.
+    Bit-equal per frame to the fused single-image `reduce`."""
+    frames_u8 = _ensure_rgba(frames_u8)
+
+    def train(frame):
+        sh, sw = train_shape
+        train_u8 = (
+            resize_uint8(frame, sh, sw)
+            if (frame.shape[0], frame.shape[1]) != (sh, sw)
+            else frame
+        )
+        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+        centroids, _ = kmeans_model.fit_restarts(
+            work, k, first_index, restarts=restarts, metric=metric
+        )
+        return centroids
+
+    cents = jax.vmap(train)(frames_u8)  # [B, k, 3]
+    return _frames_quantize_tail(frames_u8, cents, mode, None, fast, metric)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "fast", "metric",
+                     "restarts"),
+)
+def _reduce_images_bucketed_fused_jit(
+    frames_u8,  # [B, BH, BW, 3|4] bucket-padded
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    mode: str,
+    k_active,
+    fast: bool = False,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """Bucketed `_reduce_images_bucketed_jit` with the fused frame-batch
+    quantize tail (packed index readback) replacing the vmapped XLA
+    quantizer."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def train(frame):
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = kmeans_model.fit_restarts(
+            work, kp, first_index, restarts=restarts, convergence=convergence,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+        )
+        return centroids
+
+    cents = jax.vmap(train)(frames_u8)
+    return _frames_quantize_tail(
+        frames_u8, cents, mode, k_active, fast, metric
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "mode", "fast", "metric",
+                     "restarts"),
+)
+def _reduce_many_bucketed_fused_jit(
+    frames_u8,  # [B, BH, BW, 3|4] bucket-padded, sizes may differ per frame
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_indices,  # [B]
+    src_hs,  # [B]
+    src_ws,  # [B]
+    out_hs,  # [B]
+    out_ws,  # [B]
+    convergence,
+    mode: str,
+    k_active,
+    fast: bool = False,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """`_reduce_many_bucketed_jit` (the serving micro-batch executable)
+    with the fused frame-batch quantize tail: per-frame train stays
+    vmapped XLA, the full-res quantize becomes one per-frame-palette
+    Pallas launch with in-kernel index packing."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def train(frame, first, src_h, src_w, out_h, out_w):
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = kmeans_model.fit_restarts(
+            work, kp, first, restarts=restarts, convergence=convergence,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+        )
+        return centroids
+
+    cents = jax.vmap(train)(
+        frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws
+    )
+    return _frames_quantize_tail(
+        frames_u8, cents, mode, k_active, fast, metric
+    )
 
 
 @partial(

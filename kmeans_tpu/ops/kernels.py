@@ -304,9 +304,9 @@ def _bayer_value(x, y):
 
 def _quantize_kernel(
     scalar_ref,  # SMEM [2] i32: k_active, row_offset (dither band offset)
-    thr_ref,  # SMEM [1] f32: dither threshold
-    cents_ref,  # SMEM [KP, 3] f32 Lab centroids
-    pal_ref,  # SMEM [KP] i32 packed RGBA palette colors (replace/dither out)
+    thr_ref,  # SMEM [1] f32 dither threshold ([B] when frame_tiles > 0)
+    cents_ref,  # SMEM [KP, 3] f32 Lab centroids ([B*KP, 3] per-frame mode)
+    pal_ref,  # SMEM [KP] i32 packed RGBA palette colors ([B*KP] per-frame)
     *refs,  # [lut VMEM [2, 128] f32 if use_lut,] in_ref, out_ref VMEM tiles
     kp: int,
     mode: str,
@@ -317,13 +317,32 @@ def _quantize_kernel(
     use_lut: bool = True,
     pack_bits_n: int = 0,
     tile_rows: int = QUANT_TILE_ROWS,
+    frame_tiles: int = 0,
 ):
+    """`frame_tiles > 0` selects per-frame-palette batch mode: the 1-D
+    grid covers `B * frame_tiles` tiles (each frame padded to a whole
+    number of tiles), and tile `i` reads frame `i // frame_tiles`'s
+    centroids/packed palette/threshold from the stacked SMEM operands —
+    one launch quantizes B frames against B DIFFERENT palettes (the
+    `reduce_images`/`reduce_many` per-frame-training batch, which
+    jax.vmap of pallas_call cannot express on Mosaic: the batching rule
+    emits size-1 SMEM blocks that the TPU lowering rejects). The
+    `frame_tiles == 0` single-palette path is untouched — identical
+    jaxpr, so existing compiled-cache entries stay valid."""
     if use_lut:
         lut_ref, in_ref, out_ref = refs
     else:
         in_ref, out_ref = refs
-    k_active = scalar_ref[0]
-    threshold = thr_ref[0]
+    if frame_tiles:
+        frame = pl.program_id(0) // frame_tiles
+        # Per-frame k (scalars[2 + f]): `reduce_batch` quantizes one image
+        # at MANY active palette sizes in a single launch.
+        k_active = scalar_ref[2 + frame]
+        threshold = thr_ref[frame]
+        cent_base = frame * kp
+    else:
+        k_active = scalar_ref[0]
+        threshold = thr_ref[0]
 
     # Packed pixels travel as int32 (Mosaic has no u32<->f32 casts); the
     # byte masks make every extracted channel a small non-negative int32,
@@ -346,6 +365,9 @@ def _quantize_kernel(
     if mode == "dither":
         # Pixel coordinates from the flat element index (mix_colors.wgsl:70).
         tile = pl.program_id(0)
+        if frame_tiles:
+            # Each frame restarts its own dither phase at y == 0.
+            tile = tile % frame_tiles
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         flat = (tile * tile_rows + rows) * LANES + lanes
@@ -363,6 +385,9 @@ def _quantize_kernel(
     zero = jnp.zeros_like(l_p)
 
     def centroid(k):
+        if frame_tiles:
+            i = cent_base + k
+            return cents_ref[i, 0], cents_ref[i, 1], cents_ref[i, 2]
         return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
 
     def k_loop(body, init):
@@ -436,7 +461,12 @@ def _quantize_kernel(
             d = dist_sq(cl, ca, cb)
             d = jnp.where(k < k_active, d, big)
             take = d < best_d
-            sel = k if emit_index else pal_ref[k]
+            if emit_index:
+                sel = k
+            elif frame_tiles:
+                sel = pal_ref[cent_base + k]
+            else:
+                sel = pal_ref[k]
             return (
                 jnp.where(take, d, best_d),
                 jnp.where(take, sel, best_sel),
@@ -940,3 +970,181 @@ def fused_assign_packed(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
         row_offset, fast, metric, use_lut, pack_bits_n=bits,
     )
+
+
+# Per-frame-palette batch mode: B * KP SMEM rows per launch. Batches whose
+# stacked centroid table would exceed this fall back to the vmapped XLA
+# quantizer (SMEM is the TPU's small scalar memory; 2048 rows = 24 KB of
+# centroids + 8 KB of packed palette, comfortably within every core).
+FRAMES_MAX_BK = 2048
+
+
+@jax.named_scope("quantize.fused_frames")
+def _run_quantize_kernel_frames(
+    frames_u8, centroids_lab, thresholds, k_actives, mode, interpret,
+    emit_index, fast=False, metric="cie94", use_lut=True, pack_bits_n=0,
+):
+    """Frame-batched variant of `_run_quantize_kernel`: one pallas_call
+    quantizes B same-shaped frames, EACH against its own palette — the
+    `reduce_images`/`reduce_many` per-frame-training batch that
+    `jax.vmap` of the single-frame kernel cannot lower on Mosaic (the
+    batching rule blocks SMEM operands into size-1 blocks, which the TPU
+    lowering rejects). Each frame's pixel stream pads independently to a
+    whole number of kernel tiles, so per-frame dither phase and the
+    per-frame packed-index word layout are IDENTICAL to B single-frame
+    launches (`unpack_tile_words` inverts each frame's slice as if it
+    were alone)."""
+    b, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    n = h * w
+    kp = centroids_lab.shape[1]
+    tile_rows = quant_tile_rows(kp)
+
+    packed = jax.lax.bitcast_convert_type(
+        frames_u8.reshape(b, n, 4), jnp.int32
+    )  # [B, N]
+    n_pad = _round_up(n, tile_rows * LANES)
+    packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
+    tiles = packed.reshape(b * (n_pad // LANES), LANES)
+    frame_tiles = n_pad // (tile_rows * LANES)
+    grid = (b * frame_tiles,)
+
+    if k_actives is None:
+        k_act = jnp.full((b,), kp, jnp.int32)
+    else:
+        k_act = jnp.broadcast_to(
+            jnp.asarray(k_actives, jnp.int32).reshape(-1), (b,)
+        )
+    # Layout: [shared k (unused in frame mode), row_offset, k_act[0..B-1]].
+    scalars = jnp.concatenate([jnp.zeros((2,), jnp.int32), k_act])
+    thr = jnp.broadcast_to(
+        jnp.asarray(thresholds, jnp.float32).reshape(-1), (b,)
+    )
+    cents = jnp.asarray(centroids_lab, jnp.float32).reshape(b * kp, 3)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [scalars, thr, cents, _packed_palette(cents)]
+    if use_lut:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(gamma_lut_values())
+    in_specs.append(
+        pl.BlockSpec(
+            (tile_rows, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    operands.append(tiles)
+
+    out_rows = tile_rows
+    out_shape = tiles.shape
+    if pack_bits_n:
+        ppw = 32 // pack_bits_n
+        out_rows = tile_rows // ppw
+        out_shape = (tiles.shape[0] // ppw, LANES)
+    return pl.pallas_call(
+        functools.partial(
+            _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
+            fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
+            tile_rows=tile_rows, frame_tiles=frame_tiles,
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (out_rows, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _validate_frames_args(frames_u8, centroids_lab, mode, metric):
+    if mode not in ("replace", "dither", "meld"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if metric not in PALLAS_METRICS:
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    if frames_u8.ndim != 4 or frames_u8.shape[-1] != 4:
+        raise ValueError("frames must be [B, H, W, 4] u8")
+    if (
+        centroids_lab.ndim != 3
+        or centroids_lab.shape[0] != frames_u8.shape[0]
+    ):
+        raise ValueError("centroids must be [B, KP, 3]")
+    if frames_u8.shape[0] * centroids_lab.shape[1] > FRAMES_MAX_BK:
+        raise ValueError(
+            f"B * KP exceeds FRAMES_MAX_BK ({FRAMES_MAX_BK}); use the "
+            "vmapped XLA path for this batch"
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
+)
+def fused_quantize_frames(
+    frames_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    k_actives=None,
+    mode: str = "replace",
+    interpret: bool = False,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """Frame-batched `fused_quantize`: `[B, H, W, 4]` u8 frames, each
+    quantized against ITS OWN `[B, KP, 3]` Lab palette (per-frame
+    `thresholds[B]` for dither, optional per-frame `k_actives[B]`), in one
+    kernel launch -> `[B, H, W, 4]` u8. Bit-equal to running
+    `fused_quantize` per frame (each frame restarts dither phase and
+    tiling at its own origin). All three modes, both metrics."""
+    _validate_frames_args(frames_u8, centroids_lab, mode, metric)
+    b, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    n = h * w
+    out = _run_quantize_kernel_frames(
+        frames_u8, centroids_lab, thresholds, k_actives, mode, interpret,
+        False, fast, metric, use_lut,
+    )
+    out_flat = out.reshape(b, -1)[:, :n]
+    rgba = jax.lax.bitcast_convert_type(out_flat, jnp.uint8)  # [B, N, 4]
+    return rgba.reshape(b, h, w, 4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
+)
+def fused_assign_frames_packed(
+    frames_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    k_actives=None,
+    mode: str = "replace",
+    interpret: bool = False,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """Frame-batched `fused_assign_packed`: per-frame palettes, in-kernel
+    bit-packed index output. Returns `[B, W_f, LANES]` i32 words where
+    each frame's `[W_f, LANES]` slice has EXACTLY the single-frame
+    `fused_assign_packed` layout for an `[H, W]` image — the host inverts
+    frame `f` with `unpack_tile_words(words[f], h, w, bits,
+    tile_rows=quant_tile_rows(kp))`. Replace/dither, kp <= 256."""
+    from kmeans_tpu.utils.packing import pack_bits
+
+    if mode not in ("replace", "dither"):
+        raise ValueError("fused_assign supports replace/dither only")
+    _validate_frames_args(frames_u8, centroids_lab, mode, metric)
+    kp = centroids_lab.shape[1]
+    if kp > 256:
+        raise ValueError("indexed output requires k <= 256")
+    bits = pack_bits(kp)
+    b = frames_u8.shape[0]
+    words = _run_quantize_kernel_frames(
+        frames_u8, centroids_lab, thresholds, k_actives, mode, interpret,
+        True, fast, metric, use_lut, pack_bits_n=bits,
+    )
+    return words.reshape(b, -1, LANES)

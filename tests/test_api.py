@@ -498,3 +498,64 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
         odd, colors, api.ReduceMode.DITHER
     )
     np.testing.assert_array_equal(fs.pixels, ws.pixels)
+
+
+def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
+    """Drive the per-frame-palette fused batch wiring (reduce_images /
+    reduce_many) on CPU via interpret-mode kernels: outputs must be
+    bit-equal to the vmapped XLA batch paths for replace and dither, on
+    both the exact-shape and bucketed processors. Meld must take the XLA
+    batch path (the gate excludes it) and stay equal too."""
+    from functools import partial
+
+    import kmeans_tpu.api as api
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api,
+        "fused_assign_frames_packed",
+        partial(kernels.fused_assign_frames_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api,
+        "fused_assign_packed",
+        partial(kernels.fused_assign_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api, "fused_quantize", partial(kernels.fused_quantize, interpret=True)
+    )
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    image, _ = blobs_image
+    frames = [
+        Image((61, 45), image.pixels[:45, :61]),
+        Image((61, 45), image.pixels[20:65, 10:71]),
+        Image((61, 45), image.pixels[40:85, 30:91]),
+    ]
+    for bucketing in (False, True):
+        fused_p = api.ImageProcessor(fused=True, bucketing=bucketing)
+        xla_p = api.ImageProcessor(fused=False, bucketing=bucketing)
+        for mode in (
+            api.ReduceMode.REPLACE,
+            api.ReduceMode.DITHER,
+            api.ReduceMode.MELD,
+        ):
+            got = fused_p.reduce_images(frames, 5, mode)
+            want = xla_p.reduce_images(frames, 5, mode)
+            for g, x in zip(got, want):
+                np.testing.assert_array_equal(g.pixels, x.pixels)
+
+    # reduce_many: mixed sizes; two frames share a bucket (coalesced fused
+    # executable), one is alone (solo reduce fallback).
+    many = [
+        Image((61, 45), image.pixels[:45, :61]),
+        Image((59, 47), image.pixels[1:48, 2:61]),
+        Image((120, 96), image.pixels[:96, :120]),
+    ]
+    fused_b = api.ImageProcessor(fused=True, bucketing=True)
+    xla_b = api.ImageProcessor(fused=False, bucketing=True)
+    for mode in (api.ReduceMode.REPLACE, api.ReduceMode.DITHER):
+        got = fused_b.reduce_many(many, 4, mode)
+        want = xla_b.reduce_many(many, 4, mode)
+        for g, x in zip(got, want):
+            np.testing.assert_array_equal(g.pixels, x.pixels)

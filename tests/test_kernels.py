@@ -578,3 +578,91 @@ def test_fit_large_cie2000_matches_fit():
     c2, i2 = fit_large(pix, 3, 0, interpret=True, metric="cie2000")
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-2)
     assert int(i1) == int(i2)
+
+
+@pytest.mark.parametrize("metric", ["cie94", "cie2000"])
+@pytest.mark.parametrize("mode", ["replace", "dither", "meld"])
+def test_fused_quantize_frames_matches_per_frame(mode, metric):
+    """The per-frame-palette batch kernel must be bit-equal to B separate
+    single-frame launches: each frame restarts tiling and dither phase at
+    its own origin, reads ITS OWN centroid/palette/threshold rows, and
+    masks its own k_active."""
+    from kmeans_tpu.ops.kernels import fused_quantize_frames
+
+    b, h, w, kp = 3, 37, 53, 8
+    frames = jnp.stack([_image(h, w, seed=40 + i) for i in range(b)])
+    cents = jnp.stack([_palette(kp, seed=50 + i) for i in range(b)])
+    k_act = jnp.asarray([8, 5, 3], jnp.int32)
+    thr = jnp.stack(
+        [
+            dither_threshold(cents[i], k_active=int(k_act[i]), metric=metric)
+            for i in range(b)
+        ]
+    )
+    batched = np.asarray(
+        fused_quantize_frames(
+            frames, cents, thr, k_act, mode=mode, interpret=True,
+            metric=metric,
+        )
+    )
+    for i in range(b):
+        single = np.asarray(
+            fused_quantize(
+                frames[i], cents[i], thr[i], k_active=int(k_act[i]),
+                mode=mode, interpret=True, metric=metric,
+            )
+        )
+        np.testing.assert_array_equal(batched[i], single)
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither"])
+def test_fused_assign_frames_packed_matches_per_frame(mode):
+    """Frame-batched in-kernel index packing: every frame's word slice must
+    carry exactly the single-frame `fused_assign_packed` layout, so the
+    SAME host unpack inverts it."""
+    from kmeans_tpu.ops.kernels import (
+        fused_assign_frames_packed,
+        fused_assign_packed,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    b, h, w, kp = 3, 37, 53, 8
+    frames = jnp.stack([_image(h, w, seed=60 + i) for i in range(b)])
+    cents = jnp.stack([_palette(kp, seed=70 + i) for i in range(b)])
+    thr = jnp.stack([dither_threshold(c) for c in cents])
+    words = np.asarray(
+        fused_assign_frames_packed(
+            frames, cents, thr, None, mode=mode, interpret=True
+        )
+    )
+    bits = pack_bits(kp)
+    tr = quant_tile_rows(kp)
+    for i in range(b):
+        sw = np.asarray(
+            fused_assign_packed(
+                frames[i], cents[i], thr[i], mode=mode, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(words[i].reshape(sw.shape), sw)
+        got = np.asarray(
+            unpack_tile_words(
+                jnp.asarray(words[i].reshape(sw.shape)), h, w, bits,
+                tile_rows=tr,
+            )
+        )
+        want = np.asarray(
+            unpack_tile_words(jnp.asarray(sw), h, w, bits, tile_rows=tr)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fused_frames_rejects_oversize_batch():
+    from kmeans_tpu.ops.kernels import FRAMES_MAX_BK, fused_quantize_frames
+
+    b = FRAMES_MAX_BK // 256 + 1
+    frames = jnp.zeros((b, 4, 4, 4), jnp.uint8)
+    cents = jnp.zeros((b, 256, 3), jnp.float32)
+    thr = jnp.zeros((b,), jnp.float32)
+    with pytest.raises(ValueError, match="FRAMES_MAX_BK"):
+        fused_quantize_frames(frames, cents, thr, interpret=True)
