@@ -819,7 +819,7 @@ class ImageProcessor:
         canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(k)
-        if self.fused and reduce_mode is not ReduceMode.MELD and k <= 256:
+        if self.fused and reduce_mode is not ReduceMode.MELD and k <= 512:
             words, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
                 reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
@@ -1021,7 +1021,7 @@ class ImageProcessor:
             if (
                 self.fused
                 and reduce_mode is not ReduceMode.MELD
-                and color_count <= 256
+                and color_count <= 512
             ):
                 if (
                     self.pipeline
@@ -1130,7 +1130,7 @@ class ImageProcessor:
             # enumerable by warmup.
             palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
-            if reduce_mode is not ReduceMode.MELD and k <= 256:
+            if reduce_mode is not ReduceMode.MELD and k <= 512:
                 words = _assign_indexed_jit(
                     pixels_u8, palette_lab, reduce_mode.value, k_active,
                     fast=self.fast, metric=self.delta_e,
@@ -1188,7 +1188,7 @@ class ImageProcessor:
         else:
             stack = np.stack([_host_rgb(f.pixels) for f in frames])
         kp = palette_lab.shape[0]
-        if self.fused and reduce_mode is not ReduceMode.MELD and kp <= 256:
+        if self.fused and reduce_mode is not ReduceMode.MELD and kp <= 512:
             # Fused-kernel batch: one tall packed assign over every frame
             # (see _find_batch_fused_jit — bit-equal to per-frame).
             words = _find_batch_fused_jit(
@@ -1286,7 +1286,7 @@ class ImageProcessor:
         return (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and kp <= 256
+            and kp <= 512
             and b * kp <= FRAMES_MAX_BK
         )
 
@@ -1657,7 +1657,7 @@ class ImageProcessor:
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and palette_lab.shape[0] <= 256
+            and palette_lab.shape[0] <= 512
         )
         palette_rgba = (
             np.asarray(_lab_palette_to_u8(palette_lab)[0])
@@ -1736,7 +1736,7 @@ class ImageProcessor:
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and color_count <= 256
+            and color_count <= 512
         )
         WINDOW = 4  # bounded in-flight frames: overlap without HBM blowup
         pending = []

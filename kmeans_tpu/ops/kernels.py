@@ -288,6 +288,24 @@ def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2, c1=None):
     return jnp.maximum(tl * tl + tc * tc + th * th + r_t * tc * th, 0.0)
 
 
+def _factor_mode(fast: bool, metric: str, kp: int) -> bool:
+    """True when the quantize kernel runs the factorized fast CIE94 score
+    (rolled-loop palettes only) — the kernel and its wrapper MUST agree on
+    this predicate, since it adds the SMEM G-table operand."""
+    return bool(fast) and metric == "cie94" and kp > 16
+
+
+def factor_g_table(centroids_lab: jnp.ndarray) -> jnp.ndarray:
+    """Per-centroid feature rows `[KP, 7]` of the factorized CIE94 score
+    (see `_quantize_kernel`'s fast branch): [L2, L2^2, C2, C2^2, a2, b2,
+    a2^2 + b2^2]. Computed once per launch on the XLA side so the kernel's
+    centroid loop carries no scalar arithmetic."""
+    l2, a2, b2 = centroids_lab[:, 0], centroids_lab[:, 1], centroids_lab[:, 2]
+    ab2 = a2 * a2 + b2 * b2
+    c2 = jnp.sqrt(ab2)
+    return jnp.stack([l2, l2 * l2, c2, c2 * c2, a2, b2, ab2], axis=1)
+
+
 def _bayer_value(x, y):
     """(M4[y%4][x%4] / 16) - 0.5 in closed form (see module docstring);
     matches mix_colors.wgsl:14-27."""
@@ -307,7 +325,8 @@ def _quantize_kernel(
     thr_ref,  # SMEM [1] f32 dither threshold ([B] when frame_tiles > 0)
     cents_ref,  # SMEM [KP, 3] f32 Lab centroids ([B*KP, 3] per-frame mode)
     pal_ref,  # SMEM [KP] i32 packed RGBA palette colors ([B*KP] per-frame)
-    *refs,  # [lut VMEM [2, 128] f32 if use_lut,] in_ref, out_ref VMEM tiles
+    *refs,  # [gtab SMEM [KP, 7] if factor,] [lut VMEM [2, 128] if use_lut,]
+    #         in_ref, out_ref VMEM tiles
     kp: int,
     mode: str,
     width: int,
@@ -329,10 +348,11 @@ def _quantize_kernel(
     emits size-1 SMEM blocks that the TPU lowering rejects). The
     `frame_tiles == 0` single-palette path is untouched — identical
     jaxpr, so existing compiled-cache entries stay valid."""
-    if use_lut:
-        lut_ref, in_ref, out_ref = refs
-    else:
-        in_ref, out_ref = refs
+    factor = _factor_mode(fast, metric, kp)
+    refs = list(refs)
+    gtab_ref = refs.pop(0) if factor else None
+    lut_ref = refs.pop(0) if use_lut else None
+    in_ref, out_ref = refs
     if frame_tiles:
         frame = pl.program_id(0) // frame_tiles
         # Per-frame k (scalars[2 + f]): `reduce_batch` quantizes one image
@@ -409,17 +429,31 @@ def _quantize_kernel(
         c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
         sc_p = 1.0 + _K1 * c1_p
         sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
-        # Fast mode: replace the two per-centroid divides with per-pixel
-        # reciprocals (2 divides per pixel total instead of 2*k). a*(1/b)
-        # rounds differently from a/b in f32, so nearest-centroid ties at
-        # the knife edge can flip — opt-in, documented in docs/perf.md.
-        # Only engaged for the rolled loop (kp > 16), where it measures
-        # 1.5-1.56x; the unrolled small-k kernel showed no gain, so it
-        # keeps exact divides (and bit-parity) even under fast=True.
-        fast = fast and kp > 16
+        # Fast mode: factorized CIE94 score. The squared distance splits as
+        #   dE^2(p, c) = pixelOnly(p) + F(p).G(c)
+        # with F/G 7-wide (tools/exp_mxu.py derivation); pixelOnly is
+        # constant per pixel, so dropping it preserves the argmin (and the
+        # meld 2-closest ordering) while cutting the centroid loop to 6
+        # vector FMAs + 1 scalar-broadcast add against a PRECOMPUTED
+        # centroid feature table in SMEM (gtab — computing G in-kernel
+        # would put a scalar sqrt in every fori trip, which measured
+        # ~1.7x slower than the table; tools/exp_mxu.py). The
+        # factorization reassociates the f32 sums and drops the
+        # (mathematically redundant) dhab_sq >= 0 clamp, so knife-edge
+        # ties can flip — opt-in, documented in docs/perf.md (measured
+        # 1.7x over the round-2 reciprocal-hoisted fast form at 4K k=64,
+        # 1.9x at k=256; mismatch vs exact ~2e-6 of pixels). Only engaged
+        # for the rolled loop (kp > 16, `_factor_mode`); the unrolled
+        # small-k kernel is transcendental-bound and keeps exact divides
+        # (and bit-parity) even under fast=True.
+        fast = factor
         if fast:
-            rsc_p = 1.0 / sc_p
             rsh2_p = 1.0 / sh2_p
+            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+            f0_p = -2.0 * l_p
+            f2_p = -2.0 * c1_p * q_p
+            f4_p = -2.0 * a_p * rsh2_p
+            f5_p = -2.0 * b_p * rsh2_p
 
         def dist_sq(cl, ca, cb):
             dl = l_p - cl
@@ -428,9 +462,6 @@ def _quantize_kernel(
             c2 = jnp.sqrt(ca * ca + cb * cb)  # scalar per centroid
             dcab = c1_p - c2
             dhab_sq = jnp.maximum(da * da + db * db - dcab * dcab, 0.0)
-            if fast:
-                t = dcab * rsc_p
-                return dl * dl + t * t + dhab_sq * rsh2_p
             t = dcab / sc_p
             return dl * dl + t * t + dhab_sq / sh2_p
 
@@ -446,6 +477,27 @@ def _quantize_kernel(
 
         pair_sq = _cie2000_sq_planes
 
+    if factor:
+        # Factorized fast score against the precomputed SMEM G-table:
+        # 6 FMAs + 1 scalar-broadcast add per centroid, zero in-loop
+        # scalar arithmetic (gtab rows are [L2, L2^2, C2, C2^2, a2, b2,
+        # a2^2 + b2^2] — `factor_g_table`).
+        def dist_sq_k(k):
+            i = cent_base + k if frame_tiles else k
+            return (
+                f0_p * gtab_ref[i, 0]
+                + gtab_ref[i, 1]
+                + f2_p * gtab_ref[i, 2]
+                + q_p * gtab_ref[i, 3]
+                + f4_p * gtab_ref[i, 4]
+                + f5_p * gtab_ref[i, 5]
+                + rsh2_p * gtab_ref[i, 6]
+            )
+    else:
+
+        def dist_sq_k(k):
+            return dist_sq(*centroid(k))
+
     if mode in ("replace", "dither"):
         # Each output form needs exactly TWO loop carries: the index map
         # carries best_k, the color modes carry the packed palette select
@@ -457,8 +509,7 @@ def _quantize_kernel(
 
         def body(k, carry):
             best_d, best_sel = carry
-            cl, ca, cb = centroid(k)
-            d = dist_sq(cl, ca, cb)
+            d = dist_sq_k(k)
             d = jnp.where(k < k_active, d, big)
             take = d < best_d
             if emit_index:
@@ -504,7 +555,7 @@ def _quantize_kernel(
         def body(k, carry):
             d1, l1, a1, b1, d2, l2, a2, b2 = carry
             cl, ca, cb = centroid(k)
-            d = dist_sq(cl, ca, cb)
+            d = dist_sq_k(k)
             d = jnp.where(k < k_active, d, big)
             first = d < d1
             second = jnp.logical_and(jnp.logical_not(first), d < d2)
@@ -639,12 +690,16 @@ def _run_quantize_kernel(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    cents_f32 = jnp.asarray(centroids_lab, jnp.float32)
     operands = [
         scalars,
         thr,
-        jnp.asarray(centroids_lab, jnp.float32),
+        cents_f32,
         _packed_palette(centroids_lab),
     ]
+    if _factor_mode(fast, metric, kp):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(factor_g_table(cents_f32))
     if use_lut:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(gamma_lut_values())
@@ -683,7 +738,8 @@ def _lloyd_acc_kernel(
     scalar_ref,  # SMEM [2] i32: k_active, n_valid
     cents_ref,  # SMEM [KP, 3] f32
     lab_ref,  # VMEM [3, TILE_ROWS, 128] f32 (L, a, b planes)
-    *refs,  # [weight VMEM [TILE_ROWS, 128] f32 if weighted,] out VMEM
+    *refs,  # [gtab SMEM [KP, 7] if factorized-fast,]
+    #         [weight VMEM [TILE_ROWS, 128] f32 if weighted,] out VMEM
     kp: int,
     weighted: bool = False,
     metric: str = "cie94",
@@ -708,16 +764,21 @@ def _lloyd_acc_kernel(
     keeps the original output shape, so existing compiled executables'
     cache keys are untouched.
 
-    `fast=True` (CIE94 only) replaces the per-centroid divides with an
-    algebraically-expanded distance on hoisted per-pixel reciprocals:
-    d = dL^2 + (da^2+db^2)/Sh^2 + dCab^2*(1/Sc^2 - 1/Sh^2), dropping the
-    dhab_sq >= 0 clamp (mathematically redundant: da^2+db^2 >= dCab^2 by
-    the triangle inequality; the clamp only guards f32 noise at dhab ~ 0).
-    Not bit-identical — knife-edge assignments can flip — so it is opt-in,
-    like the quantize kernels' fast mode. bf16 `lab_ref` planes are
-    up-cast to f32 on load (accumulation always f32): half the HBM
-    traffic per iteration for ~0.3 delta-E input quantization, also
-    opt-in."""
+    `fast=True` (CIE94 only) switches the centroid loop to the factorized
+    score dE^2 - pixelOnly(p) = F(p).G(c) (6 vector FMAs per centroid; see
+    the quantize kernel's fast branch and tools/exp_mxu.py) — the dropped
+    pixel-only term cannot change any per-pixel argmin. When emit_inertia
+    is also set, fast falls back to the round-2 reciprocal-algebraic
+    distance (d = dL^2 + (da^2+db^2)/Sh^2 + dCab^2*(1/Sc^2 - 1/Sh^2), no
+    dhab_sq clamp) so best_d stays a true squared distance for the
+    inertia column. Neither form is bit-identical to exact — knife-edge
+    assignments can flip — so fast is opt-in, like the quantize kernels'
+    fast mode. bf16 `lab_ref` planes are up-cast to f32 on load
+    (accumulation always f32): half the HBM traffic per iteration for
+    ~0.3 delta-E input quantization, also opt-in."""
+    factor = fast and metric == "cie94" and not emit_inertia
+    refs = list(refs)
+    gtab_ref = refs.pop(0) if factor else None
     if weighted:
         w_ref, out_ref = refs
     else:
@@ -745,9 +806,39 @@ def _lloyd_acc_kernel(
     # expressions on the same inputs, so every distance (and therefore
     # every assignment) is bit-identical to the rolled form.
     c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
-    if metric == "cie94" and fast:
+    if factor:
+        # Factorized CIE94 score (same derivation as the quantize kernel's
+        # fast branch / tools/exp_mxu.py): dE^2 = pixelOnly(p) + F(p).G(c),
+        # and pixelOnly cannot change the per-pixel argmin, so the centroid
+        # loop shrinks to 6 vector FMAs + 1 scalar add against the
+        # precomputed SMEM G-table (no in-loop scalar sqrt). NOT used when
+        # emit_inertia is set: best_d must then be a true squared distance
+        # (the restart-winner inertia pass always runs exact anyway —
+        # models/kmeans.py::fit_large_restarts).
+        sc_p = 1.0 + _K1 * c1_p
+        sh_p = 1.0 + _K2 * c1_p
+        rsh2_p = 1.0 / (sh_p * sh_p)
+        q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+        f0_p = -2.0 * l_p
+        f2_p = -2.0 * c1_p * q_p
+        f4_p = -2.0 * a_p * rsh2_p
+        f5_p = -2.0 * b_p * rsh2_p
+
+        def dist_k(k):
+            return (
+                f0_p * gtab_ref[k, 0]
+                + gtab_ref[k, 1]
+                + f2_p * gtab_ref[k, 2]
+                + q_p * gtab_ref[k, 3]
+                + f4_p * gtab_ref[k, 4]
+                + f5_p * gtab_ref[k, 5]
+                + rsh2_p * gtab_ref[k, 6]
+            )
+    elif metric == "cie94" and fast:
         # Algebraic expansion on per-pixel reciprocals (see docstring):
-        # zero divides, zero clamps in the centroid loop.
+        # zero divides, zero clamps in the centroid loop. best_d stays a
+        # true (differently-rounded) squared distance, as the inertia
+        # column requires.
         sc_p = 1.0 + _K1 * c1_p
         sh_p = 1.0 + _K2 * c1_p
         rsh2_p = 1.0 / (sh_p * sh_p)
@@ -781,7 +872,10 @@ def _lloyd_acc_kernel(
 
     # kp is small and static: unroll (VPU-friendly, no loop-carried VMEM).
     for k in range(kp):
-        d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
+        if factor:
+            d = dist_k(k)
+        else:
+            d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
         d = jnp.where(k < k_active, d, big)
         take = d < best_d
         best_d = jnp.where(take, d, best_d)
@@ -818,8 +912,9 @@ def lloyd_accumulate(
     scales each pixel's contribution — weight-0 pixels vanish from sums
     and counts. `emit_inertia=True` appends a fifth column: the weighted
     sum of each member pixel's squared distance to the centroid
-    (`[KP, 5]` result). `fast=True` uses the divide-free algebraic CIE94
-    distance (knife-edge assignments may flip; see `_lloyd_acc_kernel`)."""
+    (`[KP, 5]` result). `fast=True` uses the factorized CIE94 score (or,
+    with emit_inertia, the divide-free algebraic distance) — knife-edge
+    assignments may flip; see `_lloyd_acc_kernel`."""
     kp = centroids.shape[0]
     if kp > 64:
         raise ValueError("training kernel supports k <= 64")
@@ -836,6 +931,7 @@ def lloyd_accumulate(
     scalars = jnp.stack([k_act, jnp.asarray(n_valid, jnp.int32)])
 
     weighted = weight_planes is not None
+    cents_f32 = jnp.asarray(centroids, jnp.float32)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -844,7 +940,12 @@ def lloyd_accumulate(
             memory_space=pltpu.VMEM,
         ),
     ]
-    operands = [scalars, jnp.asarray(centroids, jnp.float32), lab_planes]
+    operands = [scalars, cents_f32, lab_planes]
+    if fast and metric == "cie94" and not emit_inertia:
+        # Factorized fast score: precomputed centroid feature table
+        # (must mirror the kernel's `factor` predicate).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(factor_g_table(cents_f32))
     if weighted:
         in_specs.append(
             pl.BlockSpec(
@@ -951,20 +1052,21 @@ def fused_assign_packed(
 ) -> jnp.ndarray:
     """`fused_assign` with the index map bit-packed INSIDE the kernel:
     32/bits sublane blocks of each tile fold into one i32 word (bits =
-    `utils.packing.pack_bits(kp)`: 2/4/8), so the kernel writes 2-16x
+    `utils.packing.pack_bits(kp)`: 2/4/8/16), so the kernel writes 2-16x
     fewer output bytes and the separate XLA pack pass disappears. Returns
     `[ceil(n / (LANES * ppw)), LANES]` i32 words in the tile layout that
     `utils.packing.unpack_tile_words(words, h, w, bits)` inverts on the
-    host (which then gathers `palette[idx]`). Same validity rules as
-    `fused_assign` (replace/dither, k <= 256)."""
+    host (which then gathers `palette[idx]`). Replace/dither; k <= 512
+    (the reference's palette-image cap, `cli.rs` <=512 distinct colors —
+    257..512 take the 16-bit tier at 2 B/px, half the RGBA readback)."""
     from kmeans_tpu.utils.packing import pack_bits
 
     if mode not in ("replace", "dither"):
         raise ValueError("fused_assign supports replace/dither only")
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
-    if centroids_lab.shape[0] > 256:
-        raise ValueError("indexed output requires k <= 256")
+    if centroids_lab.shape[0] > 512:
+        raise ValueError("packed indexed output requires k <= 512")
     bits = pack_bits(centroids_lab.shape[0])
     return _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
@@ -1028,6 +1130,9 @@ def _run_quantize_kernel_frames(
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     operands = [scalars, thr, cents, _packed_palette(cents)]
+    if _factor_mode(fast, metric, kp):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(factor_g_table(cents))
     if use_lut:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(gamma_lut_values())
@@ -1132,15 +1237,15 @@ def fused_assign_frames_packed(
     each frame's `[W_f, LANES]` slice has EXACTLY the single-frame
     `fused_assign_packed` layout for an `[H, W]` image — the host inverts
     frame `f` with `unpack_tile_words(words[f], h, w, bits,
-    tile_rows=quant_tile_rows(kp))`. Replace/dither, kp <= 256."""
+    tile_rows=quant_tile_rows(kp))`. Replace/dither, kp <= 512."""
     from kmeans_tpu.utils.packing import pack_bits
 
     if mode not in ("replace", "dither"):
         raise ValueError("fused_assign supports replace/dither only")
     _validate_frames_args(frames_u8, centroids_lab, mode, metric)
     kp = centroids_lab.shape[1]
-    if kp > 256:
-        raise ValueError("indexed output requires k <= 256")
+    if kp > 512:
+        raise ValueError("packed indexed output requires k <= 512")
     bits = pack_bits(kp)
     b = frames_u8.shape[0]
     words = _run_quantize_kernel_frames(

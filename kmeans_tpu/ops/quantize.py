@@ -75,12 +75,14 @@ def nearest_color(
 def nearest_index(
     lab: jnp.ndarray, palette: jnp.ndarray, k_active=None, metric: str = "cie94"
 ) -> jnp.ndarray:
-    """Index of each Lab pixel's nearest palette entry (uint8, k <= 256) —
-    the XLA counterpart of the fused kernel's `emit_index` output, used by
+    """Index of each Lab pixel's nearest palette entry (uint8 for
+    k <= 256, uint16 for the large-`find` tier up to 512) — the XLA
+    counterpart of the fused kernel's `emit_index` output, used by
     indexed readback paths where the host reconstructs `palette[idx]`."""
     valid = _valid_mask(palette.shape[0], k_active)
+    dtype = jnp.uint8 if palette.shape[0] <= 256 else jnp.uint16
     return jnp.argmin(_d2_matrix(lab, palette, valid, metric), axis=-1).astype(
-        jnp.uint8
+        dtype
     )
 
 

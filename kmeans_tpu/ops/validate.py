@@ -88,6 +88,31 @@ def validate_kernels(verbose: bool = True) -> bool:
                     bool(np.array_equal(got_idx, idx)),
                 )
 
+    # 16-bit packed tier (256 < k <= 512, the large-`find` palettes):
+    # unpack must invert the kernel layout and match the XLA argmin.
+    from kmeans_tpu.ops.kernels import fused_assign_packed, quant_tile_rows
+    from kmeans_tpu.ops.quantize import assign_index
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    img16 = jnp.asarray(rng.integers(0, 256, (26, 37, 4), dtype=np.uint8))
+    pal16 = srgb8_to_lab(
+        jnp.asarray(rng.integers(0, 256, (300, 3), dtype=np.uint8))
+    )
+    thr16 = dither_threshold(pal16)
+    words16 = np.asarray(
+        fused_assign_packed(img16, pal16, thr16, mode="dither", interpret=True)
+    )
+    got16 = unpack_tile_words(
+        words16, 26, 37, pack_bits(300), tile_rows=quant_tile_rows(300)
+    )
+    want16 = np.asarray(
+        assign_index(srgb8_to_lab(img16[..., :3]), pal16, mode="dither")
+    )
+    report(
+        "assign_packed  16-bit tier k=300",
+        bool(got16.dtype == np.uint16 and np.array_equal(got16, want16)),
+    )
+
     # CIEDE2000 kernels (polynomial atan2): knife-edge flips only.
     for mode in ("replace", "dither", "meld"):
         img = jnp.asarray(rng.integers(0, 256, (29, 41, 4), dtype=np.uint8))

@@ -1,10 +1,12 @@
-"""Device-side index-map bit packing for small palettes.
+"""Device-side index-map bit packing keyed by palette size.
 
-Small palettes pack multiple pixel indices per byte on the device before
-readback (2 bits/px for k <= 4, 4 bits/px for k <= 16, raw u8 otherwise) —
-8-16x less device->host traffic than raw RGBA. Every device-side pack and
-host-side unpack MUST consult `pack_bits` (they sit in different
-executables/processes and drift here means silently garbled pixels).
+Palettes pack pixel indices at the narrowest width that holds them
+before readback (2 bits/px for k <= 4, 4 for k <= 16, 8 for k <= 256,
+16 for the reference's large fixed `find` palettes up to 512 colors —
+half the traffic of the full-RGBA readback those previously took).
+Every device-side pack and host-side unpack MUST consult `pack_bits`
+(they sit in different executables/processes and drift here means
+silently garbled pixels).
 
 Used by the single-chip indexed paths (`api.py`) and the sharded
 (multi-chip) indexed readback (`parallel/sharded_ops.py`); the pack runs
@@ -22,12 +24,17 @@ CRUMB_PACK_MAX_K = 4
 
 
 def pack_bits(k: int) -> int:
-    """Bits per packed index for a (static) palette size."""
+    """Bits per packed index for a (static) palette size. The 16-bit tier
+    serves 256 < k <= 65536 (in practice the <= 512-color `find`
+    palettes); width-axis byte packing (`pack_nibbles`) and the u8
+    sharded readback stay gated at k <= 256 by their callers."""
     if k <= CRUMB_PACK_MAX_K:
         return 2
     if k <= NIBBLE_PACK_MAX_K:
         return 4
-    return 8
+    if k <= 256:
+        return 8
+    return 16
 
 
 def nibble_packed(k: int) -> bool:
@@ -64,9 +71,10 @@ def unpack_tile_words(
     (`ops/kernels.py::fused_assign_packed`): each i32 word holds
     `32 // bits` pixel indices taken from equally-spaced sublane blocks of
     one kernel tile. `words` is the `[M, lanes]` int32 readback; returns
-    the `[h, w]` uint8 index map. The layout constants MUST match the
-    kernel: pass `tile_rows=ops.kernels.quant_tile_rows(kp)` (the tile is
-    a function of the palette size)."""
+    the `[h, w]` index map (uint8, or uint16 for the 16-bit tier). The
+    layout constants MUST match the kernel: pass
+    `tile_rows=ops.kernels.quant_tile_rows(kp)` (the tile is a function
+    of the palette size)."""
     if tile_rows is None:
         raise ValueError(
             "tile_rows must come from ops.kernels.quant_tile_rows(kp) — "
@@ -78,7 +86,9 @@ def unpack_tile_words(
     wk = np.ascontiguousarray(words).view(np.uint32)  # logical shifts
     n_tiles = wk.shape[0] // blk
     wk = wk.reshape(n_tiles, blk, lanes)
-    idx = np.empty((n_tiles, tile_rows, lanes), np.uint8)
+    idx = np.empty(
+        (n_tiles, tile_rows, lanes), np.uint8 if bits <= 8 else np.uint16
+    )
     for j in range(ppw):
         idx[:, blk * j : blk * (j + 1), :] = (wk >> (bits * j)) & mask
     return idx.reshape(-1)[: h * w].reshape(h, w)

@@ -500,6 +500,41 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
     np.testing.assert_array_equal(fs.pixels, ws.pixels)
 
 
+def test_fused_find_large_palette_16bit_on_cpu_interpret(
+    monkeypatch, blobs_image
+):
+    """`find` with 256 < k <= 512 colors rides the fused packed path via
+    the 16-bit index tier (2 B/px readback instead of 4 B/px RGBA);
+    output must stay bit-equal to the XLA path."""
+    from functools import partial
+
+    import kmeans_tpu.api as api
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api,
+        "fused_assign_packed",
+        partial(kernels.fused_assign_packed, interpret=True),
+    )
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    image, _ = blobs_image
+    small = Image((64, 48), image.pixels[:48, :64])
+    rng = np.random.default_rng(77)
+    colors = rng.integers(0, 256, (300, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+    # all-distinct colors so index<->color equality is exact
+    colors = np.unique(colors, axis=0)
+    assert colors.shape[0] > 256
+
+    fused_p = api.ImageProcessor(fused=True)
+    xla_p = api.ImageProcessor(fused=False)
+    for mode in (api.ReduceMode.REPLACE, api.ReduceMode.DITHER):
+        got = fused_p.find(small, colors, mode)
+        want = xla_p.find(small, colors, mode)
+        np.testing.assert_array_equal(got.pixels, want.pixels)
+
+
 def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
     """Drive the per-frame-palette fused batch wiring (reduce_images /
     reduce_many) on CPU via interpret-mode kernels: outputs must be

@@ -171,6 +171,35 @@ def test_fused_assign_packed_roundtrip(shape, k, mode):
     np.testing.assert_array_equal(got, idx)
 
 
+@pytest.mark.parametrize("k", [300, 512])
+def test_fused_assign_packed_16bit_tier(k):
+    """256 < k <= 512 packs two 16-bit indices per i32 word (the
+    large-`find` tier; half the traffic of the RGBA readback it
+    replaces). The unpack must yield uint16 and invert the kernel's
+    layout exactly; indices must match the XLA argmin."""
+    from kmeans_tpu.ops.kernels import (
+        fused_assign_packed,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.ops.quantize import assign_index
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    h, w = 45, 71
+    img = _image(h, w, seed=11)
+    pal = _palette(k, seed=12)
+    assert pack_bits(k) == 16
+    words = np.asarray(
+        fused_assign_packed(
+            img, pal, dither_threshold(pal), mode="dither", interpret=True
+        )
+    )
+    got = unpack_tile_words(words, h, w, 16, tile_rows=quant_tile_rows(k))
+    assert got.dtype == np.uint16
+    lab = srgb8_to_lab(img[..., :3])
+    want = np.asarray(assign_index(lab, pal, mode="dither")).astype(np.uint16)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_gamma_lut_bit_equal_discrete_modes():
     """The default gamma-LUT kernels (use_lut=True) must be bit-identical
     to the pow-chain kernels (use_lut=False) on every discrete-output
