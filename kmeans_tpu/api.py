@@ -1371,9 +1371,10 @@ class ImageProcessor:
         """Multi-chip `find`: fixed-palette recolor with the image's rows
         sharded over the mesh's pixel axis (no collectives — the output
         pass is embarrassingly parallel). Transfer parity with the
-        single-chip path: RGB-only upload; replace/dither with k <= 256
-        read back a bit-packed index map (2/4/8 bits per pixel) that the
-        host expands via `palette[idx]`."""
+        single-chip path: RGB-only upload; replace/dither with k <= 512
+        read back an index map (2/4/8 bits per pixel width-packed for
+        k <= 256, raw uint16 above) that the host expands via
+        `palette[idx]`."""
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
@@ -1385,7 +1386,7 @@ class ImageProcessor:
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
         rgb = _host_rgb(image.pixels)  # alpha is ignored
-        if reduce_mode is not ReduceMode.MELD and palette_lab.shape[0] <= 256:
+        if reduce_mode is not ReduceMode.MELD and palette_lab.shape[0] <= 512:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, palette_lab, reduce_mode
             )
@@ -1402,8 +1403,9 @@ class ImageProcessor:
         self, mesh, rgb, palette_lab, reduce_mode, k_active=None
     ) -> np.ndarray:
         """Shared sharded indexed-readback epilogue: packed index map off
-        the mesh (2/4/8 bits per pixel), host unpack + `palette[idx]`
-        gather — the multi-chip twin of the single-chip `_assign_indexed_jit`
+        the mesh (2/4/8 bits per pixel width-packed, raw uint16 for
+        256 < k <= 512), host unpack + `palette[idx]` gather — the
+        multi-chip twin of the single-chip `_assign_indexed_jit`
         readback path."""
         from kmeans_tpu.parallel.sharded_ops import assign_indexed_sharded
 
@@ -1505,7 +1507,7 @@ class ImageProcessor:
                 convergence=ColorSpace.LAB.convergence, k_active=color_count,
                 metric=self.delta_e, restarts=self.restarts,
             )
-            if reduce_mode is not ReduceMode.MELD and color_count <= 256:
+            if reduce_mode is not ReduceMode.MELD and color_count <= 512:
                 out = self._quantize_indexed_sharded(
                     mesh, padded, centroids, reduce_mode, k_active=color_count
                 )
@@ -1519,7 +1521,7 @@ class ImageProcessor:
             return Image(image.dimensions, out[:h, :w])
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
         rgb = _host_rgb(image.pixels)
-        if reduce_mode is not ReduceMode.MELD and color_count <= 256:
+        if reduce_mode is not ReduceMode.MELD and color_count <= 512:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, centroids, reduce_mode
             )

@@ -9,11 +9,12 @@ large pixel buffers sharded row-wise).
 
 Transfer parity with the single-chip paths (round 2): callers upload
 RGB-only `[H, W, 3]` (alpha never participates; the executable appends
-alpha on device) and, for replace/dither with k <= 256, read back a
-bit-packed index map via `assign_indexed_sharded` — 2/4/8 bits per pixel
-instead of 32 — with the host reconstructing `palette[idx]`. The pack
-runs along the width axis, so the row-sharded layout packs shard-locally
-with no collectives.
+alpha on device) and, for replace/dither with k <= 512, read back an
+index map via `assign_indexed_sharded` — 2/4/8 bits per pixel
+width-axis-packed for k <= 256, raw uint16 (16 bits) for the large-find
+tier 256 < k <= 512 — with the host reconstructing `palette[idx]`. The
+pack runs along the width axis, so the row-sharded layout packs
+shard-locally with no collectives.
 """
 
 from __future__ import annotations
@@ -89,14 +90,17 @@ def assign_indexed_sharded(
 ):
     """Multi-chip indexed readback: rows sharded over the pixel axis, each
     shard assigns + packs locally; returns `(packed, bits)` where `packed`
-    is the device array (`[H, ceil(W * bits / 8)]` uint8) and the host
-    unpacks with `utils.packing.unpack_nibbles` then gathers
-    `palette[idx]`. Valid for replace/dither with k <= 256."""
+    is the device array (`[H, ceil(W * bits / 8)]` uint8 for bits <= 8,
+    `[H, W]` uint16 for the 16-bit tier) and the host unpacks with
+    `utils.packing.unpack_nibbles` (bits < 8) or indexes directly, then
+    gathers `palette[idx]`. Valid for replace/dither with k <= 512."""
     palette_lab = jnp.asarray(palette_lab)
     kp = palette_lab.shape[0]
-    if kp > 256:
-        raise ValueError("indexed readback requires k <= 256")
-    bits = pack_bits(kp) if nibble_packed(kp) else 8
+    if kp > 512:
+        raise ValueError("indexed readback requires k <= 512")
+    # 2/4 -> width-axis byte pack; 8 -> raw u8; 16 -> raw u16 (2 B/px,
+    # still half the RGBA readback) — `assign_index` picks the dtype.
+    bits = pack_bits(kp) if nibble_packed(kp) else (8 if kp <= 256 else 16)
     sharded, h = _row_sharded(mesh, rgb_u8)
     packed = _assign_pack_jit(
         sharded, palette_lab, mode, k_active, metric, bits

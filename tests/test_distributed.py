@@ -143,7 +143,14 @@ def test_assign_indexed_sharded_bit_equal_and_rgb_upload():
     rgba[..., 3] = rng.integers(0, 256, (61, 97), dtype=np.uint8)  # junk alpha
     rgb = np.ascontiguousarray(rgba[..., :3])
     mesh = make_mesh(jax.devices(), data=1)
-    for k, mode in ((3, "replace"), (3, "dither"), (7, "dither"), (20, "replace")):
+    # 300 exercises the 16-bit tier (raw uint16 readback, bits == 16)
+    for k, mode in (
+        (3, "replace"),
+        (3, "dither"),
+        (7, "dither"),
+        (20, "replace"),
+        (300, "replace"),
+    ):
         pal_u8 = rng.integers(0, 256, (k, 3), dtype=np.uint8)
         pal = srgb8_to_lab(jnp.asarray(pal_u8))
         want = np.asarray(
