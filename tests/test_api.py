@@ -594,3 +594,25 @@ def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
         want = xla_b.reduce_many(many, 4, mode)
         for g, x in zip(got, want):
             np.testing.assert_array_equal(g.pixels, x.pixels)
+
+
+def test_host_fetch_matches_sequential_asarray():
+    """`_host_fetch` (overlapped multi-array readback) must be a pure
+    value-preserving fetch: identical to sequential `np.asarray` for
+    device arrays, passthrough for plain numpy/scalars, and a tuple of
+    the right arity in every case."""
+    import jax.numpy as jnp
+
+    from kmeans_tpu.api import _host_fetch
+
+    dev_a = jnp.arange(24, dtype=jnp.int32).reshape(4, 6) * 3
+    dev_b = jnp.full((5, 4), 7, jnp.uint8)
+    host_c = np.linspace(0.0, 1.0, 11)
+    a, b, c = _host_fetch(dev_a, dev_b, host_c)
+    np.testing.assert_array_equal(a, np.asarray(dev_a))
+    np.testing.assert_array_equal(b, np.asarray(dev_b))
+    np.testing.assert_array_equal(c, host_c)
+    assert all(isinstance(x, np.ndarray) for x in (a, b, c))
+    (single,) = _host_fetch(dev_a)
+    np.testing.assert_array_equal(single, a)
+    assert _host_fetch() == ()
