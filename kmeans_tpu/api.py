@@ -288,10 +288,12 @@ def _reduce_indexed_jit(
     metric: str = "cie94",
 ):
     """Reduce with indexed readback: train, then return the per-pixel
-    palette index map (uint8, 1 B/px) + the RGBA8 palette. The host
-    reconstructs `palette[idx]` — 4x less device->host traffic than raw
-    RGBA, exact for replace/dither (every output pixel IS a palette color).
-    Accepts `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
+    palette index map as in-kernel-packed i32 words (2/4/8/16 bits per
+    pixel by palette size — `utils.packing.pack_bits`; k <= 512) + the
+    RGBA8 palette. The host unpacks and reconstructs `palette[idx]` —
+    2-16x less device->host traffic than raw RGBA, exact for
+    replace/dither (every output pixel IS a palette color). Accepts
+    `[H, W, 3]` input (RGB-only upload; see `_ensure_rgba`)."""
     pixels_u8 = _ensure_rgba(pixels_u8)
     sh, sw = train_shape
     train_u8 = (
@@ -2178,8 +2180,7 @@ def _reduce_images_bucketed_fused_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("kp", "canvas_shape", "mode", "fast", "metric",
-                     "restarts"),
+    static_argnames=("kp", "canvas_shape", "mode", "metric", "restarts"),
 )
 def _reduce_many_bucketed_fused_jit(
     frames_u8,  # [B, BH, BW, 3|4] bucket-padded, sizes may differ per frame
@@ -2193,14 +2194,16 @@ def _reduce_many_bucketed_fused_jit(
     convergence,
     mode: str,
     k_active,
-    fast: bool = False,
     metric: str = "cie94",
     restarts: int = 1,
 ):
     """`_reduce_many_bucketed_jit` (the serving micro-batch executable)
     with the fused frame-batch quantize tail: per-frame train stays
     vmapped XLA, the full-res quantize becomes one per-frame-palette
-    Pallas launch with in-kernel index packing."""
+    Pallas launch with in-kernel index packing. Always the EXACT kernels:
+    `reduce_many` routes fast-mode processors away from coalescing (their
+    early return keeps per-image semantics), so coalesced outputs stay
+    bit-equal to the per-image XLA quantizer."""
     frames_u8 = _ensure_rgba(frames_u8)
     ch, cw = canvas_shape
 
@@ -2219,7 +2222,7 @@ def _reduce_many_bucketed_fused_jit(
         frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws
     )
     return _frames_quantize_tail(
-        frames_u8, cents, mode, k_active, fast, metric
+        frames_u8, cents, mode, k_active, False, metric
     )
 
 

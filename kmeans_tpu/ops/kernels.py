@@ -355,8 +355,9 @@ def _quantize_kernel(
     in_ref, out_ref = refs
     if frame_tiles:
         frame = pl.program_id(0) // frame_tiles
-        # Per-frame k (scalars[2 + f]): `reduce_batch` quantizes one image
-        # at MANY active palette sizes in a single launch.
+        # Per-frame k (scalars[2 + f]): each frame in the stacked batch
+        # may quantize against a different active palette size (mixed-k
+        # `reduce_many` coalescing).
         k_active = scalar_ref[2 + frame]
         threshold = thr_ref[frame]
         cent_base = frame * kp
@@ -1203,9 +1204,12 @@ def fused_quantize_frames(
     """Frame-batched `fused_quantize`: `[B, H, W, 4]` u8 frames, each
     quantized against ITS OWN `[B, KP, 3]` Lab palette (per-frame
     `thresholds[B]` for dither, optional per-frame `k_actives[B]`), in one
-    kernel launch -> `[B, H, W, 4]` u8. Bit-equal to running
-    `fused_quantize` per frame (each frame restarts dither phase and
-    tiling at its own origin). All three modes, both metrics."""
+    kernel launch -> `[B, H, W, 4]` u8. Each frame restarts dither phase
+    and tiling at its own origin. Replace/dither are bit-equal to running
+    `fused_quantize` per frame (verified on hardware); meld is bit-equal
+    in interpret mode but NOT on real silicon — its 2-closest blend picks
+    up 1-ulp flips under the frame kernel's dynamic centroid indexing,
+    which is why api.py's frame-batch gates exclude meld. Both metrics."""
     _validate_frames_args(frames_u8, centroids_lab, mode, metric)
     b, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     n = h * w
