@@ -765,12 +765,27 @@ class ImageProcessor:
         """Train k centroids on the (shrunk) image; returns `[k, 3]` in the
         working space. Mirrors `operations::extract_palette_kmeans`
         (`core/src/operations.rs:15-88`): shrink to <=256px long side,
-        convert, seed, Lloyd."""
+        convert, seed, Lloyd.
+
+        With `pipeline=True` (opt-in) the shrink runs on the HOST
+        (`resize_uint8_np`, the numpy mirror of the device sampler) and
+        only the training strip is uploaded — ~0.2 MB instead of the full
+        image (~25 MB at 4K), removing the dominant transfer from every
+        training-only call (`palette`, and `find -p` needs none). Same
+        deviation policy as the banded reduce: bit-equal on CPU; the
+        TPU's f32 resize rounds ~13% of strip pixels one u8 step
+        differently, so default palettes stay on the device shrink."""
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
+        if self.pipeline and (sw, sh) != (w, h):
+            upload = jnp.asarray(
+                resize_uint8_np(_host_rgb(image.pixels), sh, sw)
+            )
+        else:
+            upload = jnp.asarray(_host_rgb(image.pixels))
         centroids, iters = _train_jit(
-            jnp.asarray(_host_rgb(image.pixels)),
+            upload,
             k,
             (sh, sw),
             first,
@@ -1378,7 +1393,17 @@ class ImageProcessor:
             return _palette_readback(centroids, color_count)
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
+        if self.pipeline and (sw, sh) != (w, h):
+            # Training-only call: host-shrink each frame and upload the
+            # strips (B x ~0.2 MB) instead of the full stack — same
+            # policy/deviation as `extract_palette_kmeans` pipeline mode.
+            stack = jnp.asarray(
+                np.stack(
+                    [resize_uint8_np(_host_rgb(f.pixels), sh, sw) for f in frames]
+                )
+            )
+        else:
+            stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
         centroids, _ = _train_frames_jit(
             stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,
             metric=self.delta_e, restarts=self.restarts,

@@ -187,6 +187,15 @@ def build_parser() -> argparse.ArgumentParser:
         "executable) and keep the lowest-inertia palette; 1 = the "
         "reference's single deterministic seed",
     )
+    parser.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="transfer-pipelined paths: palette trains on a host-shrunk "
+        "strip (uploads ~0.2 MB instead of the whole image), reduce "
+        "streams row bands so readbacks overlap uploads; the host shrink "
+        "can round isolated strip pixels one u8 step differently from "
+        "the device sampler (see docs/perf.md)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     palette = sub.add_parser(
@@ -296,7 +305,7 @@ def main(argv=None) -> int:
 
     processor = ImageProcessor(
         bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e,
-        restarts=args.restarts,
+        restarts=args.restarts, pipeline=args.pipeline,
     )
 
     if args.command == "palette":

@@ -48,8 +48,8 @@ def resize_uint8_np(image_u8, new_height: int, new_width: int):
     near-identical (quality-asserted in tests/test_api.py)."""
     import numpy as np
 
-    img = np.asarray(image_u8, np.float32) / np.float32(255.0)
-    h, w = img.shape[0], img.shape[1]
+    image_u8 = np.asarray(image_u8)
+    h, w = image_u8.shape[0], image_u8.shape[1]
 
     def axis_weights(n_out: int, n_in: int):
         coord = (
@@ -64,8 +64,13 @@ def resize_uint8_np(image_u8, new_height: int, new_width: int):
 
     y0, y1, fy = axis_weights(new_height, h)
     x0, x1, fx = axis_weights(new_width, w)
-    top = img[y0]
-    bot = img[y1]
+    # Gather the sampled rows in u8 FIRST, then convert only those to f32:
+    # the u8->f32 unorm conversion is elementwise, so slicing before it is
+    # bit-identical to converting the whole image — and for a 4K -> 256px
+    # strip it touches ~2x144 rows instead of all 2160 (the full-image
+    # conversion alone was ~100 MB of writes).
+    top = image_u8[y0].astype(np.float32) / np.float32(255.0)
+    bot = image_u8[y1].astype(np.float32) / np.float32(255.0)
     fy = fy[:, None, None]
     rows = top * (np.float32(1.0) - fy) + bot * fy
     left = rows[:, x0]

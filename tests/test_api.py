@@ -388,6 +388,38 @@ def test_pipelined_banded_reduce_matches_monolithic():
     np.testing.assert_array_equal(ob.pixels, om.pixels)
 
 
+def test_pipelined_palette_matches_default():
+    """`pipeline=True` palette uploads only the HOST-shrunk training strip
+    (strip bytes instead of the whole image). On CPU the host shrink is
+    bit-equal to the device sampler, so the palette must match the
+    default path exactly — including the no-shrink case, where the host
+    resize must be skipped (same-size corner-aligned resample is not
+    identity)."""
+    rng = np.random.default_rng(91)
+    base = np.array(
+        [[230, 40, 40], [40, 220, 60], [60, 60, 230], [240, 240, 30]],
+        np.int32,
+    )
+    idx = rng.integers(0, 4, (700, 520))
+    rgb = np.clip(
+        base[idx] + rng.integers(-10, 11, (700, 520, 3)), 0, 255
+    ).astype(np.uint8)
+    rgba = np.concatenate([rgb, np.full((700, 520, 1), 255, np.uint8)], -1)
+    image = Image((520, 700), rgba)
+    got = ImageProcessor(pipeline=True).palette(4, image)
+    want = ImageProcessor().palette(4, image)
+    np.testing.assert_array_equal(got, want)
+    # no-shrink case: train_max_size covers the image
+    got_ns = ImageProcessor(pipeline=True, train_max_size=1024).palette(4, image)
+    want_ns = ImageProcessor(train_max_size=1024).palette(4, image)
+    np.testing.assert_array_equal(got_ns, want_ns)
+    # joint multi-frame palette takes the same strip-upload gate
+    frames = [image, Image((520, 700), rgba[::-1].copy())]
+    got_b = ImageProcessor(pipeline=True).palette_images(frames, 4)
+    want_b = ImageProcessor().palette_images(frames, 4)
+    np.testing.assert_array_equal(got_b, want_b)
+
+
 def test_restarts_processor(blobs_image):
     """ImageProcessor(restarts=N): restarts=1 matches the default exactly;
     restarts>1 runs end-to-end (exact + bucketed + batched) and still

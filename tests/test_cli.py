@@ -297,3 +297,26 @@ def test_cli_fast_flag(sample_png, tmp_path):
         ["--fast", "reduce", "-i", sample_png, "-c", "3", "-o", out]
     ) == 0
     assert os.path.exists(out)
+
+
+def test_cli_pipeline_flag(sample_png, tmp_path, capsys):
+    """--pipeline reaches ImageProcessor(pipeline=True) and outputs match
+    the default paths. The 64px sample sits below the training shrink, so
+    this covers the flag wiring and the no-shrink guard (same-size resample
+    must be skipped); the host-shrink path itself is equality-tested in
+    test_api.py::test_pipelined_palette_matches_default."""
+    out = str(tmp_path / "pipe.png")
+    assert cli.main(
+        ["--pipeline", "reduce", "-i", sample_png, "-c", "3", "-o", out]
+    ) == 0
+    want = str(tmp_path / "plain.png")
+    assert cli.main(["reduce", "-i", sample_png, "-c", "3", "-o", want]) == 0
+    np.testing.assert_array_equal(
+        load_image(out).pixels, load_image(want).pixels
+    )
+    assert cli.main(
+        ["--pipeline", "palette", "-i", sample_png, "-c", "3", "-s", "4"]
+    ) == 0
+    piped = capsys.readouterr().out
+    assert cli.main(["palette", "-i", sample_png, "-c", "3", "-s", "4"]) == 0
+    assert capsys.readouterr().out == piped

@@ -140,6 +140,32 @@ def main(trials: int = 60) -> int:
         if t % 10 == 0:
             print(f"  bucketing soak {t} ok", flush=True)
 
+    # pipeline=True (host-shrunk training strip + banded reduce): on CPU
+    # the host shrink mirrors the device sampler bit-exactly, so palette
+    # and reduce must equal the default paths. Sizes straddle the 256px
+    # training shrink so both the strip-upload and no-shrink guards run.
+    pipe_p = ImageProcessor(pipeline=True)
+    for t in range(max(6, trials // 8)):
+        h = int(rng.integers(100, 420))
+        w = int(rng.integers(100, 420))
+        k = int(rng.integers(1, 9))
+        img = Image(
+            (w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        )
+        pa = exact_p.palette(k, img)
+        pb = pipe_p.palette(k, img)
+        if not (pa == pb).all():
+            print(f"[FAIL] pipeline palette != default trial={t} {h}x{w} k={k}")
+            failures += 1
+        mode = ReduceMode(["replace", "dither"][t % 2])
+        ra = exact_p.reduce(k, img, reduce_mode=mode)
+        rb = pipe_p.reduce(k, img, reduce_mode=mode)
+        if not (ra.pixels == rb.pixels).all():
+            print(f"[FAIL] pipeline reduce != default trial={t} {h}x{w} k={k} {mode}")
+            failures += 1
+        if t % 5 == 0:
+            print(f"  pipeline soak {t} ok", flush=True)
+
     # batched GIF-style paths under bucketing: random frame counts/sizes.
     for t in range(max(5, trials // 10)):
         h = int(rng.integers(4, 40))
