@@ -823,6 +823,14 @@ class ImageProcessor:
         pixels_u8 = _host_rgb(image.pixels)
         if (sw, sh) == (w, h):
             return pixels_u8
+        if self.pipeline:
+            # The consumers are CPU algorithms (octree/mediancut/wu), so
+            # the device round trip (full-image upload + shrunk readback)
+            # exists only to run the sampler; pipeline mode shrinks on the
+            # host instead — zero transfers, same deviation policy as the
+            # pipelined kmeans palette (bit-equal on CPU; the TPU sampler
+            # can round isolated pixels one u8 step differently).
+            return resize_uint8_np(pixels_u8, sh, sw)
         if self.bucketing:
             padded, _, _ = pad_to_bucket(pixels_u8)
             bh, bw = padded.shape[:2]

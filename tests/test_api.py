@@ -418,6 +418,12 @@ def test_pipelined_palette_matches_default():
     got_b = ImageProcessor(pipeline=True).palette_images(frames, 4)
     want_b = ImageProcessor().palette_images(frames, 4)
     np.testing.assert_array_equal(got_b, want_b)
+    # CPU palette algorithms shrink on the host too under pipeline (their
+    # only device use was the sampler round trip)
+    for algo in (Algorithm.OCTREE, Algorithm.MEDIANCUT, Algorithm.WU):
+        got_a = ImageProcessor(pipeline=True).palette(4, image, algo)
+        want_a = ImageProcessor().palette(4, image, algo)
+        np.testing.assert_array_equal(got_a, want_a)
 
 
 def test_restarts_processor(blobs_image):
