@@ -1009,7 +1009,22 @@ class ImageProcessor:
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
         if self.bucketing:
-            padded, h, w = pad_to_bucket(_host_rgb(image.pixels))
+            rgb = _host_rgb(image.pixels)
+            if self.pipeline:
+                # Host-shrink and treat the strip as the input image: the
+                # bucketed trainer's dynamic resize then reduces to its
+                # exact identity gather, so training runs on exactly the
+                # strip pixels while the upload drops from the image
+                # bucket (~25 MB at 4K) to the strip bucket (~0.2 MB).
+                # Strip buckets also bound the compile set (strips are
+                # <= train_max_size per side). Same deviation policy as
+                # every pipeline path: the host shrink mirrors the device
+                # sampler bit-exactly on CPU, within one u8 step on TPU.
+                w0, h0 = image.dimensions
+                psw, psh = shrunk_dimensions(w0, h0, self.train_max_size)
+                if (psw, psh) != (w0, h0):
+                    rgb = resize_uint8_np(rgb, psh, psw)
+            padded, h, w = pad_to_bucket(rgb)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
             centroids, _ = _train_bucketed_jit(
@@ -1381,7 +1396,17 @@ class ImageProcessor:
         if self.bucketing:
             from kmeans_tpu.utils.bucketing import bucket_k
 
-            padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
+            hosts = [_host_rgb(f.pixels) for f in frames]
+            if self.pipeline:
+                # Host-shrink each frame and treat the strips as the
+                # input frames (the trainer's dynamic resize becomes its
+                # exact identity gather) — B strip-bucket uploads instead
+                # of B image-bucket uploads; same policy as `palette`.
+                psw, psh = shrunk_dimensions(w, h, self.train_max_size)
+                if (psw, psh) != (w, h):
+                    hosts = [resize_uint8_np(p, psh, psw) for p in hosts]
+                    w, h = psw, psh
+            padded = [pad_to_bucket(p)[0] for p in hosts]
             n_pad = bucket_frames(len(padded)) - len(padded)
             padded = np.stack(padded + [padded[0]] * n_pad)
             frame_valid = np.concatenate(

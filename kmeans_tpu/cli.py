@@ -191,7 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--pipeline",
         action="store_true",
         help="transfer-pipelined paths: palette trains on a host-shrunk "
-        "strip (uploads ~0.2 MB instead of the whole image), reduce "
+        "strip (uploads ~0.2 MB instead of the whole image; with "
+        "--bucketing the strip pads to its own small bucket), reduce "
         "streams row bands so readbacks overlap uploads; the host shrink "
         "can round isolated strip pixels one u8 step differently from "
         "the device sampler (see docs/perf.md)",

@@ -18,8 +18,10 @@ entire chain in ONE pass at the memory-bandwidth floor:
   path in 393K pixels, where the Mosaic pow chain showed ulp deviations);
 - the centroid loop walks an SMEM-resident palette with a `k_active`
   mask, so one compiled kernel serves every k <= K_pad; for static
-  kp <= 16 it unrolls to straight-line VPU code (no loop-carried VMEM,
-  1.45x — docs/perf.md), larger palettes keep a `fori_loop`;
+  kp <= UNROLL_KP_MAX (256) it unrolls to straight-line VPU code (no
+  loop-carried VMEM; 1.45x at k=8 round 1, 2.1-2.4x on the exact
+  k=64/256 shapes round 2 — docs/perf.md), 257..512 keep a `fori_loop`
+  (their straight-line programs fail to compile);
 - pixel coordinates for the 4x4 Bayer matrix are derived from the flat
   element index (closed form: M4[y][x] = 4*((2x+3y)&3 of low bits) +
   ((2x+3y)&3 of high bits)), no table lookup.
@@ -50,13 +52,27 @@ from jax.experimental.pallas import tpu as pltpu
 from kmeans_tpu.ops import colorspace as cs
 
 # Tile heights measured independently per kernel shape (re-swept on
-# hardware after the round-2 gamma-LUT change; docs/perf.md): the
-# UNROLLED small-k quantize kernel pipelines best at 256 rows (0.629 vs
-# 0.714 ms at 128, 4K k=8), the ROLLED k>16 kernel at 128 (its three
-# loop-carried VMEM buffers scale with the tile: 6.00 vs 6.65 ms at 4K
-# k=64), and the Lloyd accumulator at 128 (0.496 vs 0.621 ms).
+# hardware after the round-2 gamma-LUT change and again after the
+# full-unroll cutoff change; docs/perf.md): the small-k quantize kernel
+# pipelines best at 256 rows (0.629 vs 0.714 ms at 128, 4K k=8); k > 16
+# keeps 128 whether rolled (6.00 vs 6.65 ms at 4K k=64) or fully
+# unrolled (2.51 vs 4.21 ms — and the unrolled k=256 program fails to
+# compile at 256 rows); the Lloyd accumulator at 128 (0.496 vs 0.621).
 QUANT_TILE_ROWS = 256          # unrolled quantize/assign (kp <= 16)
 QUANT_TILE_ROWS_ROLLED = 128   # rolled quantize/assign (kp > 16)
+# Full-unroll cutoff for the quantize centroid loop: palettes with
+# kp <= this unroll to straight-line VPU code (no loop-carried VMEM);
+# larger ones keep a fori_loop to bound program size. Trip order and
+# per-trip arithmetic are identical either way, so the knob is
+# bit-transparent (verified bit-equal ON HARDWARE at k=64/256,
+# exact+fast). Mosaic's loop lowering supports only unroll=1 or full
+# unroll (partial `unroll=` raises NotImplementedError). Swept on
+# hardware (tools/exp_unroll*.py, docs/perf.md): 256 is the measured
+# optimum — full unroll is 2.1-2.4x on the exact k=64/256 shapes
+# (6.08 -> 2.51 ms, 22.8 -> 10.6 ms at 4K) and 1.1-1.2x on the
+# factorized-fast ones, while kp=512 straight-line programs fail to
+# compile (remote tpu_compile_helper crash) so 257..512 stay rolled.
+UNROLL_KP_MAX = 256
 ACCUM_TILE_ROWS = 128
 TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128
@@ -412,10 +428,11 @@ def _quantize_kernel(
         return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
 
     def k_loop(body, init):
-        # kp is static: unroll small palettes into straight-line VPU code
-        # (no loop-carried VMEM); large palettes keep the rolled loop to
-        # bound program size. Same operations in the same order either way.
-        if kp <= 16:
+        # kp is static: unroll palettes up to UNROLL_KP_MAX into
+        # straight-line VPU code (no loop-carried VMEM); larger palettes
+        # keep the rolled loop to bound program size. Same operations in
+        # the same order either way, so outputs are bit-identical.
+        if kp <= UNROLL_KP_MAX:
             carry = init
             for k in range(kp):
                 carry = body(k, carry)

@@ -424,6 +424,18 @@ def test_pipelined_palette_matches_default():
         got_a = ImageProcessor(pipeline=True).palette(4, image, algo)
         want_a = ImageProcessor().palette(4, image, algo)
         np.testing.assert_array_equal(got_a, want_a)
+    # bucketed palette: pipeline host-shrinks and pads the STRIP to its
+    # (much smaller) bucket; the trainer's dynamic resize reduces to the
+    # exact identity gather, so on CPU the palette matches the bucketed
+    # default exactly
+    got_bk = ImageProcessor(bucketing=True, pipeline=True).palette(4, image)
+    want_bk = ImageProcessor(bucketing=True).palette(4, image)
+    np.testing.assert_array_equal(got_bk, want_bk)
+    got_bf = ImageProcessor(bucketing=True, pipeline=True).palette_images(
+        frames, 4
+    )
+    want_bf = ImageProcessor(bucketing=True).palette_images(frames, 4)
+    np.testing.assert_array_equal(got_bf, want_bf)
 
 
 def test_restarts_processor(blobs_image):
