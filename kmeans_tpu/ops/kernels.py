@@ -20,8 +20,9 @@ entire chain in ONE pass at the memory-bandwidth floor:
   mask, so one compiled kernel serves every k <= K_pad; for static
   kp <= UNROLL_KP_MAX (256) it unrolls to straight-line VPU code (no
   loop-carried VMEM; 1.45x at k=8 round 1, 2.1-2.4x on the exact
-  k=64/256 shapes round 2 — docs/perf.md), 257..512 keep a `fori_loop`
-  (their straight-line programs fail to compile);
+  k=64/256 shapes round 2 — docs/perf.md); kp=512 (whose straight-line
+  program fails to compile) runs a `fori_loop` over fully-unrolled
+  UNROLL_CHUNK-trip chunks (2.0x exact — docs/perf.md);
 - pixel coordinates for the 4x4 Bayer matrix are derived from the flat
   element index (closed form: M4[y][x] = 4*((2x+3y)&3 of low bits) +
   ((2x+3y)&3 of high bits)), no table lookup.
@@ -71,8 +72,16 @@ QUANT_TILE_ROWS_ROLLED = 128   # rolled quantize/assign (kp > 16)
 # optimum — full unroll is 2.1-2.4x on the exact k=64/256 shapes
 # (6.08 -> 2.51 ms, 22.8 -> 10.6 ms at 4K) and 1.1-1.2x on the
 # factorized-fast ones, while kp=512 straight-line programs fail to
-# compile (remote tpu_compile_helper crash) so 257..512 stay rolled.
+# compile (remote tpu_compile_helper crash) — kp=512 runs the chunked
+# form below instead.
 UNROLL_KP_MAX = 256
+# Chunk size of the kp > UNROLL_KP_MAX (i.e. kp == 512) quantize loop:
+# a fori_loop over fully-unrolled UNROLL_CHUNK-trip chunks. Swept on
+# hardware (tools/exp_chunk.py, docs/perf.md): 4K k=512 exact
+# 44.35 -> 22.12 ms at chunk 128 (2.0x; 64/256 within 2.5%), fast
+# 15.44 -> 13.65/14.31 ms (64/128). Bit-equal across chunk sizes on
+# device (chunk 1 IS the round-1 rolled loop, trip for trip).
+UNROLL_CHUNK = 128
 ACCUM_TILE_ROWS = 128
 TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128
@@ -430,14 +439,30 @@ def _quantize_kernel(
     def k_loop(body, init):
         # kp is static: unroll palettes up to UNROLL_KP_MAX into
         # straight-line VPU code (no loop-carried VMEM); larger palettes
-        # keep the rolled loop to bound program size. Same operations in
-        # the same order either way, so outputs are bit-identical.
+        # (kp is a power of two, so only 512) run a fori_loop over
+        # UNROLL_CHUNK-trip fully-unrolled chunks — program size stays
+        # bounded at one chunk while the loop-carried VMEM cost
+        # amortizes over the chunk. Trip order and per-trip arithmetic
+        # are identical in all three forms, so outputs are bit-identical
+        # (chunk size 1 degenerates to the round-1 rolled loop).
         if kp <= UNROLL_KP_MAX:
             carry = init
             for k in range(kp):
                 carry = body(k, carry)
             return carry
-        return jax.lax.fori_loop(0, kp, body, init)
+        chunk = min(UNROLL_CHUNK, kp)
+        n_full = kp // chunk
+
+        def chunk_body(c, carry):
+            base = c * chunk
+            for j in range(chunk):
+                carry = body(base + j, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n_full, chunk_body, init)
+        for k in range(n_full * chunk, kp):  # kp % chunk tail (none today)
+            carry = body(k, carry)
+        return carry
 
     if metric == "cie94":
         # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist
