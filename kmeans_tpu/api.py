@@ -778,12 +778,7 @@ class ImageProcessor:
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        if self.pipeline and (sw, sh) != (w, h):
-            upload = jnp.asarray(
-                resize_uint8_np(_host_rgb(image.pixels), sh, sw)
-            )
-        else:
-            upload = jnp.asarray(_host_rgb(image.pixels))
+        upload = jnp.asarray(self._pipeline_strip(_host_rgb(image.pixels), w, h))
         centroids, iters = _train_jit(
             upload,
             k,
@@ -839,6 +834,29 @@ class ImageProcessor:
                 _canvas_shrink_jit(jnp.asarray(padded), canvas, h, w, sh, sw)
             )[:sh, :sw]
         return np.asarray(resize_uint8(jnp.asarray(pixels_u8), sh, sw))
+
+    def _pipeline_strip_dims(self, w: int, h: int) -> tuple[int, int]:
+        """Dims of the host-shrunk training strip `_pipeline_strip`
+        produces — `(w, h)` unchanged when pipeline mode is off (or no
+        shrink applies)."""
+        if self.pipeline:
+            return shrunk_dimensions(w, h, self.train_max_size)
+        return w, h
+
+    def _pipeline_strip(self, rgb_u8: np.ndarray, w: int, h: int) -> np.ndarray:
+        """Pipeline mode's host shrink of a training input: resample
+        `[h, w, 3]` u8 RGB down to the training-strip dims on the HOST
+        (`resize_uint8_np`, the numpy mirror of the device sampler) so
+        only the ~0.2 MB strip uploads instead of the full image
+        (~25 MB at 4K). Identity when pipeline mode is off or the image
+        is already within `train_max_size`. Deviation policy (why this
+        is opt-in): bit-equal to the device shrink on CPU; on TPU the
+        f32 resample can round isolated strip pixels one u8 step
+        differently (docs/perf.md)."""
+        sw, sh = self._pipeline_strip_dims(w, h)
+        if (sw, sh) == (w, h):
+            return rgb_u8
+        return resize_uint8_np(rgb_u8, sh, sw)
 
     def _bucket_train_args(self, w: int, h: int, bw: int, bh: int):
         """Static canvas shape, dynamic shrunk dims, and the seed pixel's
@@ -1009,21 +1027,14 @@ class ImageProcessor:
         if algo is not Algorithm.KMEANS:
             return self._cpu_palette_u8(image, color_count, algo)
         if self.bucketing:
-            rgb = _host_rgb(image.pixels)
-            if self.pipeline:
-                # Host-shrink and treat the strip as the input image: the
-                # bucketed trainer's dynamic resize then reduces to its
-                # exact identity gather, so training runs on exactly the
-                # strip pixels while the upload drops from the image
-                # bucket (~25 MB at 4K) to the strip bucket (~0.2 MB).
-                # Strip buckets also bound the compile set (strips are
-                # <= train_max_size per side). Same deviation policy as
-                # every pipeline path: the host shrink mirrors the device
-                # sampler bit-exactly on CPU, within one u8 step on TPU.
-                w0, h0 = image.dimensions
-                psw, psh = shrunk_dimensions(w0, h0, self.train_max_size)
-                if (psw, psh) != (w0, h0):
-                    rgb = resize_uint8_np(rgb, psh, psw)
+            # Pipeline mode host-shrinks FIRST and treats the strip as
+            # the input image: the bucketed trainer's dynamic resize
+            # reduces to its exact identity gather, the upload drops
+            # from the image bucket (~25 MB at 4K) to the strip bucket
+            # (~0.2 MB), and strip buckets bound the compile set
+            # (strips are <= train_max_size per side).
+            w0, h0 = image.dimensions
+            rgb = self._pipeline_strip(_host_rgb(image.pixels), w0, h0)
             padded, h, w = pad_to_bucket(rgb)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
@@ -1396,17 +1407,17 @@ class ImageProcessor:
         if self.bucketing:
             from kmeans_tpu.utils.bucketing import bucket_k
 
-            hosts = [_host_rgb(f.pixels) for f in frames]
-            if self.pipeline:
-                # Host-shrink each frame and treat the strips as the
-                # input frames (the trainer's dynamic resize becomes its
-                # exact identity gather) — B strip-bucket uploads instead
-                # of B image-bucket uploads; same policy as `palette`.
-                psw, psh = shrunk_dimensions(w, h, self.train_max_size)
-                if (psw, psh) != (w, h):
-                    hosts = [resize_uint8_np(p, psh, psw) for p in hosts]
-                    w, h = psw, psh
-            padded = [pad_to_bucket(p)[0] for p in hosts]
+            # Pipeline mode host-shrinks each frame and treats the strips
+            # as the input frames (the trainer's dynamic resize becomes
+            # its exact identity gather) — B strip-bucket uploads instead
+            # of B image-bucket uploads; same policy as `palette`. Each
+            # frame's full-res host RGB stays transient inside the
+            # comprehension (peak host RAM = one frame + the padded set).
+            padded = [
+                pad_to_bucket(self._pipeline_strip(_host_rgb(f.pixels), w, h))[0]
+                for f in frames
+            ]
+            w, h = self._pipeline_strip_dims(w, h)
             n_pad = bucket_frames(len(padded)) - len(padded)
             padded = np.stack(padded + [padded[0]] * n_pad)
             frame_valid = np.concatenate(
@@ -1426,17 +1437,11 @@ class ImageProcessor:
             return _palette_readback(centroids, color_count)
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        if self.pipeline and (sw, sh) != (w, h):
-            # Training-only call: host-shrink each frame and upload the
-            # strips (B x ~0.2 MB) instead of the full stack — same
-            # policy/deviation as `extract_palette_kmeans` pipeline mode.
-            stack = jnp.asarray(
-                np.stack(
-                    [resize_uint8_np(_host_rgb(f.pixels), sh, sw) for f in frames]
-                )
-            )
-        else:
-            stack = jnp.asarray(np.stack([_host_rgb(f.pixels) for f in frames]))
+        # Training-only call: pipeline mode uploads host-shrunk strips
+        # (B x ~0.2 MB) instead of the full stack.
+        stack = jnp.asarray(
+            np.stack([self._pipeline_strip(_host_rgb(f.pixels), w, h) for f in frames])
+        )
         centroids, _ = _train_frames_jit(
             stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,
             metric=self.delta_e, restarts=self.restarts,

@@ -18,11 +18,13 @@ entire chain in ONE pass at the memory-bandwidth floor:
   path in 393K pixels, where the Mosaic pow chain showed ulp deviations);
 - the centroid loop walks an SMEM-resident palette with a `k_active`
   mask, so one compiled kernel serves every k <= K_pad; for static
-  kp <= UNROLL_KP_MAX (256) it unrolls to straight-line VPU code (no
-  loop-carried VMEM; 1.45x at k=8 round 1, 2.1-2.4x on the exact
+  CIE94 palettes up to UNROLL_KP_MAX (256) it unrolls to straight-line
+  VPU code (no loop-carried VMEM; 1.45x at k=8 round 1, 2.1-2.6x on the
   k=64/256 shapes round 2 — docs/perf.md); kp=512 (whose straight-line
   program fails to compile) runs a `fori_loop` over fully-unrolled
-  UNROLL_CHUNK-trip chunks (2.0x exact — docs/perf.md);
+  UNROLL_CHUNK-trip chunks (2.0x exact — docs/perf.md); CIEDE2000
+  palettes above 16 stay rolled (trig-chain-bound: zero measured gain,
+  76-636 s remote compiles, form-dependent bits — tools/exp_unroll3.py);
 - pixel coordinates for the 4x4 Bayer matrix are derived from the flat
   element index (closed form: M4[y][x] = 4*((2x+3y)&3 of low bits) +
   ((2x+3y)&3 of high bits)), no table lookup.
@@ -59,21 +61,25 @@ from kmeans_tpu.ops import colorspace as cs
 # keeps 128 whether rolled (6.00 vs 6.65 ms at 4K k=64) or fully
 # unrolled (2.51 vs 4.21 ms — and the unrolled k=256 program fails to
 # compile at 256 rows); the Lloyd accumulator at 128 (0.496 vs 0.621).
-QUANT_TILE_ROWS = 256          # unrolled quantize/assign (kp <= 16)
-QUANT_TILE_ROWS_ROLLED = 128   # rolled quantize/assign (kp > 16)
-# Full-unroll cutoff for the quantize centroid loop: palettes with
-# kp <= this unroll to straight-line VPU code (no loop-carried VMEM);
-# larger ones keep a fori_loop to bound program size. Trip order and
-# per-trip arithmetic are identical either way, so the knob is
-# bit-transparent (verified bit-equal ON HARDWARE at k=64/256,
-# exact+fast). Mosaic's loop lowering supports only unroll=1 or full
-# unroll (partial `unroll=` raises NotImplementedError). Swept on
-# hardware (tools/exp_unroll*.py, docs/perf.md): 256 is the measured
-# optimum — full unroll is 2.1-2.4x on the exact k=64/256 shapes
-# (6.08 -> 2.51 ms, 22.8 -> 10.6 ms at 4K) and 1.1-1.2x on the
-# factorized-fast ones, while kp=512 straight-line programs fail to
-# compile (remote tpu_compile_helper crash) — kp=512 runs the chunked
-# form below instead.
+QUANT_TILE_ROWS = 256          # small-palette quantize/assign (kp <= 16)
+QUANT_TILE_ROWS_ROLLED = 128   # large-palette quantize/assign (kp > 16,
+#                                unrolled, chunked, or rolled alike)
+# Full-unroll cutoff for the CIE94 quantize centroid loop: palettes
+# with kp <= this unroll to straight-line VPU code (no loop-carried
+# VMEM). Mosaic's loop lowering supports only unroll=1 or full unroll
+# (partial `unroll=` raises NotImplementedError). Swept on hardware
+# (tools/exp_unroll*.py, docs/perf.md): 256 is the measured optimum —
+# full unroll is 2.1-2.4x on the exact k=64/256 replace shapes
+# (6.08 -> 2.51 ms, 22.8 -> 10.6 ms at 4K), 2.4-2.6x on meld, and
+# 1.1-1.2x on the factorized-fast ones, while kp=512 straight-line
+# programs fail to compile (remote tpu_compile_helper crash) — kp=512
+# runs the chunked form instead. CIEDE2000 ignores both knobs and stays
+# rolled above 16 (see k_loop in _quantize_kernel: zero gain, 76-636 s
+# compiles, form-dependent bits — tools/exp_unroll3.py).
+# Bit-stability ON HARDWARE is per-variant, asserted where it matters:
+# replace exact+fast and dither are bit-equal across every form AND
+# (dither/replace) vs the XLA twin; meld's 8-carry body can flip
+# knife-edge ties between forms on some data (tools/exp_unroll3/4.py).
 UNROLL_KP_MAX = 256
 # Chunk size of the kp > UNROLL_KP_MAX (i.e. kp == 512) quantize loop:
 # a fori_loop over fully-unrolled UNROLL_CHUNK-trip chunks. Swept on
@@ -437,20 +443,35 @@ def _quantize_kernel(
         return cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2]
 
     def k_loop(body, init):
-        # kp is static: unroll palettes up to UNROLL_KP_MAX into
-        # straight-line VPU code (no loop-carried VMEM); larger palettes
-        # (kp is a power of two, so only 512) run a fori_loop over
-        # UNROLL_CHUNK-trip fully-unrolled chunks — program size stays
-        # bounded at one chunk while the loop-carried VMEM cost
-        # amortizes over the chunk. Trip order and per-trip arithmetic
-        # are identical in all three forms, so outputs are bit-identical
-        # (chunk size 1 degenerates to the round-1 rolled loop).
-        if kp <= UNROLL_KP_MAX:
+        # kp is static. The unroll policy is METRIC-aware (all measured,
+        # tools/exp_unroll*.py + exp_chunk.py, docs/perf.md):
+        # - cie94: unroll up to UNROLL_KP_MAX into straight-line VPU
+        #   code (no loop-carried VMEM; 2.1-2.6x); kp=512 (kp is a power
+        #   of two) runs a fori_loop over UNROLL_CHUNK-trip fully-
+        #   unrolled chunks (2.0x, program bounded at one chunk).
+        #   replace/dither outputs measured bit-equal across every form
+        #   on device; meld's 8-carry body is NOT form-bit-stable on all
+        #   data (Mosaic contracts FMAs differently — knife-edge ties
+        #   can flip on ~4e-5 of pixels; no form matches the XLA twin
+        #   bit-exactly on hardware anyway, and the enforced bars —
+        #   interpret-mode bit-equality, golden quality — hold for every
+        #   form), so meld takes the 2.4-2.6x too.
+        # - cie2000: ALWAYS rolled above 16 — straight-line/chunked
+        #   forms measured ZERO speedup (the body is trig-chain-bound,
+        #   not carry-bound), 76-636 s remote compiles, and form-
+        #   dependent bits. Identical program to round 1.
+        # Trip order and per-trip arithmetic are identical in all forms.
+        kp_max, chunk = (
+            (UNROLL_KP_MAX, UNROLL_CHUNK) if metric == "cie94" else (16, 1)
+        )
+        if kp <= kp_max:
             carry = init
             for k in range(kp):
                 carry = body(k, carry)
             return carry
-        chunk = min(UNROLL_CHUNK, kp)
+        if chunk <= 1:
+            return jax.lax.fori_loop(0, kp, body, init)
+        chunk = min(chunk, kp)
         n_full = kp // chunk
 
         def chunk_body(c, carry):
@@ -485,10 +506,11 @@ def _quantize_kernel(
         # (mathematically redundant) dhab_sq >= 0 clamp, so knife-edge
         # ties can flip — opt-in, documented in docs/perf.md (measured
         # 1.7x over the round-2 reciprocal-hoisted fast form at 4K k=64,
-        # 1.9x at k=256; mismatch vs exact ~2e-6 of pixels). Only engaged
-        # for the rolled loop (kp > 16, `_factor_mode`); the unrolled
-        # small-k kernel is transcendental-bound and keeps exact divides
-        # (and bit-parity) even under fast=True.
+        # 1.9x at k=256; mismatch vs exact ~2e-6 of pixels). Engaged by
+        # palette size (kp > 16, `_factor_mode`), NOT by loop form —
+        # kp=64/256 are unrolled AND factorized under fast=True. Only
+        # the kp <= 16 kernels (transcendental-bound) keep exact divides
+        # — and therefore bit-parity — under fast=True.
         fast = factor
         if fast:
             rsh2_p = 1.0 / sh2_p
