@@ -177,26 +177,45 @@ def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
     k_active=None, metric="cie94", restarts=1, fast=False,
 ):
-    # The Pallas trainer unrolls its centroid loop and supports k <= 64;
-    # larger k falls back to the one-hot matmul path regardless of size.
-    # Only kernel-supported metrics may route to it. Multi-restart training
-    # routes to fit_large_restarts (sequential Pallas runs + accumulator
-    # inertia) so full-resolution restarts never materialize the XLA
-    # path's [N, K] one-hot.
+    # The Pallas trainer unrolls its centroid loops and supports
+    # k <= ACCUM_MAX_K (512); k <= 64 routes to it for any large-N
+    # training, 65..512 only past the chunked-trainer budget (below it
+    # the unchunked XLA protocol stays, bit-exact). Only kernel-supported
+    # metrics may route to it. Multi-restart training routes to
+    # fit_large_restarts (sequential Pallas runs + accumulator inertia)
+    # so full-resolution restarts never materialize the XLA path's
+    # [N, K] one-hot.
     from kmeans_tpu.ops.kernels import PALLAS_METRICS
+
+    from kmeans_tpu.ops.kernels import ACCUM_MAX_K
 
     if use_pallas is None:
         use_pallas = _pallas_available()
+    pallas_ok = use_pallas and metric in PALLAS_METRICS
     large_n = work.shape[0] > _LARGE_TRAIN_PIXELS
-    large = large_n and k <= 64 and use_pallas and metric in PALLAS_METRICS
+    large = large_n and k <= 64 and pallas_ok
     if k > 64 and work.shape[0] * k > _CHUNKED_TRAIN_ELEMS:
-        # Beyond the accumulator's k <= 64 AND past the memory budget
-        # where the plain trainer's [N, K] one-hot/distance intermediates
-        # turn into multi-GB allocations (full-resolution training at
-        # k = 256 previously OOM-class): the row-chunked XLA trainer.
-        # Chunk partial sums reorder f32 additions, so this kicks in ONLY
-        # where the bit-exact path was never viable — smaller trainings
-        # keep the unchunked (bit-exact) protocol.
+        # Past the memory budget where the plain trainer's [N, K]
+        # one-hot/distance intermediates turn into multi-GB allocations
+        # (full-resolution training at k = 256 previously OOM-class).
+        # Both replacements reorder f32 additions relative to the plain
+        # protocol, so this kicks in ONLY where the bit-exact path was
+        # never viable — smaller trainings keep the unchunked protocol.
+        # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
+        # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
+        # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
+        # docs/perf.md); the XLA trainer remains the CPU/over-cap route.
+        if pallas_ok and k <= ACCUM_MAX_K:
+            if restarts > 1:
+                return kmeans_model.fit_large_restarts(
+                    work, k, first_index, restarts=restarts,
+                    convergence=convergence, weight=weight,
+                    k_active=k_active, metric=metric, fast=fast,
+                )
+            return kmeans_model.fit_large(
+                work, k, first_index, convergence=convergence, weight=weight,
+                k_active=k_active, metric=metric, fast=fast,
+            )
         return kmeans_model.fit_chunked(
             work, k, first_index, restarts=restarts, convergence=convergence,
             weight=weight, k_active=k_active, metric=metric,

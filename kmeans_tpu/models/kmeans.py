@@ -565,10 +565,13 @@ def lloyd_chunked(
     metric: str = "cie94",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """`lloyd` with every [N, K] intermediate row-chunked (`lax.map`):
-    the memory-bounded XLA trainer for LARGE pixel counts at palettes the
-    Pallas accumulator does not cover (k > 64) — full-resolution training
-    at k = 256 would otherwise materialize multi-GB one-hot/distance
-    matrices. Same termination protocol; results match `lloyd` up to f32
+    the memory-bounded XLA trainer for LARGE pixel counts where the
+    Pallas accumulator cannot run (no TPU, unsupported metric, or
+    k > ACCUM_MAX_K) — full-resolution training at k = 256 would
+    otherwise materialize multi-GB one-hot/distance matrices. On TPU the
+    accumulator covers k <= 512 and is 1.5-5.2x faster per iteration
+    (tools/exp_accum2.py), so this is the fallback, not the default.
+    Same termination protocol; results match `lloyd` up to f32
     partial-sum reordering."""
     k = centroids.shape[0]
     k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)

@@ -88,6 +88,11 @@ UNROLL_KP_MAX = 256
 # 15.44 -> 13.65/14.31 ms (64/128). Bit-equal across chunk sizes on
 # device (chunk 1 IS the round-1 rolled loop, trip for trip).
 UNROLL_CHUNK = 128
+# Largest palette the Lloyd tile accumulator accepts. Its two Python
+# loops (distance + per-cluster mask reductions) fully unroll over kp,
+# so this bounds kernel program size; swept on hardware
+# (tools/exp_accum2.py, docs/perf.md).
+ACCUM_MAX_K = 512
 ACCUM_TILE_ROWS = 128
 TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128
@@ -981,8 +986,8 @@ def lloyd_accumulate(
     with emit_inertia, the divide-free algebraic distance) — knife-edge
     assignments may flip; see `_lloyd_acc_kernel`."""
     kp = centroids.shape[0]
-    if kp > 64:
-        raise ValueError("training kernel supports k <= 64")
+    if kp > ACCUM_MAX_K:
+        raise ValueError(f"training kernel supports k <= {ACCUM_MAX_K}")
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     m = lab_planes.shape[1]

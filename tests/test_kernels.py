@@ -101,6 +101,51 @@ def test_lloyd_accumulate_matches_matmul():
     np.testing.assert_allclose(totals[:, 3], np.asarray(counts), atol=0)
 
 
+def test_lloyd_accumulate_gate_and_large_k_routing(monkeypatch):
+    """The accumulator accepts k up to ACCUM_MAX_K (512) and the k>64
+    over-budget training route prefers it over the row-chunked XLA
+    trainer when Pallas is available. Correctness at k=128/256/512 is
+    hardware-verified (counts exactly equal to the one-hot path over
+    8.3M pixels, sums within 7e-6 relative — tools/exp_accum2.py;
+    interpret-mode runs at k>64 are infeasible: the CPU XLA compile of
+    the unrolled program takes 170+ s at k=64). This test checks the
+    gate and the routing decision without compiling kernels."""
+    import pytest
+
+    from kmeans_tpu import api
+    from kmeans_tpu.ops.kernels import (
+        ACCUM_MAX_K,
+        lloyd_accumulate,
+        pack_lab_planes,
+    )
+
+    assert ACCUM_MAX_K == 512
+    planes, n = pack_lab_planes(jnp.zeros((100, 3), jnp.float32))
+    with pytest.raises(ValueError, match="k <= 512"):
+        lloyd_accumulate(planes, jnp.zeros((513, 3), jnp.float32), n)
+
+    calls = []
+    monkeypatch.setattr(
+        api.kmeans_model, "fit_large",
+        lambda *a, **k: (calls.append("pallas"), (None, None))[1],
+    )
+    monkeypatch.setattr(
+        api.kmeans_model, "fit_large_restarts",
+        lambda *a, **k: (calls.append("pallas_restarts"), (None, None))[1],
+    )
+    monkeypatch.setattr(
+        api.kmeans_model, "fit_chunked",
+        lambda *a, **k: (calls.append("chunked"), (None, None))[1],
+    )
+    # 2M x 128 = 256M elems > _CHUNKED_TRAIN_ELEMS: the over-budget route.
+    work = jnp.zeros((2_000_000, 3), jnp.float32)
+    api._fit_auto(work, 128, 0, 1.0, use_pallas=True)
+    api._fit_auto(work, 128, 0, 1.0, use_pallas=True, restarts=3)
+    api._fit_auto(work, 128, 0, 1.0, use_pallas=False)  # CPU fallback
+    api._fit_auto(work, 600, 0, 1.0, use_pallas=True)  # beyond ACCUM_MAX_K
+    assert calls == ["pallas", "pallas_restarts", "chunked", "chunked"]
+
+
 def test_lloyd_accumulate_emit_inertia():
     """emit_inertia adds a 5th column = per-cluster weighted sums of the
     squared distance to the assigned (nearest) centroid; columns 0-3 are
