@@ -146,10 +146,12 @@ def _train_jit(
 # Above this many training pixels, the matmul update's [N, K] one-hot
 # intermediate dominates HBM; switch to the Pallas tile accumulator.
 _LARGE_TRAIN_PIXELS = 1 << 20
-# For k > 64 (beyond the accumulator), route to the row-chunked XLA
-# trainer only when N*K crosses this element budget (~768 MB per f32
-# [N, K] intermediate) — where the unchunked path was OOM-class anyway.
-# Below it, defaults stay on the bit-exact unchunked protocol.
+# For k > 64, leave the bit-exact unchunked XLA protocol only when N*K
+# crosses this element budget (~768 MB per f32 [N, K] intermediate) —
+# where that path was OOM-class anyway. Past it, the Pallas tile
+# accumulator takes over (k <= ACCUM_MAX_K, 1.5-5.2x/iter on hardware);
+# the row-chunked XLA trainer is the CPU/unsupported-metric/k>512
+# fallback (see _fit_auto).
 _CHUNKED_TRAIN_ELEMS = 192 * (1 << 20)
 
 
@@ -185,42 +187,13 @@ def _fit_auto(
     # fit_large_restarts (sequential Pallas runs + accumulator inertia)
     # so full-resolution restarts never materialize the XLA path's
     # [N, K] one-hot.
-    from kmeans_tpu.ops.kernels import PALLAS_METRICS
-
-    from kmeans_tpu.ops.kernels import ACCUM_MAX_K
+    from kmeans_tpu.ops.kernels import ACCUM_MAX_K, PALLAS_METRICS
 
     if use_pallas is None:
         use_pallas = _pallas_available()
     pallas_ok = use_pallas and metric in PALLAS_METRICS
-    large_n = work.shape[0] > _LARGE_TRAIN_PIXELS
-    large = large_n and k <= 64 and pallas_ok
-    if k > 64 and work.shape[0] * k > _CHUNKED_TRAIN_ELEMS:
-        # Past the memory budget where the plain trainer's [N, K]
-        # one-hot/distance intermediates turn into multi-GB allocations
-        # (full-resolution training at k = 256 previously OOM-class).
-        # Both replacements reorder f32 additions relative to the plain
-        # protocol, so this kicks in ONLY where the bit-exact path was
-        # never viable — smaller trainings keep the unchunked protocol.
-        # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
-        # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
-        # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
-        # docs/perf.md); the XLA trainer remains the CPU/over-cap route.
-        if pallas_ok and k <= ACCUM_MAX_K:
-            if restarts > 1:
-                return kmeans_model.fit_large_restarts(
-                    work, k, first_index, restarts=restarts,
-                    convergence=convergence, weight=weight,
-                    k_active=k_active, metric=metric, fast=fast,
-                )
-            return kmeans_model.fit_large(
-                work, k, first_index, convergence=convergence, weight=weight,
-                k_active=k_active, metric=metric, fast=fast,
-            )
-        return kmeans_model.fit_chunked(
-            work, k, first_index, restarts=restarts, convergence=convergence,
-            weight=weight, k_active=k_active, metric=metric,
-        )
-    if large:
+
+    def fit_pallas():
         # fast only changes the Pallas trainer for k > 16 (the gate sits
         # in lloyd_pallas, matching the quantize kernels' policy).
         if restarts > 1:
@@ -233,6 +206,26 @@ def _fit_auto(
             work, k, first_index, convergence=convergence, weight=weight,
             k_active=k_active, metric=metric, fast=fast,
         )
+
+    if k > 64 and work.shape[0] * k > _CHUNKED_TRAIN_ELEMS:
+        # Past the memory budget where the plain trainer's [N, K]
+        # one-hot/distance intermediates turn into multi-GB allocations
+        # (full-resolution training at k = 256 previously OOM-class).
+        # Both replacements reorder f32 additions relative to the plain
+        # protocol, so this kicks in ONLY where the bit-exact path was
+        # never viable — smaller trainings keep the unchunked protocol.
+        # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
+        # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
+        # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
+        # docs/perf.md); the XLA trainer remains the CPU/over-cap route.
+        if pallas_ok and k <= ACCUM_MAX_K:
+            return fit_pallas()
+        return kmeans_model.fit_chunked(
+            work, k, first_index, restarts=restarts, convergence=convergence,
+            weight=weight, k_active=k_active, metric=metric,
+        )
+    if pallas_ok and k <= 64 and work.shape[0] > _LARGE_TRAIN_PIXELS:
+        return fit_pallas()
     return kmeans_model.fit_restarts(
         work, k, first_index, restarts=restarts, convergence=convergence,
         weight=weight, k_active=k_active, metric=metric,

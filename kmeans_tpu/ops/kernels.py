@@ -88,6 +88,13 @@ UNROLL_KP_MAX = 256
 # 15.44 -> 13.65/14.31 ms (64/128). Bit-equal across chunk sizes on
 # device (chunk 1 IS the round-1 rolled loop, trip for trip).
 UNROLL_CHUNK = 128
+# Loop-form knobs for the NON-cie94 (CIEDE2000) quantize loop: pinned
+# rolled above 16 by measurement (zero gain, 76-636 s compiles,
+# form-dependent bits — tools/exp_unroll3.py). Module-level so the
+# experiment scripts can re-sweep it on a future jax/Mosaic build; the
+# production default must stay (16, 1) unless re-measured.
+UNROLL_KP_MAX_2000 = 16
+UNROLL_CHUNK_2000 = 1
 # Largest palette the Lloyd tile accumulator accepts. Its two Python
 # loops (distance + per-cluster mask reductions) fully unroll over kp,
 # so this bounds kernel program size; swept on hardware
@@ -325,9 +332,11 @@ def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2, c1=None):
 
 
 def _factor_mode(fast: bool, metric: str, kp: int) -> bool:
-    """True when the quantize kernel runs the factorized fast CIE94 score
-    (rolled-loop palettes only) — the kernel and its wrapper MUST agree on
-    this predicate, since it adds the SMEM G-table operand."""
+    """True when the quantize kernel runs the factorized fast CIE94 score.
+    Keyed on palette SIZE (kp > 16), not loop form — kp=64/256 palettes
+    are unrolled AND factorized under fast=True. The kernel and its
+    wrapper MUST agree on this predicate, since it adds the SMEM G-table
+    operand."""
     return bool(fast) and metric == "cie94" and kp > 16
 
 
@@ -467,7 +476,9 @@ def _quantize_kernel(
         #   dependent bits. Identical program to round 1.
         # Trip order and per-trip arithmetic are identical in all forms.
         kp_max, chunk = (
-            (UNROLL_KP_MAX, UNROLL_CHUNK) if metric == "cie94" else (16, 1)
+            (UNROLL_KP_MAX, UNROLL_CHUNK)
+            if metric == "cie94"
+            else (UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
         )
         if kp <= kp_max:
             carry = init

@@ -84,6 +84,10 @@ def main() -> None:
     for sname, kp_max, chunk in settings:
         kernels.UNROLL_KP_MAX = kp_max
         kernels.UNROLL_CHUNK = chunk
+        # cie2000 is pinned rolled in production (UNROLL_*_2000); sweep
+        # its loop form too so this script stays reproducible.
+        kernels.UNROLL_KP_MAX_2000 = kp_max
+        kernels.UNROLL_CHUNK_2000 = chunk
         jax.clear_caches()  # force retrace so the knobs are re-read
         for label, k, metric, mode in cases:
             cents = cents_for(k)
