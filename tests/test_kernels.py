@@ -120,6 +120,12 @@ def test_lloyd_accumulate_gate_and_large_k_routing(monkeypatch):
     )
 
     assert ACCUM_MAX_K == 512
+    # Shipped loop-form policy (conftest pins small knobs for interpret
+    # compile speed; the production values are stashed there).
+    from kmeans_tpu.ops import kernels as _k
+
+    assert getattr(_k, "PROD_UNROLL_KNOBS", None) == (256, 128)
+    assert (_k.UNROLL_KP_MAX_2000, _k.UNROLL_CHUNK_2000) == (16, 1)
     planes, n = pack_lab_planes(jnp.zeros((100, 3), jnp.float32))
     with pytest.raises(ValueError, match="k <= 512"):
         lloyd_accumulate(planes, jnp.zeros((513, 3), jnp.float32), n)
