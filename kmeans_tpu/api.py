@@ -217,8 +217,13 @@ def _fit_auto(
         # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
         # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
         # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
-        # docs/perf.md); the XLA trainer remains the CPU/over-cap route.
-        if pallas_ok and k <= ACCUM_MAX_K:
+        # docs/perf.md). CIE94 ONLY above 64: the fully-unrolled
+        # CIEDE2000 accumulator measured 130/351 s remote compiles at
+        # k=128/256 (trig bodies — same pathology as the cie2000
+        # quantize unroll), a deploy-hostile first-request stall, so
+        # cie2000 k>64 keeps the row-chunked XLA trainer, which also
+        # serves CPU and k > ACCUM_MAX_K.
+        if pallas_ok and k <= ACCUM_MAX_K and metric == "cie94":
             return fit_pallas()
         return kmeans_model.fit_chunked(
             work, k, first_index, restarts=restarts, convergence=convergence,
@@ -790,7 +795,7 @@ class ImageProcessor:
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        upload = jnp.asarray(self._pipeline_strip(_host_rgb(image.pixels), w, h))
+        upload = jnp.asarray(self._pipeline_strip(_host_rgb(image.pixels)))
         centroids, iters = _train_jit(
             upload,
             k,
@@ -855,7 +860,7 @@ class ImageProcessor:
             return shrunk_dimensions(w, h, self.train_max_size)
         return w, h
 
-    def _pipeline_strip(self, rgb_u8: np.ndarray, w: int, h: int) -> np.ndarray:
+    def _pipeline_strip(self, rgb_u8: np.ndarray) -> np.ndarray:
         """Pipeline mode's host shrink of a training input: resample
         `[h, w, 3]` u8 RGB down to the training-strip dims on the HOST
         (`resize_uint8_np`, the numpy mirror of the device sampler) so
@@ -865,6 +870,7 @@ class ImageProcessor:
         is opt-in): bit-equal to the device shrink on CPU; on TPU the
         f32 resample can round isolated strip pixels one u8 step
         differently (docs/perf.md)."""
+        h, w = rgb_u8.shape[:2]
         sw, sh = self._pipeline_strip_dims(w, h)
         if (sw, sh) == (w, h):
             return rgb_u8
@@ -952,6 +958,20 @@ class ImageProcessor:
                 seen.add(key)
                 fn()
 
+        def palette_warm_args(w, h, bh, bw, img):
+            """Dummy image + dedupe-key prefix for a palette warm.
+
+            Pipeline mode trains on the HOST-shrunk strip padded to the
+            STRIP's bucket, whose shape follows the real aspect ratio —
+            the full-image-bucket dummy would warm a different (usually
+            never-hit) strip bucket. Use a real-size dummy and key by the
+            strip bucket instead."""
+            if not self.pipeline:
+                return (bh, bw), img
+            psw, psh = self._pipeline_strip_dims(int(w), int(h))
+            sbh, sbw = bucket_shape(psh, psw)
+            return (sbh, sbw, "strip"), dummy_image(int(h), int(w))
+
         for w, h in sizes:
             bh, bw = bucket_shape(int(h), int(w))
             img = dummy_image(bh, bw)
@@ -966,9 +986,10 @@ class ImageProcessor:
                         lambda: self.reduce(k, img, reduce_mode=mode),
                     )
                 if palette:
+                    pal_key, pal_img = palette_warm_args(w, h, bh, bw, img)
                     once(
-                        (bh, bw, bucket_k(k), "palette"),
-                        lambda: self.palette(k, img),
+                        pal_key + (bucket_k(k), "palette"),
+                        lambda: self.palette(k, pal_img),
                     )
             for kf in find_palette_sizes:
                 kf = int(kf)
@@ -985,9 +1006,14 @@ class ImageProcessor:
                 frames = [dummy_image(bh, bw) for _ in range(fb)]
                 for k in color_counts:
                     k = int(k)
+                    pal_key, pal_img = palette_warm_args(w, h, bh, bw, img)
+                    pal_frames = (
+                        frames if pal_img is img
+                        else [dummy_image(int(h), int(w)) for _ in range(fb)]
+                    )
                     once(
-                        (bh, bw, fb, bucket_k(k), "pimg"),
-                        lambda: self.palette_images(frames, k),
+                        pal_key + (fb, bucket_k(k), "pimg"),
+                        lambda: self.palette_images(pal_frames, k),
                     )
                     for mode in modes:
                         mode = ReduceMode(mode)
@@ -1045,8 +1071,7 @@ class ImageProcessor:
             # from the image bucket (~25 MB at 4K) to the strip bucket
             # (~0.2 MB), and strip buckets bound the compile set
             # (strips are <= train_max_size per side).
-            w0, h0 = image.dimensions
-            rgb = self._pipeline_strip(_host_rgb(image.pixels), w0, h0)
+            rgb = self._pipeline_strip(_host_rgb(image.pixels))
             padded, h, w = pad_to_bucket(rgb)
             bh, bw = padded.shape[:2]
             canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
@@ -1426,7 +1451,7 @@ class ImageProcessor:
             # frame's full-res host RGB stays transient inside the
             # comprehension (peak host RAM = one frame + the padded set).
             padded = [
-                pad_to_bucket(self._pipeline_strip(_host_rgb(f.pixels), w, h))[0]
+                pad_to_bucket(self._pipeline_strip(_host_rgb(f.pixels)))[0]
                 for f in frames
             ]
             w, h = self._pipeline_strip_dims(w, h)
@@ -1452,7 +1477,7 @@ class ImageProcessor:
         # Training-only call: pipeline mode uploads host-shrunk strips
         # (B x ~0.2 MB) instead of the full stack.
         stack = jnp.asarray(
-            np.stack([self._pipeline_strip(_host_rgb(f.pixels), w, h) for f in frames])
+            np.stack([self._pipeline_strip(_host_rgb(f.pixels)) for f in frames])
         )
         centroids, _ = _train_frames_jit(
             stack, color_count, (sh, sw), first, ColorSpace.LAB.convergence,

@@ -100,6 +100,28 @@ UNROLL_CHUNK_2000 = 1
 # so this bounds kernel program size; swept on hardware
 # (tools/exp_accum2.py, docs/perf.md).
 ACCUM_MAX_K = 512
+
+
+def set_loop_knobs(kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None):
+    """Set the loop-form knobs AND clear the jit caches in one step.
+
+    The knobs are module globals read at TRACE time and are not part of
+    any jit cache key, so mutating them directly serves stale loop forms
+    from already-traced executables. Every sweeper (tools/exp_*.py,
+    tests/conftest.py) must go through this helper. Returns the previous
+    values `(kp_max, chunk, kp_max_2000, chunk_2000)`."""
+    global UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000
+    prev = (UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
+    if kp_max is not None:
+        UNROLL_KP_MAX = kp_max
+    if chunk is not None:
+        UNROLL_CHUNK = chunk
+    if kp_max_2000 is not None:
+        UNROLL_KP_MAX_2000 = kp_max_2000
+    if chunk_2000 is not None:
+        UNROLL_CHUNK_2000 = chunk_2000
+    jax.clear_caches()
+    return prev
 ACCUM_TILE_ROWS = 128
 TILE_ROWS = ACCUM_TILE_ROWS  # back-compat alias (pack_lab_planes layout)
 LANES = 128

@@ -45,6 +45,4 @@ assert len(_devs) == 8, f"expected 8 virtual CPU devices, got {len(_devs)}"
 # assert the shipped policy (tests/test_kernels.py).
 from kmeans_tpu.ops import kernels as _kernels  # noqa: E402
 
-_kernels.PROD_UNROLL_KNOBS = (_kernels.UNROLL_KP_MAX, _kernels.UNROLL_CHUNK)
-_kernels.UNROLL_KP_MAX = 16
-_kernels.UNROLL_CHUNK = 8
+_kernels.PROD_UNROLL_KNOBS = _kernels.set_loop_knobs(kp_max=16, chunk=8)[:2]

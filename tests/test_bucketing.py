@@ -196,6 +196,20 @@ def test_warmup_precompiles_buckets():
         ImageProcessor().warmup([(16, 16)], [2])
 
 
+def test_warmup_covers_pipeline_strip_buckets():
+    """Pipeline-mode palettes train on the host-shrunk strip padded to
+    the STRIP's bucket (aspect-ratio dependent), so warmup must build
+    its palette dummies at the real representative size — the
+    image-bucket dummy would warm a different strip bucket."""
+    p = ImageProcessor(bucketing=True, pipeline=True)
+    # 700x520 shrinks to a 256x191-class strip; no other test warms it.
+    p.warmup([(700, 520)], [2], find_palette_sizes=[])
+    train_before = api._train_bucketed_jit._cache_size()
+    p.palette(2, _blob_image(700, 520))
+    p.palette(2, _blob_image(690, 515, seed=5))  # same strip bucket
+    assert api._train_bucketed_jit._cache_size() == train_before
+
+
 def test_bucketed_frame_count_reuse():
     from kmeans_tpu.utils.bucketing import bucket_frames
 

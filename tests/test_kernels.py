@@ -149,7 +149,12 @@ def test_lloyd_accumulate_gate_and_large_k_routing(monkeypatch):
     api._fit_auto(work, 128, 0, 1.0, use_pallas=True, restarts=3)
     api._fit_auto(work, 128, 0, 1.0, use_pallas=False)  # CPU fallback
     api._fit_auto(work, 600, 0, 1.0, use_pallas=True)  # beyond ACCUM_MAX_K
-    assert calls == ["pallas", "pallas_restarts", "chunked", "chunked"]
+    # cie2000 k>64 stays chunked: its unrolled accumulator measured
+    # 130/351 s remote compiles at k=128/256 (docs/perf.md).
+    api._fit_auto(work, 128, 0, 1.0, use_pallas=True, metric="cie2000")
+    assert calls == [
+        "pallas", "pallas_restarts", "chunked", "chunked", "chunked",
+    ]
 
 
 def test_lloyd_accumulate_emit_inertia():

@@ -62,8 +62,7 @@ def main() -> None:
     results = []
     baselines = {}
     for chunk in (1, 64, 128, 256):
-        kernels.UNROLL_CHUNK = chunk
-        jax.clear_caches()  # force retrace so the knob is re-read
+        kernels.set_loop_knobs(chunk=chunk)  # sets + clears jit caches
         for fast in (False, True):
             label = f"k512-{'fast' if fast else 'exact'}"
 

@@ -71,8 +71,7 @@ def main() -> None:
     results = []
     baselines = {}
     for cutoff in (16, 64, 256):
-        kernels.UNROLL_KP_MAX = cutoff
-        jax.clear_caches()  # force retrace so the knob is re-read
+        kernels.set_loop_knobs(kp_max=cutoff)  # sets + clears jit caches
         for k, fast, cents in cases:
             if cutoff > 16 and k > cutoff:
                 continue  # same program as the rolled baseline

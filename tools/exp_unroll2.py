@@ -74,11 +74,10 @@ def main() -> None:
 
     results = []
     for label, k, fast, mode, cutoff, tile in runs:
-        kernels.UNROLL_KP_MAX = cutoff
         old_tile = kernels.QUANT_TILE_ROWS_ROLLED
         if tile is not None:
             kernels.QUANT_TILE_ROWS_ROLLED = tile
-        jax.clear_caches()
+        kernels.set_loop_knobs(kp_max=cutoff)  # sets + clears jit caches
         cents = cents_for(k)
 
         @jax.jit

@@ -76,13 +76,12 @@ def main() -> None:
     results = []
     rolled_out = {}
     for sname, kp_max, chunk in settings:
-        kernels.UNROLL_KP_MAX = kp_max
-        kernels.UNROLL_CHUNK = chunk
         # cie2000 is pinned rolled in production (UNROLL_*_2000); sweep
-        # its loop form too so this script stays reproducible.
-        kernels.UNROLL_KP_MAX_2000 = kp_max
-        kernels.UNROLL_CHUNK_2000 = chunk
-        jax.clear_caches()  # force retrace so the knobs are re-read
+        # its loop form too so this script stays reproducible. The helper
+        # clears the jit caches (the knobs are not in any cache key).
+        kernels.set_loop_knobs(
+            kp_max=kp_max, chunk=chunk, kp_max_2000=kp_max, chunk_2000=chunk
+        )
         for label, metric, mode in cases:
             thr = q.dither_threshold(cents, None, metric)
             try:
