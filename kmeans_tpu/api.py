@@ -935,10 +935,12 @@ class ImageProcessor:
         bucket suffices). With `gif_frame_counts`, also warms the batched
         GIF executables (`reduce_images` frame + global palettes and
         `find_batch`) for each frame-count bucket. With `batch_sizes`,
-        warms ONLY the `reduce_many` micro-batching executables for those
-        frame-count buckets (what the serving daemon's concurrent-request
-        coalescing hits — serve.py passes the batcher's ladder). Returns
-        the number of dummy requests issued. Requires bucketing=True.
+        warms ONLY the micro-batching executables for those frame-count
+        buckets — `reduce_many`, `palette_many` (unless `palette=False`),
+        and, when `find_palette_sizes` is given, `find_many` (what the
+        serving daemon's concurrent-request coalescing hits — serve.py
+        passes the batcher's ladder). Returns the number of dummy
+        requests issued. Requires bucketing=True.
         """
 
         from kmeans_tpu.utils.bucketing import bucket_shape
@@ -1047,6 +1049,29 @@ class ImageProcessor:
                         once(
                             (bh, bw, fb, bucket_k(k), mode.value, "rmany"),
                             lambda: self.reduce_many(frames, k, mode),
+                        )
+                    if palette:
+                        pal_key, pal_img = palette_warm_args(w, h, bh, bw, img)
+                        pal_frames = (
+                            frames if pal_img is img
+                            else [dummy_image(int(h), int(w))
+                                  for _ in range(fb)]
+                        )
+                        once(
+                            pal_key + (fb, bucket_k(k), "pmany"),
+                            lambda: self.palette_many(pal_frames, k),
+                        )
+                for kf in find_palette_sizes:
+                    kf = int(kf)
+                    colors = rng.integers(0, 256, (kf, 4), dtype=np.uint8)
+                    colors[:, 3] = 255
+                    for mode in modes:
+                        mode = ReduceMode(mode)
+                        # Same executable as find_batch's bucketed tall
+                        # stack (identical jit call) — shared dedupe key.
+                        once(
+                            (bh, bw, fb, bucket_k(kf), mode.value, "fbatch"),
+                            lambda: self.find_many(frames, colors, mode),
                         )
         return len(seen)
 
@@ -1326,6 +1351,82 @@ class ImageProcessor:
                 )
             )[: len(frames), :h, :w]
         return [Image(dims, outs[i]) for i in range(len(frames))]
+
+    @_on_device
+    def find_many(
+        self,
+        images,
+        colors,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+    ) -> list[Image]:
+        """Recolor a batch of images that may DIFFER in size with ONE
+        fixed palette, coalescing same-bucket frames into a single fused
+        tall-stack assign — the `/find` counterpart of `reduce_many`
+        (serve.py aggregates concurrent same-(palette, mode) requests
+        through this instead of one executable launch per request).
+
+        Requires bucketing for the coalescing to engage (frames group by
+        their shape bucket; the executable population stays the bounded
+        warmable set — `warmup(batch_sizes=..., find_palette_sizes=...)`
+        covers it). Without bucketing, for meld (no fused path), for
+        palettes past the 512-color indexed cap, or for any frame alone
+        in its bucket, falls back to per-image `find`. Coalesced frames
+        run the same fused assign program per pixel as solo `find`
+        (stacking adds rows; each frame keeps Bayer phase y%4 == 0 like
+        `_find_batch_fused_jit`), asserted bit-equal in tests."""
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one image")
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        if (
+            not self.bucketing
+            or not self.fused
+            or reduce_mode is ReduceMode.MELD
+            or palette_rgba.shape[0] > 512
+        ):
+            return [self.find(f, palette_rgba, reduce_mode) for f in frames]
+        from kmeans_tpu.utils.bucketing import bucket_shape
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, f in enumerate(frames):
+            h, w = f.pixels.shape[:2]
+            groups.setdefault(bucket_shape(h, w), []).append(i)
+
+        results: list[Image | None] = [None] * len(frames)
+        palette_lab = None
+        for (bh, bw), idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                results[i] = self.find(frames[i], palette_rgba, reduce_mode)
+                continue
+            if palette_lab is None:
+                palette_lab, k_active = pad_palette_k(
+                    jnp.asarray(_colors_to_lab(palette_rgba))
+                )
+                kp = palette_lab.shape[0]
+            padded = [
+                pad_to_bucket(_host_rgb(frames[i].pixels))[0] for i in idxs
+            ]
+            n_pad = bucket_frames(len(idxs)) - len(idxs)
+            stack = np.stack(padded + [padded[0]] * n_pad)
+            words = _find_batch_fused_jit(
+                jnp.asarray(stack), palette_lab, reduce_mode.value,
+                k_active, fast=self.fast, metric=self.delta_e,
+            )
+            h4 = -(-bh // 4) * 4
+            words_np, pal_u8 = _host_fetch(
+                words, _lab_palette_to_u8(palette_lab)[0]
+            )
+            idx_map = _unpack_idx(words_np, stack.shape[0] * h4, bw, kp)
+            idx_map = idx_map.reshape(stack.shape[0], h4, bw)
+            for j, i in enumerate(idxs):
+                h, w = frames[i].pixels.shape[:2]
+                results[i] = Image(
+                    frames[i].dimensions, pal_u8[idx_map[j, :h, :w]]
+                )
+        return results
 
     @_on_device
     def reduce_images(
@@ -2112,6 +2213,129 @@ class ImageProcessor:
                 h, w = frames[i].pixels.shape[:2]
                 results[i] = Image(frames[i].dimensions, outs[j][:h, :w])
         return results
+
+    @_on_device
+    def palette_many(
+        self,
+        images,
+        color_count: int,
+        algo: Algorithm = Algorithm.KMEANS,
+    ) -> list[np.ndarray]:
+        """Per-image palettes for a batch of images that may DIFFER in
+        size, coalescing same-bucket frames into one vmapped training
+        executable — the `/palette` counterpart of `reduce_many`
+        (serve.py aggregates concurrent same-(k, algo) requests through
+        this). Each entry is `[k, 4]` RGBA8, L*-sorted, exactly like solo
+        `palette` (unlike `palette_images`, which trains ONE palette
+        jointly over same-sized frames).
+
+        Requires bucketing + kmeans for the coalescing to engage (CPU
+        algorithms have no batched executable; `fast` processors keep
+        per-image semantics like `reduce_many`). Under pipeline mode each
+        frame host-shrinks to its training strip first — grouping then
+        happens on strip buckets, the same executables solo `palette`
+        hits. Coalesced palettes can differ from solo ones only by vmap's
+        f32 reduction reordering (the `reduce_many` caveat)."""
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one image")
+        _validate_k(color_count)
+        if not self.bucketing or self.fast or algo is not Algorithm.KMEANS:
+            return [self.palette(color_count, f, algo) for f in frames]
+        from kmeans_tpu.utils.bucketing import bucket_shape
+
+        rgbs = [
+            self._pipeline_strip(_host_rgb(f.pixels))
+            if self.pipeline
+            else _host_rgb(f.pixels)
+            for f in frames
+        ]
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, rgb in enumerate(rgbs):
+            groups.setdefault(bucket_shape(*rgb.shape[:2]), []).append(i)
+
+        results: list[np.ndarray | None] = [None] * len(frames)
+        kp = bucket_k(color_count)
+        conv = ColorSpace.LAB.convergence
+        for (bh, bw), idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                results[i] = self.palette(color_count, frames[i], algo)
+                continue
+            padded, firsts = [], []
+            src_hs, src_ws, out_hs, out_ws = [], [], [], []
+            canvas = None
+            for i in idxs:
+                pad, h, w = pad_to_bucket(rgbs[i])
+                canvas, (sw, sh), first = self._bucket_train_args(
+                    w, h, bw, bh
+                )
+                padded.append(pad)
+                firsts.append(first)
+                src_hs.append(h)
+                src_ws.append(w)
+                out_hs.append(sh)
+                out_ws.append(sw)
+            n_pad = bucket_frames(len(idxs)) - len(idxs)
+            stack = np.stack(padded + [padded[0]] * n_pad)
+
+            def vec(v):
+                return jnp.asarray(v + [v[0]] * n_pad, jnp.int32)
+
+            rgba, light = _palette_many_bucketed_jit(
+                jnp.asarray(stack), kp, canvas, vec(firsts),
+                vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                conv, color_count, metric=self.delta_e,
+                restarts=self.restarts,
+            )
+            rgba_np, light_np = _host_fetch(rgba, light)
+            for j, i in enumerate(idxs):
+                r = rgba_np[j][:color_count]
+                l = light_np[j][:color_count]
+                results[i] = r[np.argsort(l, kind="stable")]
+        return results
+
+
+@partial(
+    jax.jit, static_argnames=("kp", "canvas_shape", "metric", "restarts")
+)
+def _palette_many_bucketed_jit(
+    frames_u8,  # [B, BH, BW, 3|4] bucket-padded, sizes may differ per frame
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_indices,  # [B]
+    src_hs,  # [B]
+    src_ws,  # [B]
+    out_hs,  # [B]
+    out_ws,  # [B]
+    convergence,
+    k_active,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """Per-frame palettes over bucketed frames of DIFFERENT original
+    sizes: the training half of `_reduce_many_bucketed_jit` (same traced
+    per-frame vectors, so one executable per (bucket, frame bucket, kp)
+    serves any size mix) followed by the batched u8 + L* readback
+    conversion (`_lab_palette_to_u8` vmapped; the host sorts/crops)."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def one(frame, first, src_h, src_w, out_h, out_w):
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = kmeans_model.fit_restarts(
+            work, kp, first, restarts=restarts, convergence=convergence,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+        )
+        return centroids
+
+    cents = jax.vmap(one)(
+        frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws
+    )
+    return jax.vmap(_lab_palette_to_u8)(cents)
 
 
 @partial(

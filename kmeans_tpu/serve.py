@@ -47,20 +47,22 @@ POST_ENDPOINTS = ("/reduce", "/palette", "/find", "/reduce-gif", "/find-gif")
 
 
 class _MicroBatcher:
-    """Coalesce concurrent same-(k, mode) kmeans /reduce requests into ONE
-    batched executable launch.
+    """Coalesce concurrent same-parameter kmeans /reduce (same k, mode),
+    /find (same palette, mode), and /palette (same k, algo) requests into
+    ONE batched executable launch each.
 
     Round 1 serialized every request behind the device lock — correct, but
     N concurrent clients paid N sequential launches. Here the first thread
-    to arrive for a (k, mode) key becomes the batch leader: it sleeps a
-    short collection window (a few ms — noise next to device work), drains
+    to arrive for a key becomes the batch leader: it sleeps a short
+    collection window (a few ms — noise next to device work), drains
     everything that arrived for the key, and runs the whole batch through
-    `ImageProcessor.reduce_many`, which coalesces same-bucket frames (any
-    sizes) into one vmapped executable. Followers wait on an event and
-    PNG-encode their own results in their own handler threads, so only
-    the device section is shared. `window_s=0` disables batching (the
-    round-1 behavior). Batches are closed at `max_batch` to bound the
-    vmapped executable size (frame-count bucketing pads the rest)."""
+    the matching batched entry point (`ImageProcessor.reduce_many` /
+    `find_many` / `palette_many`), which coalesces same-bucket frames
+    (any sizes) into one executable. Followers wait on an event and PNG-encode their own
+    results in their own handler threads, so only the device section is
+    shared. `window_s=0` disables batching (the round-1 behavior).
+    Batches are closed at `max_batch` to bound the batched executable
+    size (frame-count bucketing pads the rest)."""
 
     def __init__(self, service, window_s: float = 0.005, max_batch: int = 16):
         self.service = service
@@ -80,13 +82,42 @@ class _MicroBatcher:
                 return self.service.processor.reduce(
                     k, image, Algorithm.KMEANS, mode
                 )
+        return self._submit(
+            ("reduce", int(k), mode.value),
+            image,
+            lambda imgs: self.service.processor.reduce_many(imgs, k, mode),
+        )
+
+    def find(self, image, palette, mode, palette_key: str):
+        """`palette_key` is the normalized hex string — the coalescing
+        key for 'same palette' (concurrent clients recoloring with one
+        brand palette is the expected shape of /find traffic)."""
+        if self.window_s <= 0:
+            with self.service._lock:
+                return self.service.processor.find(image, palette, mode)
+        return self._submit(
+            ("find", palette_key, mode.value),
+            image,
+            lambda imgs: self.service.processor.find_many(imgs, palette, mode),
+        )
+
+    def palette(self, image, k: int, algo):
+        if self.window_s <= 0:
+            with self.service._lock:
+                return self.service.processor.palette(k, image, algo)
+        return self._submit(
+            ("palette", int(k), algo.value),
+            image,
+            lambda imgs: self.service.processor.palette_many(imgs, k, algo),
+        )
+
+    def _submit(self, key, image, batch_fn):
         entry = {
             "image": image,
             "event": threading.Event(),
             "result": None,
             "error": None,
         }
-        key = (int(k), mode.value)
         with self._lock:
             batch = self._pending.get(key)
             leader = batch is None
@@ -104,9 +135,7 @@ class _MicroBatcher:
                 items = list(batch)  # append-safe: key is gone from dict
             try:
                 with self.service._lock:
-                    outs = self.service.processor.reduce_many(
-                        [e["image"] for e in items], k, mode
-                    )
+                    outs = batch_fn([e["image"] for e in items])
                 for e, o in zip(items, outs):
                     e["result"] = o
                 with self._lock:  # leaders of other keys race these
@@ -201,8 +230,9 @@ class QuantizeService:
         from kmeans_tpu.cli import palette_hex
 
         image = _decode_image(body)
-        with self._lock:
-            pal = self.processor.palette(k, image, Algorithm(algo))
+        # Concurrent same-(k, algo) requests coalesce into one vmapped
+        # training launch (any image sizes; see _MicroBatcher).
+        pal = self.batcher.palette(image, k, Algorithm(algo))
         return json.dumps(
             {"palette": palette_hex(pal).split(",")}
         ).encode()
@@ -212,10 +242,12 @@ class QuantizeService:
         from kmeans_tpu.utils.imageio import encode_png_bytes
 
         image = _decode_image(body)
-        with self._lock:
-            out = self.processor.find(
-                image, _parse_colors(colors), ReduceMode(mode)
-            )
+        palette = _parse_colors(colors)
+        # Concurrent same-(palette, mode) requests coalesce into one fused
+        # tall-stack launch (any image sizes; see _MicroBatcher). The key
+        # is the normalized hex form so "#FF0000" and "ff0000" share it.
+        palette_key = ",".join(f"{r:02x}{g:02x}{b:02x}" for r, g, b, _ in palette)
+        out = self.batcher.find(image, palette, ReduceMode(mode), palette_key)
         return encode_png_bytes(out)
 
     def reduce_gif(
@@ -521,8 +553,16 @@ def main(argv=None) -> int:
         type=float,
         default=5.0,
         help="micro-batching collection window: concurrent same-(k, mode) "
-        "/reduce requests within this window coalesce into one batched "
-        "executable launch (0 disables)",
+        "/reduce and same-(palette, mode) /find requests within this "
+        "window coalesce into one batched executable launch (0 disables)",
+    )
+    parser.add_argument(
+        "--warmup-find",
+        default="",
+        help="comma-separated palette sizes to warm /find executables for "
+        "(sizes bucket to powers of two, so one size per bucket suffices); "
+        "with micro-batching on, also warms the coalesced find_many "
+        "executables",
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -553,11 +593,19 @@ def main(argv=None) -> int:
             from kmeans_tpu.utils.bucketing import bucket_frames
 
             batch_sizes = sorted({bucket_frames(n) for n in range(2, 17)})
-        log.info(
-            "warming %d size(s) x %d k value(s) (+%d batch bucket(s))...",
-            len(sizes), len(ks), len(batch_sizes),
+        find_sizes = (
+            [int(s) for s in args.warmup_find.split(",")]
+            if args.warmup_find else ()
         )
-        n = processor.warmup(sizes, ks, batch_sizes=batch_sizes)
+        log.info(
+            "warming %d size(s) x %d k value(s) (+%d batch bucket(s), "
+            "%d find palette size(s))...",
+            len(sizes), len(ks), len(batch_sizes), len(find_sizes),
+        )
+        n = processor.warmup(
+            sizes, ks, batch_sizes=batch_sizes,
+            find_palette_sizes=find_sizes,
+        )
         log.info("warmup done: %d executable(s)", n)
 
     server = create_server(

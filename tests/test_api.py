@@ -646,6 +646,86 @@ def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
             np.testing.assert_array_equal(g.pixels, x.pixels)
 
 
+def test_find_many_matches_per_image_find(monkeypatch, blobs_image):
+    """`find_many` (mixed-size fixed-palette batch, the /find
+    micro-batching entry point) must be BIT-EQUAL to per-image `find`:
+    two frames share a bucket (coalesced fused tall-stack launch), one is
+    alone (solo fallback). Replace/dither coalesce; meld falls back to
+    per-image find and must stay equal too. Also checked against the XLA
+    (fused=False) processor so the fused stack itself is validated."""
+    from functools import partial
+
+    import kmeans_tpu.api as api
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api,
+        "fused_assign_packed",
+        partial(kernels.fused_assign_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api, "fused_quantize", partial(kernels.fused_quantize, interpret=True)
+    )
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    image, _ = blobs_image
+    many = [
+        Image((61, 45), image.pixels[:45, :61]),
+        Image((59, 47), image.pixels[1:48, 2:61]),
+        Image((120, 96), image.pixels[:96, :120]),
+    ]
+    rng = np.random.default_rng(7)
+    colors = rng.integers(0, 256, (6, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+
+    fused_b = api.ImageProcessor(fused=True, bucketing=True)
+    xla_b = api.ImageProcessor(fused=False, bucketing=True)
+    for mode in (
+        api.ReduceMode.REPLACE,
+        api.ReduceMode.DITHER,
+        api.ReduceMode.MELD,
+    ):
+        got = fused_b.find_many(many, colors, mode)
+        solo = [fused_b.find(f, colors, mode) for f in many]
+        want = xla_b.find_many(many, colors, mode)
+        for g, s, x in zip(got, solo, want):
+            np.testing.assert_array_equal(g.pixels, s.pixels)
+            np.testing.assert_array_equal(g.pixels, x.pixels)
+        for g, f in zip(got, many):
+            assert g.dimensions == f.dimensions
+
+
+def test_palette_many_matches_per_image_palette(blobs_image):
+    """`palette_many` (mixed-size batch, the /palette micro-batching
+    entry point): two frames share a bucket (one vmapped training
+    launch), one is alone (solo fallback). Each returned palette must
+    match solo `palette` — training math is identical; only vmap's f32
+    reduction reordering could deviate, and on this backend it doesn't.
+    Pipeline mode (strip-bucket grouping) must agree too, and non-kmeans
+    algorithms fall back per-image."""
+    import kmeans_tpu.api as api
+
+    image, _ = blobs_image
+    many = [
+        Image((61, 45), image.pixels[:45, :61]),
+        Image((59, 47), image.pixels[1:48, 2:61]),
+        Image((120, 96), image.pixels[:96, :120]),
+    ]
+    for kwargs in ({}, {"pipeline": True, "train_max_size": 32}):
+        p = api.ImageProcessor(bucketing=True, fused=False, **kwargs)
+        got = p.palette_many(many, 4)
+        for g, f in zip(got, many):
+            want = p.palette(4, f)
+            np.testing.assert_array_equal(g, want)
+
+    p = api.ImageProcessor(bucketing=True, fused=False)
+    got = p.palette_many(many, 3, api.Algorithm.OCTREE)
+    for g, f in zip(got, many):
+        np.testing.assert_array_equal(
+            g, p.palette(3, f, api.Algorithm.OCTREE)
+        )
+
+
 def test_host_fetch_matches_sequential_asarray():
     """`_host_fetch` (overlapped multi-array readback) must be a pure
     value-preserving fetch: identical to sequential `np.asarray` for

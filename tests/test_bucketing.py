@@ -429,6 +429,52 @@ def test_warmup_batch_sizes_covers_reduce_many():
     assert api._reduce_many_bucketed_jit._cache_size() == before
 
 
+def test_warmup_batch_sizes_covers_palette_many():
+    """warmup(batch_sizes=...) with palette warming must precompile the
+    coalesced palette_many executables the /palette micro-batcher hits."""
+    p = ImageProcessor(bucketing=True, fused=False)
+    # (38, 26) -> unique bucket for this test; batcher sizes 2 and 3.
+    n = p.warmup(
+        [(38, 26)], [3], modes=(), palette=True, batch_sizes=[2, 3],
+    )
+    assert n == 3  # palette + pmany(fb=2) + pmany(fb=3)
+    before = api._palette_many_bucketed_jit._cache_size()
+    frames = [_blob_image(38, 26, seed=i) for i in range(3)]
+    p.palette_many(frames, 3)
+    p.palette_many(frames[:2], 3)
+    assert api._palette_many_bucketed_jit._cache_size() == before
+
+
+def test_warmup_batch_sizes_covers_find_many(monkeypatch):
+    """warmup(batch_sizes=..., find_palette_sizes=...) must precompile the
+    coalesced find_many executables the /find micro-batcher hits — a later
+    coalesced batch of those sizes causes zero new fused compiles."""
+    from functools import partial
+
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api,
+        "fused_assign_packed",
+        partial(kernels.fused_assign_packed, interpret=True),
+    )
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    p = ImageProcessor(bucketing=True, fused=True)
+    # (34, 30) -> unique bucket for this test; batcher sizes 2 and 3.
+    n = p.warmup(
+        [(34, 30)], [], modes=(ReduceMode.REPLACE,), palette=False,
+        find_palette_sizes=[2], batch_sizes=[2, 3],
+    )
+    assert n == 3  # find + fbatch(fb=2) + fbatch(fb=3)
+    before = api._find_batch_fused_jit._cache_size()
+    frames = [_blob_image(34, 30, seed=i) for i in range(3)]
+    colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], np.uint8)
+    p.find_many(frames, colors)
+    p.find_many(frames[:2], colors)
+    assert api._find_batch_fused_jit._cache_size() == before
+
+
 def test_find_streamed_matches_bucketed_find():
     """find_streamed is purely per-pixel: bit-equal to whole-image find on
     a bucketed processor, at any band split, for every mode."""

@@ -298,6 +298,170 @@ def test_micro_batcher_coalesces_unit():
     assert svc.batcher.batched_requests == 5
 
 
+def test_micro_batcher_find_coalesces_unit():
+    """_MicroBatcher.find: concurrent same-(palette, mode) submits produce
+    one find_many launch; different palettes stay in separate batches."""
+    from kmeans_tpu.api import ReduceMode
+    from kmeans_tpu.serve import QuantizeService
+
+    class FakeProcessor:
+        def __init__(self):
+            self.calls = []
+
+        def find_many(self, images, palette, mode):
+            self.calls.append((len(images), palette))
+            return [f"out-{id(im)}" for im in images]
+
+    svc = QuantizeService(processor=FakeProcessor(), batch_window_s=0.2)
+    results = {}
+
+    def worker(i, key):
+        img = object()
+        results[i] = (
+            img, svc.batcher.find(img, key, ReduceMode.REPLACE, key)
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=(i, "aabbcc" if i < 4 else "112233"))
+        for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    for img, out in results.values():
+        assert out == f"out-{id(img)}"  # each caller got ITS result
+    calls = svc.processor.calls
+    assert sum(n for n, _ in calls) == 6
+    # The two palettes never share a launch.
+    assert all(len({p for _, p in calls if p == pal}) == 1
+               for pal in ("aabbcc", "112233"))
+    assert sum(n for n, p in calls if p == "aabbcc") == 4
+    assert sum(n for n, p in calls if p == "112233") == 2
+    assert len(calls) < 6  # at least one real coalesced batch
+    assert svc.batcher.batched_requests == 6
+
+
+def test_micro_batcher_palette_coalesces_unit():
+    """_MicroBatcher.palette: concurrent same-(k, algo) submits produce
+    one palette_many launch; each caller gets its own palette back."""
+    from kmeans_tpu.api import Algorithm
+    from kmeans_tpu.serve import QuantizeService
+
+    class FakeProcessor:
+        def __init__(self):
+            self.calls = []
+
+        def palette_many(self, images, k, algo):
+            self.calls.append((len(images), k, algo))
+            return [f"pal-{id(im)}" for im in images]
+
+    svc = QuantizeService(processor=FakeProcessor(), batch_window_s=0.2)
+    results = {}
+
+    def worker(i):
+        img = object()
+        results[i] = (img, svc.batcher.palette(img, 5, Algorithm.KMEANS))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 5
+    for img, out in results.values():
+        assert out == f"pal-{id(img)}"
+    calls = svc.processor.calls
+    assert sum(n for n, _, _ in calls) == 5
+    assert len(calls) < 5
+    assert all(k == 5 and a is Algorithm.KMEANS for _, k, a in calls)
+
+
+def test_concurrent_palette_requests_batched(png_body):
+    """End-to-end: N parallel clients on /palette coalesce into fewer
+    device launches; every client gets a valid JSON palette."""
+    from kmeans_tpu.serve import create_server
+
+    srv = create_server(port=0, batch_window_s=0.25)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+        _post(addr, "/palette?k=3", png_body)  # warm
+        launches0 = srv.service.batcher.batches
+
+        out = {}
+
+        def client(i):
+            out[i] = _post(addr, "/palette?k=3", png_body)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        palettes = set()
+        for i, (status, ctype, data) in out.items():
+            assert status == 200 and ctype == "application/json", (i, status)
+            pal = json.loads(data)["palette"]
+            assert len(pal) == 3
+            assert all(len(c) == 7 and c.startswith("#") for c in pal)
+            palettes.add(tuple(pal))
+        assert len(palettes) == 1  # same image -> same palette for all
+        b = srv.service.batcher
+        assert b.batched_requests >= 5
+        assert b.batches - launches0 < 4  # at least one real batch
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_concurrent_find_requests_batched(png_body):
+    """End-to-end: N parallel clients on /find with one palette coalesce
+    into fewer device launches; every client gets a correct PNG whose
+    pixels all come from the requested palette."""
+    from kmeans_tpu.serve import create_server
+
+    srv = create_server(port=0, batch_window_s=0.25)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+        path = "/find?colors=ff0000,00ff00,0000ff"
+        _post(addr, path, png_body)  # warm: steady-state burst below
+        launches0 = srv.service.batcher.batches
+
+        out = {}
+
+        def client(i):
+            out[i] = _post(addr, path, png_body)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        palette = {(255, 0, 0, 255), (0, 255, 0, 255), (0, 0, 255, 255)}
+        for i, (status, ctype, data) in out.items():
+            assert status == 200 and ctype == "image/png", (i, status)
+            img = decode_image_bytes(data)
+            assert img.dimensions == (56, 40)
+            got = {tuple(px) for px in np.unique(
+                img.pixels.reshape(-1, 4), axis=0)}
+            assert got <= palette
+        b = srv.service.batcher
+        assert b.batched_requests >= 5
+        assert b.batches - launches0 < 4  # at least one real batch
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_concurrent_reduce_requests_batched(png_body):
     """End-to-end: N parallel clients on /reduce coalesce into fewer
     device launches; every client gets a correct PNG back."""

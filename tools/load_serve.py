@@ -1,4 +1,4 @@
-"""Serving load test: N parallel clients hammering POST /reduce.
+"""Serving load test: N parallel clients hammering POST /reduce or /find.
 
 Measures end-to-end requests/sec twice — micro-batching disabled
 (window=0, the round-1 serialize-behind-one-lock behavior) and enabled —
@@ -7,7 +7,8 @@ Run on the TPU host for the docs/serving.md numbers; runs fine on CPU too
 (conftest-style forcing is NOT applied here — wrap with JAX_PLATFORMS=cpu
 for a local run).
 
-    python tools/load_serve.py [clients=8] [requests_per_client=4] [window_ms=25]
+    python tools/load_serve.py [clients=8] [requests_per_client=4] \
+        [window_ms=25] [endpoint=reduce|find|palette]
 """
 
 from __future__ import annotations
@@ -38,9 +39,18 @@ def _png_body():
     return encode_png_bytes(Image((320, 240), rgba))
 
 
-def _run(window_s: float, body: bytes, clients: int, per_client: int):
+FIND_COLORS = "dc3228,28c846,3c46dc,f0f0f0,101010,c8a028,28b4b4,9632c8"
+
+
+def _run(window_s: float, body: bytes, clients: int, per_client: int,
+         endpoint: str = "reduce"):
     from kmeans_tpu.serve import create_server
 
+    path = {
+        "reduce": "/reduce?k=8",
+        "find": f"/find?colors={FIND_COLORS}",
+        "palette": "/palette?k=8",
+    }[endpoint]
     srv = create_server(port=0, batch_window_s=window_s)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
@@ -50,7 +60,9 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int):
         # steady-state serving, not compiles: the solo path plus every
         # frame-count bucket the batcher can hit (batch sizes vary run to
         # run; each frame bucket is its own executable).
-        _post(addr, body)
+        _post(addr, body, path)
+        import numpy as np
+
         from kmeans_tpu.api import ReduceMode
         from kmeans_tpu.utils.bucketing import bucket_frames
         from kmeans_tpu.utils.imageio import decode_image_bytes
@@ -61,13 +73,22 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int):
             {bucket_frames(n) for n in range(2, srv.service.batcher.max_batch + 1)}
         )
         for fb in buckets:
-            proc.reduce_many([img] * fb, 8, ReduceMode.REPLACE)
+            if endpoint == "reduce":
+                proc.reduce_many([img] * fb, 8, ReduceMode.REPLACE)
+            elif endpoint == "palette":
+                proc.palette_many([img] * fb, 8)
+            else:
+                colors = np.asarray(
+                    [[int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16), 255]
+                     for c in FIND_COLORS.split(",")], np.uint8,
+                )
+                proc.find_many([img] * fb, colors, ReduceMode.REPLACE)
 
         errors = []
 
         def client():
             for _ in range(per_client):
-                status = _post(addr, body)
+                status = _post(addr, body, path)
                 if status != 200:
                     errors.append(status)
 
@@ -94,9 +115,9 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int):
         srv.server_close()
 
 
-def _post(addr, body) -> int:
+def _post(addr, body, path="/reduce?k=8") -> int:
     conn = http.client.HTTPConnection(*addr, timeout=600)
-    conn.request("POST", "/reduce?k=8", body)
+    conn.request("POST", path, body)
     resp = conn.getresponse()
     resp.read()
     conn.close()
@@ -107,15 +128,18 @@ def main() -> None:
     clients = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     window_ms = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+    endpoint = sys.argv[4] if len(sys.argv) > 4 else "reduce"
+    assert endpoint in ("reduce", "find", "palette"), endpoint
 
     body = _png_body()
-    serial = _run(0.0, body, clients, per_client)
+    serial = _run(0.0, body, clients, per_client, endpoint)
     print(f"serialized: {serial}", file=sys.stderr)
-    batched = _run(window_ms / 1e3, body, clients, per_client)
+    batched = _run(window_ms / 1e3, body, clients, per_client, endpoint)
     print(f"batched:    {batched}", file=sys.stderr)
     print(
         json.dumps(
             {
+                "endpoint": endpoint,
                 "clients": clients,
                 "serialized_rps": serial["rps"],
                 "batched_rps": batched["rps"],
