@@ -57,6 +57,22 @@ def main() -> None:
             f"{k} colors"
         )
 
+    # Concurrent serving: the HTTP daemon (python -m kmeans_tpu.serve)
+    # coalesces same-parameter /reduce, /find, and /palette requests into
+    # ONE batched launch per collection window. The library primitives it
+    # uses work standalone too — mixed sizes, one launch per shape bucket:
+    frames = [
+        random_image(w, h, seed=10 + i) for i, (w, h) in enumerate(requests)
+    ]
+    t0 = time.time()
+    outs = p.reduce_many(frames, 8)
+    print(f"reduce_many: {len(outs)} mixed-size images, {time.time() - t0:.3f}s")
+    t0 = time.time()
+    pals = p.palette_many(frames, 8)
+    hexes = ",".join(f"#{r:02X}{g:02X}{b:02X}" for r, g, b, _ in pals[0])
+    print(f"palette_many: {len(pals)} palettes in {time.time() - t0:.3f}s, "
+          f"first: {hexes}")
+
 
 if __name__ == "__main__":
     main()

@@ -530,6 +530,13 @@ def main(argv=None) -> int:
         "docs/perf.md)",
     )
     parser.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="transfer-pipelined paths: /palette uploads the host-shrunk "
+        "training strip instead of the full image (~100x fewer bytes at "
+        "4K), /reduce streams bands (see docs/perf.md for when this wins)",
+    )
+    parser.add_argument(
         "--delta-e",
         choices=["94", "2000"],
         default="94",
@@ -576,7 +583,7 @@ def main(argv=None) -> int:
         )
     processor = ImageProcessor(
         bucketing=not args.exact, fast=args.fast, delta_e=args.delta_e,
-        restarts=args.restarts, **kwargs,
+        restarts=args.restarts, pipeline=args.pipeline, **kwargs,
     )
     if args.warmup:
         sizes = []

@@ -220,15 +220,39 @@ def test_deep_health_lock_held_by_wedged_request():
         svc._lock.release()
 
 
-def test_main_flags_parsing():
-    # --train-size / --exact wire through to the processor (no server start:
-    # build the processor the same way main() does).
-    from kmeans_tpu.api import ImageProcessor
+def test_main_flags_parsing(monkeypatch):
+    """main() parses every flag and wires it into the processor/server —
+    driven through the real argparse, with the server stubbed out."""
+    import kmeans_tpu.serve as serve_mod
 
-    p = ImageProcessor(bucketing=False, train_max_size=None)
-    assert p.bucketing is False and p.train_max_size is None
-    p2 = ImageProcessor(bucketing=True, train_max_size=512)
-    assert p2.bucketing is True and p2.train_max_size == 512
+    captured = {}
+
+    class DummyServer:
+        server_address = ("127.0.0.1", 0)
+
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+        def server_close(self):
+            pass
+
+    def fake_create(host, port, processor, batch_window_s):
+        captured["proc"] = processor
+        captured["window"] = batch_window_s
+        return DummyServer()
+
+    monkeypatch.setattr(serve_mod, "create_server", fake_create)
+    rc = serve_mod.main([
+        "--port", "0", "--pipeline", "--fast", "--delta-e", "2000",
+        "--restarts", "2", "--train-size", "128",
+        "--batch-window-ms", "7.5",
+    ])
+    assert rc == 0
+    p = captured["proc"]
+    assert p.pipeline is True and p.fast is True
+    assert p.delta_e == "cie2000" and p.restarts == 2
+    assert p.train_max_size == 128 and p.bucketing is True
+    assert captured["window"] == 0.0075
 
 
 def test_dimension_bomb_request_is_400(server):

@@ -314,6 +314,63 @@ def main(trials: int = 60) -> int:
                       f"{mode} frac={frac:.5f}")
                 failures += 1
 
+    # find_many (the /find micro-batch entry point): random mixed-size
+    # same-palette batches must be BIT-equal to per-image find on the
+    # same fused processor (interpret-mode kernels on CPU).
+    from functools import partial
+
+    import kmeans_tpu.api as api_mod
+    from kmeans_tpu.ops import kernels as _kern
+
+    _orig_assign = api_mod.fused_assign_packed
+    _orig_avail = api_mod._pallas_available
+    api_mod.fused_assign_packed = partial(
+        _kern.fused_assign_packed, interpret=True
+    )
+    api_mod._pallas_available = lambda device=None: True
+    try:
+        fused_b = api_mod.ImageProcessor(fused=True, bucketing=True)
+        for t in range(max(4, trials // 15)):
+            k = int(rng.integers(1, 7))
+            mode = ReduceMode(["replace", "dither"][t % 2])
+            colors = rng.integers(0, 256, (k, 4), dtype=np.uint8)
+            colors[:, 3] = 255
+            imgs = []
+            for _ in range(int(rng.integers(2, 5))):
+                h = int(rng.integers(18, 40))
+                w = int(rng.integers(18, 40))
+                imgs.append(
+                    Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+                )
+            outs = fused_b.find_many(imgs, colors, mode)
+            for im, out in zip(imgs, outs):
+                solo = fused_b.find(im, colors, mode)
+                if not (solo.pixels == out.pixels).all():
+                    print(f"[FAIL] find_many != find trial={t} k={k} {mode}")
+                    failures += 1
+    finally:
+        api_mod.fused_assign_packed = _orig_assign
+        api_mod._pallas_available = _orig_avail
+
+    # palette_many (the /palette micro-batch entry point): random
+    # mixed-size batches must match solo palette (vmap reordering is the
+    # only permitted deviation; exact on this backend).
+    for t in range(max(4, trials // 15)):
+        k = int(rng.integers(1, 7))
+        imgs = []
+        for _ in range(int(rng.integers(2, 5))):
+            h = int(rng.integers(18, 40))
+            w = int(rng.integers(18, 40))
+            imgs.append(
+                Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+            )
+        pals = bucket_p.palette_many(imgs, k)
+        for im, pal in zip(imgs, pals):
+            solo = bucket_p.palette(k, im)
+            if not (pal == solo).all():
+                print(f"[FAIL] palette_many != palette trial={t} k={k}")
+                failures += 1
+
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
 
