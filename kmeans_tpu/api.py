@@ -237,6 +237,28 @@ def _fit_auto(
     )
 
 
+def _plain_fit_route(n_px: int, kp: int, use_pallas: bool, metric: str) -> bool:
+    """True when `_fit_auto` would take the plain `fit_restarts` protocol
+    for a training of `n_px` pixels at `kp` (padded) clusters — the only
+    route the vmapped micro-batch trainers (`_reduce_many_bucketed_*`,
+    `_palette_many_bucketed_jit`) replicate (vmap of the Pallas / chunked
+    large-N trainers either cannot lower on Mosaic or would defeat their
+    memory bound). `reduce_many`/`palette_many` gate coalescing on this so
+    a coalesced request keeps solo semantics AND solo memory behavior:
+    e.g. train_max_size=None on a 1080p bucket at k=128 must fall back to
+    per-image processing rather than materialize B stacked [N, K]
+    intermediates the solo routing exists to avoid. Mirror of the
+    branches in `_fit_auto` — keep in sync."""
+    from kmeans_tpu.ops.kernels import PALLAS_METRICS
+
+    pallas_ok = use_pallas and metric in PALLAS_METRICS
+    if kp > 64 and n_px * kp > _CHUNKED_TRAIN_ELEMS:
+        return False
+    if pallas_ok and kp <= 64 and n_px > _LARGE_TRAIN_PIXELS:
+        return False
+    return True
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -2161,11 +2183,18 @@ class ImageProcessor:
         kp = bucket_k(color_count)
         conv = ColorSpace.LAB.convergence
         for (bh, bw), idxs in groups.items():
-            if len(idxs) == 1:
-                i = idxs[0]
-                results[i] = self.reduce(
-                    color_count, frames[i], Algorithm.KMEANS, reduce_mode
-                )
+            # Coalescing replicates only the plain-trainer route; buckets
+            # whose training canvas routes solo requests to the Pallas /
+            # chunked large-N trainers stay per-image (_plain_fit_route).
+            h0, w0 = frames[idxs[0]].pixels.shape[:2]
+            canvas0, _, _ = self._bucket_train_args(w0, h0, bw, bh)
+            if len(idxs) == 1 or not _plain_fit_route(
+                canvas0[0] * canvas0[1], kp, self.fused, self.delta_e
+            ):
+                for i in idxs:
+                    results[i] = self.reduce(
+                        color_count, frames[i], Algorithm.KMEANS, reduce_mode
+                    )
                 continue
             padded, firsts = [], []
             src_hs, src_ws, out_hs, out_ws = [], [], [], []
@@ -2244,29 +2273,43 @@ class ImageProcessor:
             return [self.palette(color_count, f, algo) for f in frames]
         from kmeans_tpu.utils.bucketing import bucket_shape
 
-        rgbs = [
-            self._pipeline_strip(_host_rgb(f.pixels))
-            if self.pipeline
-            else _host_rgb(f.pixels)
-            for f in frames
-        ]
+        def train_hw(f: Image) -> tuple[int, int]:
+            # Pipeline mode groups by the STRIP bucket (the executables
+            # solo palette hits); the strip itself is only computed for
+            # frames that actually coalesce — singletons fall back to
+            # solo palette, which computes its own strip.
+            h, w = f.pixels.shape[:2]
+            if self.pipeline:
+                sw, sh = self._pipeline_strip_dims(w, h)
+                return sh, sw
+            return h, w
+
         groups: dict[tuple[int, int], list[int]] = {}
-        for i, rgb in enumerate(rgbs):
-            groups.setdefault(bucket_shape(*rgb.shape[:2]), []).append(i)
+        for i, f in enumerate(frames):
+            groups.setdefault(bucket_shape(*train_hw(f)), []).append(i)
 
         results: list[np.ndarray | None] = [None] * len(frames)
         kp = bucket_k(color_count)
         conv = ColorSpace.LAB.convergence
         for (bh, bw), idxs in groups.items():
-            if len(idxs) == 1:
-                i = idxs[0]
-                results[i] = self.palette(color_count, frames[i], algo)
+            # Same coalescing gate as reduce_many: only buckets whose
+            # training canvas takes the plain-trainer route batch.
+            th0, tw0 = train_hw(frames[idxs[0]])
+            canvas0, _, _ = self._bucket_train_args(tw0, th0, bw, bh)
+            if len(idxs) == 1 or not _plain_fit_route(
+                canvas0[0] * canvas0[1], kp, self.fused, self.delta_e
+            ):
+                for i in idxs:
+                    results[i] = self.palette(color_count, frames[i], algo)
                 continue
             padded, firsts = [], []
             src_hs, src_ws, out_hs, out_ws = [], [], [], []
             canvas = None
             for i in idxs:
-                pad, h, w = pad_to_bucket(rgbs[i])
+                rgb = _host_rgb(frames[i].pixels)
+                if self.pipeline:
+                    rgb = self._pipeline_strip(rgb)
+                pad, h, w = pad_to_bucket(rgb)
                 canvas, (sw, sh), first = self._bucket_train_args(
                     w, h, bw, bh
                 )

@@ -585,6 +585,16 @@ def main(argv=None) -> int:
         bucketing=not args.exact, fast=args.fast, delta_e=args.delta_e,
         restarts=args.restarts, pipeline=args.pipeline, **kwargs,
     )
+    find_sizes = (
+        [int(s) for s in args.warmup_find.split(",")]
+        if args.warmup_find else ()
+    )
+    if find_sizes and not args.warmup:
+        log.warning(
+            "--warmup-find has no effect without --warmup (no image "
+            "sizes to warm buckets for) — /find executables will compile "
+            "on first request"
+        )
     if args.warmup:
         sizes = []
         for part in args.warmup.split(","):
@@ -600,10 +610,6 @@ def main(argv=None) -> int:
             from kmeans_tpu.utils.bucketing import bucket_frames
 
             batch_sizes = sorted({bucket_frames(n) for n in range(2, 17)})
-        find_sizes = (
-            [int(s) for s in args.warmup_find.split(",")]
-            if args.warmup_find else ()
-        )
         log.info(
             "warming %d size(s) x %d k value(s) (+%d batch bucket(s), "
             "%d find palette size(s))...",

@@ -726,6 +726,55 @@ def test_palette_many_matches_per_image_palette(blobs_image):
         )
 
 
+def test_micro_batch_coalescing_gated_on_plain_trainer_route(
+    monkeypatch, blobs_image
+):
+    """reduce_many/palette_many replicate only _fit_auto's plain
+    fit_restarts protocol; buckets whose training canvas would route solo
+    requests to the Pallas/chunked large-N trainers must NOT coalesce
+    (solo semantics + solo memory behavior). _plain_fit_route mirrors the
+    _fit_auto branches; when it says no, the batch entry points fall back
+    per-image and compile nothing batched."""
+    import kmeans_tpu.api as api
+
+    # The route mirror itself: plain for small trainings, refused exactly
+    # where _fit_auto leaves fit_restarts.
+    assert api._plain_fit_route(256 * 256, 8, False, "cie94")
+    assert api._plain_fit_route(256 * 256, 128, False, "cie94")
+    big = api._CHUNKED_TRAIN_ELEMS // 128 + 1
+    assert not api._plain_fit_route(big, 128, False, "cie94")
+    assert api._plain_fit_route(big, 128, True, "cie2000") is False
+    assert not api._plain_fit_route(
+        api._LARGE_TRAIN_PIXELS + 1, 8, True, "cie94"
+    )
+    assert api._plain_fit_route(api._LARGE_TRAIN_PIXELS + 1, 8, False, "cie94")
+
+    # When the gate refuses, both entry points take the per-image path:
+    # zero batched compiles, outputs equal to solo.
+    monkeypatch.setattr(api, "_plain_fit_route", lambda *a: False)
+    image, _ = blobs_image
+    many = [
+        Image((61, 45), image.pixels[:45, :61]),
+        Image((59, 47), image.pixels[1:48, 2:61]),
+    ]
+    p = api.ImageProcessor(bucketing=True, fused=False)
+    before = (
+        api._palette_many_bucketed_jit._cache_size()
+        + api._reduce_many_bucketed_jit._cache_size()
+    )
+    pals = p.palette_many(many, 3)
+    outs = p.reduce_many(many, 3)
+    assert (
+        api._palette_many_bucketed_jit._cache_size()
+        + api._reduce_many_bucketed_jit._cache_size()
+    ) == before
+    for f, pal, out in zip(many, pals, outs):
+        np.testing.assert_array_equal(pal, p.palette(3, f))
+        np.testing.assert_array_equal(
+            out.pixels, p.reduce(3, f).pixels
+        )
+
+
 def test_host_fetch_matches_sequential_asarray():
     """`_host_fetch` (overlapped multi-array readback) must be a pure
     value-preserving fetch: identical to sequential `np.asarray` for

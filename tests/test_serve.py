@@ -333,14 +333,16 @@ def test_micro_batcher_find_coalesces_unit():
             self.calls = []
 
         def find_many(self, images, palette, mode):
-            self.calls.append((len(images), palette))
+            self.calls.append((list(images), palette))
             return [f"out-{id(im)}" for im in images]
 
     svc = QuantizeService(processor=FakeProcessor(), batch_window_s=0.2)
     results = {}
+    owner = {}  # id(image) -> the palette its submitter requested
 
     def worker(i, key):
         img = object()
+        owner[id(img)] = key
         results[i] = (
             img, svc.batcher.find(img, key, ReduceMode.REPLACE, key)
         )
@@ -357,12 +359,13 @@ def test_micro_batcher_find_coalesces_unit():
     for img, out in results.values():
         assert out == f"out-{id(img)}"  # each caller got ITS result
     calls = svc.processor.calls
-    assert sum(n for n, _ in calls) == 6
-    # The two palettes never share a launch.
-    assert all(len({p for _, p in calls if p == pal}) == 1
-               for pal in ("aabbcc", "112233"))
-    assert sum(n for n, p in calls if p == "aabbcc") == 4
-    assert sum(n for n, p in calls if p == "112233") == 2
+    assert sum(len(imgs) for imgs, _ in calls) == 6
+    # No cross-contamination: every launch contains only images whose
+    # submitters asked for exactly that launch's palette.
+    for imgs, pal in calls:
+        assert all(owner[id(im)] == pal for im in imgs)
+    assert sum(len(imgs) for imgs, p in calls if p == "aabbcc") == 4
+    assert sum(len(imgs) for imgs, p in calls if p == "112233") == 2
     assert len(calls) < 6  # at least one real coalesced batch
     assert svc.batcher.batched_requests == 6
 
