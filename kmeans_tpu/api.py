@@ -113,7 +113,7 @@ class ReduceMode(Enum):
     jax.jit,
     static_argnames=(
         "k", "train_shape", "lab", "use_pallas", "metric", "restarts",
-        "fast",
+        "fast", "train_dtype",
     ),
 )
 def _train_jit(
@@ -127,6 +127,7 @@ def _train_jit(
     metric: str = "cie94",
     restarts: int = 1,
     fast: bool = False,
+    train_dtype: str | None = None,
 ):
     """Single-executable training path: shrink -> colorspace -> seed ->
     Lloyd. One XLA compilation per (image shape, k) — critical on TPU,
@@ -138,7 +139,7 @@ def _train_jit(
     work = srgb8_to_lab(rgb) if lab else jnp.asarray(rgb, jnp.float32) / 255.0
     centroids, iters = _fit_auto(
         work, k, first_index, convergence, use_pallas, metric=metric,
-        restarts=restarts, fast=fast,
+        restarts=restarts, fast=fast, plane_dtype=train_dtype,
     )
     return centroids, iters
 
@@ -178,6 +179,7 @@ def _host_rgb(pixels: np.ndarray) -> np.ndarray:
 def _fit_auto(
     work, k, first_index, convergence, use_pallas=None, weight=None,
     k_active=None, metric="cie94", restarts=1, fast=False,
+    plane_dtype=None,
 ):
     # The Pallas trainer unrolls its centroid loops and supports
     # k <= ACCUM_MAX_K (512); k <= 64 routes to it for any large-N
@@ -200,11 +202,12 @@ def _fit_auto(
             return kmeans_model.fit_large_restarts(
                 work, k, first_index, restarts=restarts,
                 convergence=convergence, weight=weight, k_active=k_active,
-                metric=metric, fast=fast,
+                metric=metric, fast=fast, plane_dtype=plane_dtype,
             )
         return kmeans_model.fit_large(
             work, k, first_index, convergence=convergence, weight=weight,
             k_active=k_active, metric=metric, fast=fast,
+            plane_dtype=plane_dtype,
         )
 
     if k > 64 and work.shape[0] * k > _CHUNKED_TRAIN_ELEMS:
@@ -263,7 +266,7 @@ def _plain_fit_route(n_px: int, kp: int, use_pallas: bool, metric: str) -> bool:
     jax.jit,
     static_argnames=(
         "k", "train_shape", "mode", "use_pallas", "fast", "metric",
-        "restarts",
+        "restarts", "train_dtype",
     ),
 )
 def _reduce_jit(
@@ -277,6 +280,7 @@ def _reduce_jit(
     fast: bool = False,
     metric: str = "cie94",
     restarts: int = 1,
+    train_dtype: str | None = None,
 ):
     """The flagship path as ONE executable: shrink -> Lab -> seed -> Lloyd ->
     full-res quantize. A single host->device transfer of the uint8 image and
@@ -294,7 +298,7 @@ def _reduce_jit(
     work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas, metric=metric,
-        restarts=restarts, fast=fast,
+        restarts=restarts, fast=fast, plane_dtype=train_dtype,
     )
     if use_pallas:
         threshold = (
@@ -313,7 +317,10 @@ def _reduce_jit(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "train_shape", "mode", "fast", "restarts", "metric"),
+    static_argnames=(
+        "k", "train_shape", "mode", "fast", "restarts", "metric",
+        "train_dtype",
+    ),
 )
 def _reduce_indexed_jit(
     pixels_u8: jnp.ndarray,
@@ -325,6 +332,7 @@ def _reduce_indexed_jit(
     fast: bool = False,
     restarts: int = 1,
     metric: str = "cie94",
+    train_dtype: str | None = None,
 ):
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map as in-kernel-packed i32 words (2/4/8/16 bits per
@@ -347,7 +355,7 @@ def _reduce_indexed_jit(
     # lowerings).
     centroids, _ = _fit_auto(
         work, k, first_index, convergence, use_pallas=True, restarts=restarts,
-        metric=metric, fast=fast,
+        metric=metric, fast=fast, plane_dtype=train_dtype,
     )
     threshold = (
         dither_threshold(centroids, metric=metric)
@@ -694,6 +702,7 @@ class ImageProcessor:
         delta_e: str = "94",
         restarts: int = 1,
         pipeline: bool = False,
+        train_dtype: str | None = None,
     ):
         # Persistent XLA compile cache: on remote-compile TPU deployments a
         # fresh process otherwise pays the full compile for every
@@ -789,6 +798,35 @@ class ImageProcessor:
         # bit-equal on CPU; the TPU's f32 resize rounds ~13% of strip
         # pixels one u8 step differently, a documented deviation).
         self.pipeline = bool(pipeline)
+        # train_dtype="bfloat16" (opt-in): store the Lab training planes
+        # half-width in the Pallas Lloyd accumulator — half the
+        # per-iteration HBM traffic on large/full-resolution trainings
+        # (the kernel up-casts on load and accumulates f32). This
+        # QUANTIZES the training input (~0.3 delta-E; counts shift ~2e-4
+        # of pixels — docs/perf.md round 2), so palettes deviate slightly
+        # from the f32 default; measured/iter at 4K: no gain at k=8
+        # (compute-bound), ~1.10x exact / 1.13x with fast at k=64. Only
+        # engages where training routes to the Pallas accumulator (plain
+        # single-image paths on TPU above ~1M training pixels, e.g.
+        # train_max_size=None); the XLA trainers and the bucketed /
+        # batched / sharded entry points ignore it, so it is rejected in
+        # combination with bucketing to avoid silent no-ops in serving.
+        if train_dtype is not None:
+            allowed = ("bfloat16", "float32")
+            if str(train_dtype) not in allowed:
+                raise ValueError(
+                    f"train_dtype must be one of {allowed} or None, "
+                    f"got {train_dtype!r}"
+                )
+            if self.bucketing:
+                raise ValueError(
+                    "train_dtype is not supported with bucketing=True "
+                    "(the bucketed trainers do not route through the "
+                    "Pallas accumulator's plane store)"
+                )
+        self.train_dtype = (
+            None if train_dtype in (None, "float32") else str(train_dtype)
+        )
 
     # ------------------------------------------------------------------ #
     # Internal palette extraction
@@ -829,6 +867,7 @@ class ImageProcessor:
             metric=self.delta_e,
             restarts=self.restarts,
             fast=self.fast,
+            train_dtype=self.train_dtype,
         )
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
@@ -1192,6 +1231,7 @@ class ImageProcessor:
                     fast=self.fast,
                     restarts=self.restarts,
                     metric=self.delta_e,
+                    train_dtype=self.train_dtype,
                 )
                 words_np, pal_np = _host_fetch(words, palette_rgba)
                 idx_np = _unpack_idx(words_np, h, w, color_count)
@@ -1208,6 +1248,7 @@ class ImageProcessor:
                     fast=self.fast,
                     metric=self.delta_e,
                     restarts=self.restarts,
+                    train_dtype=self.train_dtype,
                 )
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
@@ -1254,6 +1295,7 @@ class ImageProcessor:
             jnp.asarray(strip), color_count, (sh, sw), first,
             ColorSpace.LAB.convergence, use_pallas=self.fused,
             metric=self.delta_e, restarts=self.restarts, fast=self.fast,
+            train_dtype=self.train_dtype,
         )
         # Dispatch every band (upload + fused assign + device-side bit
         # pack) before blocking on any result: JAX's async dispatch keeps
@@ -1655,12 +1697,34 @@ class ImageProcessor:
         self, mesh, rgb, palette_lab, reduce_mode, k_active=None
     ) -> np.ndarray:
         """Shared sharded indexed-readback epilogue: packed index map off
-        the mesh (2/4/8 bits per pixel width-packed, raw uint16 for
-        256 < k <= 512), host unpack + `palette[idx]` gather — the
-        multi-chip twin of the single-chip `_assign_indexed_jit`
-        readback path."""
-        from kmeans_tpu.parallel.sharded_ops import assign_indexed_sharded
+        the mesh, host unpack + `palette[idx]` gather — the multi-chip
+        twin of the single-chip `_assign_indexed_jit` readback path. On
+        TPU meshes each shard runs the fused Pallas kernel
+        (`assign_fused_sharded`: gamma LUT + in-kernel sublane pack,
+        10-40x the XLA quantizer per chip); CPU meshes keep the XLA
+        executable (2/4/8-bit width pack, raw uint16 above 256) — same
+        bytes per pixel either way."""
+        from kmeans_tpu.parallel.mesh import PIXEL_AXIS
+        from kmeans_tpu.parallel.sharded_ops import (
+            assign_fused_sharded,
+            assign_indexed_sharded,
+            unpack_fused_sharded,
+        )
 
+        w = rgb.shape[1]
+        if _pallas_available(mesh.devices.flat[0]):
+            words, _ = assign_fused_sharded(
+                mesh, rgb, palette_lab, mode=reduce_mode.value,
+                k_active=k_active, metric=self.delta_e, fast=self.fast,
+            )
+            arr, pal = _host_fetch(
+                words, _lab_palette_to_u8(jnp.asarray(palette_lab))[0]
+            )
+            idx = unpack_fused_sharded(
+                arr, rgb.shape[0], w, int(palette_lab.shape[0]),
+                int(mesh.shape[PIXEL_AXIS]),
+            )
+            return pal[idx]
         packed, bits = assign_indexed_sharded(
             mesh, rgb, palette_lab, mode=reduce_mode.value, k_active=k_active,
             metric=self.delta_e,
@@ -1668,7 +1732,6 @@ class ImageProcessor:
         arr, pal = _host_fetch(
             packed, _lab_palette_to_u8(jnp.asarray(palette_lab))[0]
         )
-        w = rgb.shape[1]
         idx = _unpack_nibbles(arr, w, bits) if bits < 8 else arr[:, :w]
         return pal[idx]
 
@@ -2057,6 +2120,7 @@ class ImageProcessor:
                     fast=self.fast,
                     restarts=self.restarts,
                     metric=self.delta_e,
+                    train_dtype=self.train_dtype,
                 )
                 post = _unpack_crop(h, w, h, w, color_count)
                 pending.append((image.dimensions, words, palette_rgba, post))
@@ -2071,6 +2135,7 @@ class ImageProcessor:
                     self.fused,
                     fast=self.fast,
                     metric=self.delta_e,
+                    train_dtype=self.train_dtype,
                     restarts=self.restarts,
                 )
                 pending.append((image.dimensions, out, None, None))

@@ -248,6 +248,7 @@ def lloyd_pallas(
     interpret: bool = False,
     metric: str = "cie94",
     fast: bool = False,
+    plane_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd loop backed by the Pallas tile accumulator
     (`ops.kernels.lloyd_accumulate`): assignment + per-cluster (sum, count)
@@ -261,7 +262,15 @@ def lloyd_pallas(
     LARGE palettes only (k > 16 — same policy as the fused quantize
     kernels: measured 1.23x/iter at 4K k=64, no gain at k=8, so small-k
     training stays bit-exact even under fast; docs/perf.md round 2).
-    Knife-edge assignments may flip, like quantize fast mode."""
+    Knife-edge assignments may flip, like quantize fast mode.
+
+    `plane_dtype="bfloat16"` stores the Lab training planes half-width
+    (half the per-iteration HBM traffic; the kernel up-casts on load and
+    accumulates f32). This QUANTIZES the training input — ~0.3 delta-E,
+    counts shift ~2e-4 of pixels (docs/perf.md round 2) — so it is
+    opt-in and never a default. Measured ms/iter at 4K: k=8 0.543 ->
+    0.543 (compute-bound, no gain), k=64 4.46 -> 4.05 exact / 3.46 ->
+    3.06 with fast."""
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
         pack_lab_planes,
@@ -273,7 +282,9 @@ def lloyd_pallas(
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
     dist, _ = metric_fns(metric)
-    planes, n_valid = pack_lab_planes(pixels)
+    planes, n_valid = pack_lab_planes(
+        pixels, dtype=None if plane_dtype is None else jnp.dtype(plane_dtype)
+    )
     weight_planes = None if weight is None else pack_plane(weight)
 
     def cond(carry):
@@ -406,7 +417,9 @@ def fit_restarts(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_iterations", "interpret", "metric", "fast"),
+    static_argnames=(
+        "k", "max_iterations", "interpret", "metric", "fast", "plane_dtype",
+    ),
 )
 def fit_large(
     pixels: jnp.ndarray,
@@ -419,12 +432,16 @@ def fit_large(
     interpret: bool = False,
     metric: str = "cie94",
     fast: bool = False,
+    plane_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fit() for large pixel counts: XLA farthest-point seeding (pure
     elementwise + argmax streams, no big intermediates) + Pallas Lloyd.
     With metric="cie2000" the accumulator kernel assigns with the
     polynomial-atan2 CIEDE2000 (zero mismatches vs XLA measured on
-    hardware; seeding and convergence use the XLA formula)."""
+    hardware; seeding and convergence use the XLA formula).
+    `plane_dtype="bfloat16"` halves the Lloyd loop's per-iteration HBM
+    traffic at a documented input-quantization cost (see
+    `lloyd_pallas`); seeding always runs f32."""
     centroids = plusplus_init(
         pixels, k, first_index, k_active=k_active, weight=weight,
         metric=metric,
@@ -439,6 +456,7 @@ def fit_large(
         interpret=interpret,
         metric=metric,
         fast=fast,
+        plane_dtype=plane_dtype,
     )
 
 
@@ -446,6 +464,7 @@ def fit_large(
     jax.jit,
     static_argnames=(
         "k", "max_iterations", "interpret", "metric", "restarts", "fast",
+        "plane_dtype",
     ),
 )
 def fit_large_restarts(
@@ -460,6 +479,7 @@ def fit_large_restarts(
     interpret: bool = False,
     metric: str = "cie94",
     fast: bool = False,
+    plane_dtype: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """`fit_large` with `restarts` independent seedings — the Pallas-trainer
     counterpart of `fit_restarts`, so full-resolution multi-restart training
@@ -478,6 +498,7 @@ def fit_large_restarts(
             pixels, k, first_index, convergence=convergence,
             max_iterations=max_iterations, k_active=k_active, weight=weight,
             interpret=interpret, metric=metric, fast=fast,
+            plane_dtype=plane_dtype,
         )
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
@@ -488,6 +509,9 @@ def fit_large_restarts(
     seeds = derive_restart_seeds(
         pixels.shape[0], first_index, restarts, weight
     )
+    # The inertia (winner-pick) pass always reads f32 planes: the
+    # comparison between runs should not inherit the training planes'
+    # quantization.
     planes, n_valid = pack_lab_planes(pixels)
     weight_planes = None if weight is None else pack_plane(weight)
     k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
@@ -498,6 +522,7 @@ def fit_large_restarts(
             pixels, k, seeds[r], convergence=convergence,
             max_iterations=max_iterations, k_active=k_active, weight=weight,
             interpret=interpret, metric=metric, fast=fast,
+            plane_dtype=plane_dtype,
         )
         totals = lloyd_accumulate(
             planes, cents, n_valid, k_active=k_act,

@@ -23,27 +23,32 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kmeans_tpu.ops.colorspace import srgb8_to_lab
-from kmeans_tpu.ops.quantize import assign_index, quantize_image
+from kmeans_tpu.ops.quantize import assign_index, dither_threshold, quantize_image
 from kmeans_tpu.parallel.mesh import PIXEL_AXIS
 from kmeans_tpu.utils.packing import nibble_packed, pack_bits, pack_nibbles
 
 
 def _row_sharded(mesh, rgb_u8):
-    """Pad rows to the shard count and place the array row-sharded."""
-    rgb_u8 = jnp.asarray(rgb_u8)
+    """Pad rows to the shard count and place the array row-sharded. Host
+    (numpy) inputs pad on the host — an eager device pad would cost a
+    full dispatch round trip on remote transports before the real
+    upload."""
     h = rgb_u8.shape[0]
     d = mesh.shape[PIXEL_AXIS]
     h_pad = (h + d - 1) // d * d
-    padded = (
-        jnp.pad(rgb_u8, ((0, h_pad - h), (0, 0), (0, 0)))
-        if h_pad != h
-        else rgb_u8
-    )
+    if h_pad != h:
+        pad = ((0, h_pad - h), (0, 0), (0, 0))
+        rgb_u8 = (
+            np.pad(rgb_u8, pad)
+            if isinstance(rgb_u8, np.ndarray)
+            else jnp.pad(rgb_u8, pad)
+        )
     return (
-        jax.device_put(padded, NamedSharding(mesh, P(PIXEL_AXIS, None, None))),
+        jax.device_put(rgb_u8, NamedSharding(mesh, P(PIXEL_AXIS, None, None))),
         h,
     )
 
@@ -106,3 +111,113 @@ def assign_indexed_sharded(
         sharded, palette_lab, mode, k_active, metric, bits
     )
     return packed[:h], bits
+
+
+def assign_fused_sharded(
+    mesh,
+    rgb_u8,
+    palette_lab,
+    mode: str = "replace",
+    k_active=None,
+    metric: str = "cie94",
+    fast: bool = False,
+    interpret: bool = False,
+):
+    """Multi-chip indexed readback at single-chip KERNEL speed: every
+    shard runs the fused Pallas quantize/assign kernel
+    (`ops/kernels.py::fused_assign_packed` — gamma LUT, in-kernel sublane
+    index pack) on its local row block under `shard_map`. No collectives:
+    the output pass is embarrassingly parallel over pixels, and the pack
+    is tile-local. The per-shard `row_offset = shard * local_h` keeps the
+    4x4 Bayer dither phase GLOBAL, so outputs are independent of the
+    shard count.
+
+    On a production multi-chip slice this replaces the XLA quantizer in
+    `assign_indexed_sharded` with the hand-fused kernel measured 10-40x
+    faster per chip (docs/perf.md; e.g. 4K k=8: 0.65 ms fused vs ~26 ms
+    XLA). Returns `(words, bits)` where `words` is the `[D * M, 128]`
+    int32 packed-word readback (D = pixel-axis shards) that
+    `unpack_fused_sharded` inverts on the host. Replace/dither, k <= 512.
+    """
+    from kmeans_tpu.ops.kernels import fused_assign_packed
+
+    palette_lab = jnp.asarray(palette_lab, jnp.float32)
+    kp = palette_lab.shape[0]
+    if kp > 512:
+        raise ValueError("packed indexed readback requires k <= 512")
+    if mode not in ("replace", "dither"):
+        raise ValueError("assign_fused_sharded supports replace/dither only")
+    sharded, h = _row_sharded(mesh, rgb_u8)
+    d = mesh.shape[PIXEL_AXIS]
+    local_h = sharded.shape[0] // d
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+    words = _assign_fused_jit(
+        sharded, palette_lab, k_act, mesh=mesh, mode=mode, metric=metric,
+        fast=fast, interpret=interpret, local_h=local_h,
+    )
+    return words, pack_bits(kp)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "mode", "metric", "fast", "interpret", "local_h"),
+)
+def _assign_fused_jit(
+    rgb_sharded, palette_lab, k_act, mesh, mode, metric, fast, interpret,
+    local_h,
+):
+    """One executable for the whole fused sharded assign (threshold,
+    alpha append, per-shard kernel): eager ops on a remote-dispatch TPU
+    transport pay a full round trip each, so everything stays inside one
+    jit (the same rule as every single-chip entry point)."""
+    from kmeans_tpu.ops.kernels import fused_assign_packed
+
+    threshold = (
+        dither_threshold(palette_lab, k_active=k_act, metric=metric)
+        if mode == "dither"
+        else jnp.float32(0.0)
+    )
+
+    def local(rgb_local, cents, thr, ka):
+        shard = jax.lax.axis_index(PIXEL_AXIS)
+        alpha = jnp.full(rgb_local.shape[:2] + (1,), 255, jnp.uint8)
+        rgba = jnp.concatenate([rgb_local[..., :3], alpha], axis=-1)
+        return fused_assign_packed(
+            rgba, cents, thr, k_active=ka, mode=mode, interpret=interpret,
+            row_offset=shard * local_h, fast=fast, metric=metric,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(PIXEL_AXIS, None, None), P(), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        check_vma=False,
+    )
+    return fn(rgb_sharded, palette_lab, threshold, k_act)
+
+
+def unpack_fused_sharded(
+    words: np.ndarray, h: int, w: int, kp: int, n_shards: int
+) -> np.ndarray:
+    """Host inverse of `assign_fused_sharded`: split the concatenated
+    word readback into its D equal shard blocks, invert each shard's
+    in-kernel tile pack (`utils.packing.unpack_tile_words` with the SAME
+    kp-keyed tile height the kernel used), and crop the row padding.
+    Returns the `[h, w]` index map (uint8, or uint16 for the 16-bit
+    tier)."""
+    from kmeans_tpu.ops.kernels import quant_tile_rows
+    from kmeans_tpu.utils.packing import unpack_tile_words
+
+    bits = pack_bits(kp)
+    tile_rows = quant_tile_rows(kp)
+    h_pad = (h + n_shards - 1) // n_shards * n_shards
+    local_h = h_pad // n_shards
+    idx = np.concatenate(
+        [
+            unpack_tile_words(chunk, local_h, w, bits, tile_rows=tile_rows)
+            for chunk in np.split(np.asarray(words), n_shards, axis=0)
+        ],
+        axis=0,
+    )
+    return idx[:h]

@@ -300,6 +300,24 @@ def test_delta_e_2000_processor(blobs_image):
     assert b.pixels.shape == out.pixels.shape
 
 
+def test_train_dtype_validation(blobs_image):
+    """train_dtype: only bfloat16/float32/None; rejected with bucketing
+    (the bucketed trainers never route through the Pallas plane store, so
+    accepting it would be a silent no-op in serving); float32/None are
+    the same default; a CPU processor accepts it (no-op on XLA routes)
+    and still produces valid output."""
+    with pytest.raises(ValueError, match="train_dtype"):
+        ImageProcessor(train_dtype="float16")
+    with pytest.raises(ValueError, match="bucketing"):
+        ImageProcessor(train_dtype="bfloat16", bucketing=True)
+    assert ImageProcessor(train_dtype="float32").train_dtype is None
+    p = ImageProcessor(train_dtype="bfloat16")
+    assert p.train_dtype == "bfloat16"
+    image, _ = blobs_image
+    out = p.reduce(3, image)
+    assert out.pixels.shape == image.pixels.shape
+
+
 def test_delta_e_validation():
     with pytest.raises(ValueError, match="delta_e"):
         ImageProcessor(delta_e="76")

@@ -167,6 +167,40 @@ def test_assign_indexed_sharded_bit_equal_and_rgb_upload():
         np.testing.assert_array_equal(got, want, err_msg=f"k={k} {mode}")
 
 
+def test_assign_fused_sharded_bit_equal_to_xla_sharded():
+    """The fused-Pallas multi-chip readback (per-shard kernel under
+    shard_map, interpret mode on CPU) must reproduce the XLA sharded
+    assignment exactly — including the GLOBAL Bayer dither phase across
+    shard boundaries (h=19 over 8 shards gives local_h=3, not a multiple
+    of the 4-periodic Bayer matrix, so any per-shard phase reset would
+    show)."""
+    from kmeans_tpu.parallel.sharded_ops import (
+        assign_fused_sharded,
+        assign_indexed_sharded,
+        unpack_fused_sharded,
+    )
+    from kmeans_tpu.utils.packing import unpack_nibbles
+
+    rng = np.random.default_rng(42)
+    h, w = 19, 33
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    mesh = make_mesh(jax.devices(), data=1)
+    d = mesh.devices.size
+    for k, mode in ((5, "replace"), (5, "dither"), (20, "dither")):
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8))
+        )
+        words, bits = assign_fused_sharded(
+            mesh, rgb, pal, mode=mode, interpret=True
+        )
+        got = unpack_fused_sharded(np.asarray(words), h, w, k, d)
+        packed, xbits = assign_indexed_sharded(mesh, rgb, pal, mode=mode)
+        arr = np.asarray(packed)
+        want = unpack_nibbles(arr, w, xbits) if xbits < 8 else arr[:, :w]
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k} {mode}")
+        assert bits == (4 if k == 5 else 8)
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip_topologies(n):
     import importlib.util

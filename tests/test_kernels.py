@@ -375,6 +375,31 @@ def test_fit_large_restarts_selects_min_inertia_run():
     assert int(iR) == int(runs[best][1])
 
 
+def test_fit_large_bf16_planes_close_to_f32():
+    """plane_dtype="bfloat16" (opt-in, docs/perf.md round 2): the trainer
+    must run and land centroids close to the f32 default — the bf16
+    planes quantize the INPUT (~0.3 delta-E class), they do not change
+    the algorithm. restarts path takes the same knob."""
+    from kmeans_tpu.models.kmeans import fit_large, fit_large_restarts
+
+    rng = np.random.default_rng(17)
+    centers = np.array([[20.0, 0, 0], [60.0, 40, -30], [90.0, -50, 50]])
+    pix = jnp.asarray(
+        (centers[rng.integers(0, 3, 3000)] + rng.normal(0, 0.5, (3000, 3)))
+        .astype(np.float32)
+    )
+    c32, _ = fit_large(pix, 3, 0, interpret=True)
+    c16, _ = fit_large(pix, 3, 0, interpret=True, plane_dtype="bfloat16")
+    assert np.all(np.isfinite(np.asarray(c16)))
+    # Cluster centers are ~0.5-sigma blobs; bf16 input rounding moves
+    # centroids far less than the inter-cluster spacing.
+    assert np.max(np.abs(np.asarray(c16) - np.asarray(c32))) < 1.0
+    cr16, _ = fit_large_restarts(
+        pix, 3, 0, restarts=2, interpret=True, plane_dtype="bfloat16"
+    )
+    assert np.all(np.isfinite(np.asarray(cr16)))
+
+
 def test_fit_large_matches_fit():
     from kmeans_tpu.models.kmeans import fit, fit_large
 
