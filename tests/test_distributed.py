@@ -201,6 +201,38 @@ def test_assign_fused_sharded_bit_equal_to_xla_sharded():
         assert bits == (4 if k == 5 else 8)
 
 
+def test_assign_fused_sharded_k_active_masking():
+    """Bucketed sharded route: a padded palette with k_active masking must
+    never assign a pad row, and must match the XLA sharded assignment
+    bit-for-bit (this is the argument combination reduce_sharded with
+    bucketing=True sends through the fused route on TPU meshes)."""
+    from kmeans_tpu.parallel.sharded_ops import (
+        assign_fused_sharded,
+        assign_indexed_sharded,
+        unpack_fused_sharded,
+    )
+    from kmeans_tpu.utils.packing import unpack_nibbles
+
+    rng = np.random.default_rng(7)
+    h, w = 17, 21
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    mesh = make_mesh(jax.devices(), data=1)
+    d = mesh.devices.size
+    kp, ka = 8, 5  # bucketed: padded to 8, 5 real colors
+    pal = srgb8_to_lab(jnp.asarray(rng.integers(0, 256, (kp, 3), np.uint8)))
+    words, _ = assign_fused_sharded(
+        mesh, rgb, pal, mode="dither", k_active=ka, interpret=True
+    )
+    got = unpack_fused_sharded(np.asarray(words), h, w, kp, d)
+    assert got.max() < ka
+    packed, xbits = assign_indexed_sharded(
+        mesh, rgb, pal, mode="dither", k_active=ka
+    )
+    arr = np.asarray(packed)
+    want = unpack_nibbles(arr, w, xbits) if xbits < 8 else arr[:, :w]
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip_topologies(n):
     import importlib.util
