@@ -262,6 +262,29 @@ def _plain_fit_route(n_px: int, kp: int, use_pallas: bool, metric: str) -> bool:
     return True
 
 
+def _sharded_trainer_route(
+    n_px: int, kp: int, use_pallas: bool, metric: str
+) -> str:
+    """`fit_sharded` trainer for a training of `n_px` (global, pre-pad)
+    pixels at `kp` (padded) clusters — the sharded mirror of `_fit_auto`'s
+    branches, so multi-chip honors the same large-N/metric routing as
+    single-chip (VERDICT round-2 task 6): full-res sharded -> the per-shard
+    Pallas accumulator (psum of [K, 4] totals), cie2000 k > 64 or
+    k > ACCUM_MAX_K past the element budget -> the row-chunked psum
+    trainer, small (shrunk) trainings -> the bit-compatible one-hot
+    protocol. Keep in sync with `_fit_auto`."""
+    from kmeans_tpu.ops.kernels import ACCUM_MAX_K, PALLAS_METRICS
+
+    pallas_ok = use_pallas and metric in PALLAS_METRICS
+    if kp > 64 and n_px * kp > _CHUNKED_TRAIN_ELEMS:
+        if pallas_ok and kp <= ACCUM_MAX_K and metric == "cie94":
+            return "pallas"
+        return "chunked"
+    if pallas_ok and kp <= 64 and n_px > _LARGE_TRAIN_PIXELS:
+        return "pallas"
+    return "onehot"
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -806,11 +829,14 @@ class ImageProcessor:
         # of pixels — docs/perf.md round 2), so palettes deviate slightly
         # from the f32 default; measured/iter at 4K: no gain at k=8
         # (compute-bound), ~1.10x exact / 1.13x with fast at k=64. Only
-        # engages where training routes to the Pallas accumulator (plain
-        # single-image paths on TPU above ~1M training pixels, e.g.
-        # train_max_size=None); the XLA trainers and the bucketed /
-        # batched / sharded entry points ignore it, so it is rejected in
-        # combination with bucketing to avoid silent no-ops in serving.
+        # engages where training routes to the Pallas accumulator: plain
+        # single-image paths on TPU above ~1M training pixels (e.g.
+        # train_max_size=None) AND, since round 3, the sharded entry
+        # points when their routing picks the per-shard accumulator
+        # (`_sharded_trainer_route`). The XLA trainers and the batched
+        # entry points (`reduce_images`/`reduce_many` et al — vmapped XLA
+        # trainers by construction) ignore it; it is rejected with
+        # bucketing to avoid silent no-ops in serving.
         if train_dtype is not None:
             allowed = ("bfloat16", "float32")
             if str(train_dtype) not in allowed:
@@ -1712,7 +1738,10 @@ class ImageProcessor:
         )
 
         w = rgb.shape[1]
-        if _pallas_available(mesh.devices.flat[0]):
+        # Honor the explicit fused=False opt-out exactly like every
+        # single-chip route: a user working around a Mosaic issue must be
+        # able to force the XLA sharded executable on a TPU mesh too.
+        if self.fused and _pallas_available(mesh.devices.flat[0]):
             words, _ = assign_fused_sharded(
                 mesh, rgb, palette_lab, mode=reduce_mode.value,
                 k_active=k_active, metric=self.delta_e, fast=self.fast,
@@ -1735,9 +1764,25 @@ class ImageProcessor:
         idx = _unpack_nibbles(arr, w, bits) if bits < 8 else arr[:, :w]
         return pal[idx]
 
+    def _sharded_fit_kwargs(self, n_px: int, kp: int, mesh) -> dict:
+        """Trainer selection + opt-in threading for the sharded fits:
+        route by the SAME large-N/metric branches as single-chip
+        (`_sharded_trainer_route` mirrors `_fit_auto`), honoring the
+        fused=False opt-out; `fast`/`train_dtype` reach the per-shard
+        Pallas accumulator exactly as they reach `fit_large`."""
+        use_pallas = self.fused and _pallas_available(mesh.devices.flat[0])
+        trainer = _sharded_trainer_route(n_px, kp, use_pallas, self.delta_e)
+        return {
+            "trainer": trainer,
+            "fast": self.fast,
+            "plane_dtype": self.train_dtype if trainer == "pallas" else None,
+        }
+
     def _fit_sharded_centroids(self, image: Image, k: int, mesh):
         """Shared trainer for the sharded entry points: shrink, convert,
-        pad to the shard count (0-weight padding), pixel-sharded fit."""
+        pad to the shard count (0-weight padding), pixel-sharded fit with
+        `_fit_auto`-parity routing (full-res sharded trainings run the
+        per-shard Pallas accumulator, not the one-hot protocol)."""
         from kmeans_tpu.parallel.distributed import fit_sharded
 
         w, h = image.dimensions
@@ -1760,6 +1805,7 @@ class ImageProcessor:
             mesh, work, weight, k, first,
             convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
             restarts=self.restarts,
+            **self._sharded_fit_kwargs(n, k, mesh),
         )
         return centroids
 
@@ -1822,6 +1868,7 @@ class ImageProcessor:
                 mesh, work, wvec, bucket_k(color_count), first,
                 convergence=ColorSpace.LAB.convergence, k_active=color_count,
                 metric=self.delta_e, restarts=self.restarts,
+                **self._sharded_fit_kwargs(n, bucket_k(color_count), mesh),
             )
             if reduce_mode is not ReduceMode.MELD and color_count <= 512:
                 out = self._quantize_indexed_sharded(

@@ -76,22 +76,20 @@ def _take_global(pixels_local, global_idx, axis_name):
     return jax.lax.psum(jnp.where(owns, local, 0.0), axis_name)
 
 
-def _fit_local(
+def _seed_local(
     pixels_local: jnp.ndarray,
     weight_local: jnp.ndarray,
     k: int,
     first_index,
-    convergence: float,
     k_active,
     axis_name: str,
     metric: str = "cie94",
-):
-    """Per-shard body of the pixel-sharded fit (runs under shard_map)."""
-    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
-    valid = jnp.arange(k) < k_active
-    dist, dist_sq = metric_fns(metric)
-
-    # --- seeding (distributed farthest-point) ---
+) -> jnp.ndarray:
+    """Distributed farthest-point seeding (the shard_map body shared by
+    every sharded trainer): local argmax -> all_gather of per-shard
+    winners -> global pick with single-device tie-breaking, mirroring
+    `models.kmeans.plusplus_init` (plus_plus_init.wgsl:70-187)."""
+    _, dist_sq = metric_fns(metric)
     c0 = _take_global(pixels_local, jnp.asarray(first_index, jnp.int32), axis_name)
     dmap = dist_sq(pixels_local, c0[None, :])
     dmap = jnp.where(weight_local > 0, dmap, -1.0)
@@ -112,6 +110,27 @@ def _fit_local(
 
     if k > 1:
         centroids, _ = jax.lax.fori_loop(1, k, seed_body, (centroids, dmap))
+    return centroids
+
+
+def _fit_local(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+):
+    """Per-shard body of the pixel-sharded fit (runs under shard_map)."""
+    k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_active
+    dist, dist_sq = metric_fns(metric)
+
+    centroids = _seed_local(
+        pixels_local, weight_local, k, first_index, k_active, axis_name, metric
+    )
 
     # --- Lloyd ---
     def assign(cents):
@@ -195,6 +214,279 @@ def _fit_local_restarts(
     return cents_v[best], iters_v[best]
 
 
+def _converged_vote(new_centroids, centroids, valid, counts, convergence, dist):
+    """The reference's convergence protocol on psum'd (replicated) totals:
+    empty clusters vote 0, inactive clusters always pass
+    (choose_centroid.wgsl:185-197)."""
+    nonempty = counts > 0
+    updated = jnp.where(
+        nonempty[:, None],
+        new_centroids,
+        centroids,
+    )
+    moved = dist(updated, centroids)
+    votes = jnp.logical_and(nonempty, moved < convergence)
+    return updated, jnp.all(jnp.logical_or(votes, jnp.logical_not(valid)))
+
+
+def _fit_local_pallas(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+    fast: bool = False,
+    plane_dtype=None,
+    interpret: bool = False,
+):
+    """Per-shard body of the Pallas-accumulator sharded fit: each shard
+    runs `ops.kernels.lloyd_accumulate` on its LOCAL plane store and only
+    the tiny `[KP, 4]` (sum, count) totals cross the ICI via `psum`
+    (~KP x 16 bytes — negligible next to the per-shard kernel pass). The
+    multi-chip twin of `models.kmeans.lloyd_pallas`: no `[N_local, K]`
+    one-hot ever exists, so full-resolution sharded training keeps the
+    single-chip accumulator's memory bound AND its measured 1.5-5.2x/iter
+    kernel speed per chip (docs/perf.md) instead of the one-hot XLA
+    protocol `_fit_local` runs. Seeding and the convergence vote reuse the
+    distributed protocol (the vote is computed redundantly per shard from
+    the psum'd totals, so the `while_loop` stays uniform across shards
+    with zero host syncs). Replaces choose_centroid.wgsl:73-206's
+    single-device pass, distributed.
+
+    `fast` engages the factorized CIE94 distance for k > 16 (same gate as
+    `lloyd_pallas`); `plane_dtype="bfloat16"` stores half-width training
+    planes (the `train_dtype` opt-in, threaded through the sharded path
+    so multi-chip honors it like single-chip)."""
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    dist, _ = metric_fns(metric)
+    fast = bool(fast) and k > 16 and metric == "cie94"
+
+    centroids0 = _seed_local(
+        pixels_local, weight_local, k, first_index, k_act, axis_name, metric
+    )
+    planes, n_valid = pack_lab_planes(
+        pixels_local,
+        dtype=None if plane_dtype is None else jnp.dtype(plane_dtype),
+    )
+    weight_planes = pack_plane(weight_local)
+
+    def cond(carry):
+        _, converged, i = carry
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < MAX_ITERATIONS,
+            jnp.logical_not(jnp.logical_and(checked, converged)),
+        )
+
+    def body(carry):
+        centroids, _, i = carry
+        totals = lloyd_accumulate(
+            planes,
+            centroids,
+            n_valid,
+            k_active=k_act,
+            weight_planes=weight_planes,
+            interpret=interpret,
+            metric=metric,
+            fast=fast,
+        )  # [K, 4] per-shard partials
+        totals = jax.lax.psum(totals, axis_name)  # ICI collective, ~K*16 B
+        sums, counts = totals[:, :3], totals[:, 3]
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+        updated, converged = _converged_vote(
+            new_centroids, centroids, valid, counts, convergence, dist
+        )
+        return updated, converged, i + 1
+
+    centroids, _, iters = jax.lax.while_loop(
+        cond, body, (centroids0, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+def _psum_inertia_pallas(
+    pixels_local, weight_local, cents, k_act, axis_name, metric, interpret
+):
+    """Weighted within-cluster inertia of one run, via the accumulator's
+    `emit_inertia` column psum'd over the pixel axis — the distributed
+    counterpart of `fit_large_restarts`' winner-pick pass (always f32
+    planes: run comparison must not inherit plane quantization)."""
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    planes, n_valid = pack_lab_planes(pixels_local)
+    totals = lloyd_accumulate(
+        planes,
+        cents,
+        n_valid,
+        k_active=k_act,
+        weight_planes=pack_plane(weight_local),
+        interpret=interpret,
+        metric=metric,
+        emit_inertia=True,
+    )  # [K, 5]
+    return jax.lax.psum(jnp.sum(totals[:, 4]), axis_name)
+
+
+def _fit_local_pallas_restarts(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    seeds: jnp.ndarray,  # [R] replicated flat seed indices
+    k: int,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+    fast: bool = False,
+    plane_dtype=None,
+    interpret: bool = False,
+):
+    """Multi-restart Pallas sharded fit: sequential per-shard restarts
+    (vmap of pallas_call cannot lower on Mosaic, and sequential keeps HBM
+    at one run's state — the same design as `fit_large_restarts`), winner
+    by psum'd accumulator inertia."""
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    restarts = seeds.shape[0]
+
+    cents_runs, iters_runs, inert_runs = [], [], []
+    for r in range(restarts):
+        cents, iters = _fit_local_pallas(
+            pixels_local, weight_local, k, seeds[r], convergence, k_active,
+            axis_name, metric, fast=fast, plane_dtype=plane_dtype,
+            interpret=interpret,
+        )
+        cents_runs.append(cents)
+        iters_runs.append(iters)
+        inert_runs.append(
+            _psum_inertia_pallas(
+                pixels_local, weight_local, cents, k_act, axis_name, metric,
+                interpret,
+            )
+        )
+    best = jnp.argmin(jnp.stack(inert_runs))
+    return jnp.stack(cents_runs)[best], jnp.stack(iters_runs)[best]
+
+
+def _fit_local_chunked(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    k: int,
+    first_index,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+):
+    """Per-shard body of the memory-bounded sharded fit: the row-chunked
+    XLA trainer (`models.kmeans.lloyd_chunked`'s building blocks) on local
+    pixels with the per-chunk (sum, count) partials psum'd over the pixel
+    axis. Serves the trainings the Pallas accumulator cannot (CPU meshes,
+    CIEDE2000 at k > 64, k > ACCUM_MAX_K) without `_fit_local`'s
+    `[N_local, K]` one-hot — peak memory stays one [CHUNK, K] block per
+    shard regardless of the full-resolution pixel count."""
+    from kmeans_tpu.models.kmeans import _assign_chunked, _update_chunked
+
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    dist, _ = metric_fns(metric)
+
+    centroids0 = _seed_local(
+        pixels_local, weight_local, k, first_index, k_act, axis_name, metric
+    )
+    assign0 = _assign_chunked(pixels_local, centroids0, valid, metric)
+
+    def cond(carry):
+        _, _, converged, i = carry
+        last = i - 1
+        checked = jnp.logical_and(last > 0, last % CONVERGENCE_CHECK_EVERY == 0)
+        return jnp.logical_and(
+            i < MAX_ITERATIONS,
+            jnp.logical_not(jnp.logical_and(checked, converged)),
+        )
+
+    def body(carry):
+        centroids, assign, _, i = carry
+        sums, counts = _update_chunked(pixels_local, assign, k, weight_local)
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+        updated, converged = _converged_vote(
+            new_centroids, centroids, valid, counts, convergence, dist
+        )
+        assign = _assign_chunked(pixels_local, updated, valid, metric)
+        return updated, assign, converged, i + 1
+
+    centroids, _, _, iters = jax.lax.while_loop(
+        cond, body, (centroids0, assign0, jnp.asarray(False), jnp.int32(0))
+    )
+    return centroids, iters
+
+
+def _fit_local_chunked_restarts(
+    pixels_local: jnp.ndarray,
+    weight_local: jnp.ndarray,
+    seeds: jnp.ndarray,
+    k: int,
+    convergence: float,
+    k_active,
+    axis_name: str,
+    metric: str = "cie94",
+):
+    """Sequential multi-restart for the chunked sharded trainer (R x the
+    one-hot memory would defeat the chunking); winner by a chunked
+    min-distance inertia psum'd over the pixel axis — the distributed
+    counterpart of `fit_chunked`'s restart loop."""
+    from kmeans_tpu.models.kmeans import _CHUNK_PIXELS, _masked_d2
+
+    k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
+    valid = jnp.arange(k) < k_act
+    restarts = seeds.shape[0]
+
+    def inertia(cents):
+        n = pixels_local.shape[0]
+        n_pad = (n + _CHUNK_PIXELS - 1) // _CHUNK_PIXELS * _CHUNK_PIXELS
+        padded = jnp.pad(pixels_local, ((0, n_pad - n), (0, 0)))
+        wpad = jnp.pad(weight_local, (0, n_pad - n))
+
+        def chunk_sum(args):
+            px, cw = args
+            d2 = _masked_d2(px, cents, valid, metric)
+            return jnp.sum(jnp.min(d2, axis=1) * cw)
+
+        sums = jax.lax.map(
+            chunk_sum,
+            (padded.reshape(-1, _CHUNK_PIXELS, 3),
+             wpad.reshape(-1, _CHUNK_PIXELS)),
+        )
+        return jax.lax.psum(jnp.sum(sums), axis_name)
+
+    cents_runs, iters_runs, inert_runs = [], [], []
+    for r in range(restarts):
+        cents, iters = _fit_local_chunked(
+            pixels_local, weight_local, k, seeds[r], convergence, k_active,
+            axis_name, metric,
+        )
+        cents_runs.append(cents)
+        iters_runs.append(iters)
+        inert_runs.append(inertia(cents))
+    best = jnp.argmin(jnp.stack(inert_runs))
+    return jnp.stack(cents_runs)[best], jnp.stack(iters_runs)[best]
+
+
 def fit_sharded(
     mesh,
     pixels: jnp.ndarray,
@@ -205,32 +497,76 @@ def fit_sharded(
     k_active=None,
     metric: str = "cie94",
     restarts: int = 1,
+    trainer: str = "onehot",
+    fast: bool = False,
+    plane_dtype=None,
+    interpret: bool = False,
 ):
     """Pixel-sharded fit of a single image: `pixels[N, 3]` sharded over the
     mesh's pixel axis (N must divide by the pixel-axis size; pad + weight).
 
+    `trainer` selects the per-shard Lloyd protocol (the sharded mirrors of
+    `api._fit_auto`'s routing — see `api.ImageProcessor`):
+
+    - `"onehot"` (default): the one-hot MXU matmul — bit-compatible with
+      the small-training single-chip protocol; `[N_local, K]` one-hot per
+      iteration, so only for shrunk trainings.
+    - `"pallas"`: per-shard `lloyd_accumulate` Pallas kernel + psum of the
+      tiny `[K, 4]` totals — full-resolution sharded training at the
+      single-chip kernel's speed and memory floor (TPU meshes;
+      `interpret=True` for CPU-mesh tests). `fast` / `plane_dtype` thread
+      the accumulator's opt-ins through.
+    - `"chunked"`: row-chunked XLA update + psum — the memory-bounded
+      fallback (CPU meshes, CIEDE2000 k > 64, k > ACCUM_MAX_K).
+
     With `restarts > 1`, R independent seedings (restart 0 = the caller's
-    reference seed; `derive_restart_seeds`) train vmapped inside the
-    shard_map and the lowest-inertia run wins — same semantics as the
-    single-device `fit_restarts`, with the inertia reduction psum'd over
-    the pixel axis.
+    reference seed; `derive_restart_seeds`) train inside the shard_map and
+    the lowest-inertia run wins — vmapped on the onehot trainer,
+    SEQUENTIAL on pallas/chunked (vmap of pallas_call cannot lower on
+    Mosaic, and R x the chunked state would defeat its memory bound),
+    exactly like the single-chip `fit_restarts` vs
+    `fit_large_restarts`/`fit_chunked` split.
 
     Returns replicated `(centroids[k, 3], iterations)`.
     """
+    if trainer not in ("onehot", "pallas", "chunked"):
+        raise ValueError(f"unknown trainer {trainer!r}")
     if restarts > 1:
         # Seed derivation runs outside the shard_map on the (tiny, shrunk)
         # training inputs; XLA gathers the sharded weight vector once.
         seeds = derive_restart_seeds(
             pixels.shape[0], first_index, restarts, weight
         )
-        local = partial(
-            _fit_local_restarts,
-            k=k,
-            convergence=convergence,
-            k_active=k_active,
-            axis_name=PIXEL_AXIS,
-            metric=metric,
-        )
+        if trainer == "pallas":
+            local = partial(
+                _fit_local_pallas_restarts,
+                k=k,
+                convergence=convergence,
+                k_active=k_active,
+                axis_name=PIXEL_AXIS,
+                metric=metric,
+                fast=fast,
+                plane_dtype=plane_dtype,
+                interpret=interpret,
+            )
+        elif trainer == "chunked":
+            local = partial(
+                _fit_local_chunked_restarts,
+                k=k,
+                convergence=convergence,
+                k_active=k_active,
+                axis_name=PIXEL_AXIS,
+                metric=metric,
+            )
+        else:
+            local = partial(
+                _fit_local_restarts,
+                k=k,
+                convergence=convergence,
+                k_active=k_active,
+                axis_name=PIXEL_AXIS,
+                metric=metric,
+            )
         fn = jax.shard_map(
             local,
             mesh=mesh,
@@ -239,15 +575,39 @@ def fit_sharded(
             check_vma=False,
         )
         return fn(pixels, weight, seeds)
-    local = partial(
-        _fit_local,
-        k=k,
-        first_index=first_index,
-        convergence=convergence,
-        k_active=k_active,
-        axis_name=PIXEL_AXIS,
-        metric=metric,
-    )
+    if trainer == "pallas":
+        local = partial(
+            _fit_local_pallas,
+            k=k,
+            first_index=first_index,
+            convergence=convergence,
+            k_active=k_active,
+            axis_name=PIXEL_AXIS,
+            metric=metric,
+            fast=fast,
+            plane_dtype=plane_dtype,
+            interpret=interpret,
+        )
+    elif trainer == "chunked":
+        local = partial(
+            _fit_local_chunked,
+            k=k,
+            first_index=first_index,
+            convergence=convergence,
+            k_active=k_active,
+            axis_name=PIXEL_AXIS,
+            metric=metric,
+        )
+    else:
+        local = partial(
+            _fit_local,
+            k=k,
+            first_index=first_index,
+            convergence=convergence,
+            k_active=k_active,
+            axis_name=PIXEL_AXIS,
+            metric=metric,
+        )
     fn = jax.shard_map(
         local,
         mesh=mesh,

@@ -37,6 +37,10 @@ def _row_sharded(mesh, rgb_u8):
     (numpy) inputs pad on the host — an eager device pad would cost a
     full dispatch round trip on remote transports before the real
     upload."""
+    if not isinstance(rgb_u8, (np.ndarray, jax.Array)):
+        # Array-likes (nested lists, memoryviews) coerce up front so the
+        # host-pad fast path below still sees a numpy array.
+        rgb_u8 = np.asarray(rgb_u8)
     h = rgb_u8.shape[0]
     d = mesh.shape[PIXEL_AXIS]
     h_pad = (h + d - 1) // d * d
@@ -139,8 +143,6 @@ def assign_fused_sharded(
     int32 packed-word readback (D = pixel-axis shards) that
     `unpack_fused_sharded` inverts on the host. Replace/dither, k <= 512.
     """
-    from kmeans_tpu.ops.kernels import fused_assign_packed
-
     palette_lab = jnp.asarray(palette_lab, jnp.float32)
     kp = palette_lab.shape[0]
     if kp > 512:

@@ -100,6 +100,210 @@ def test_fit_sharded_restarts_selects_min_inertia_run():
     assert int(iR) == int(runs[best][1])
 
 
+def test_fit_sharded_pallas_matches_fit_large():
+    """The per-shard Pallas accumulator trainer (psum of [K, 4] totals)
+    must reproduce the single-device `fit_large` within psum-reordering
+    tolerance, with the same iteration count, on the 8-device CPU mesh
+    (interpret mode — the kernel is the real one)."""
+    pts = _blob_pixels()
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)
+
+    single, it_single = km.fit_large(pts, 3, 0, interpret=True)
+    sharded, it_sharded = fit_sharded(
+        mesh, pts, weight, 3, 0, trainer="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-3
+    )
+    assert int(it_single) == int(it_sharded)
+
+
+def test_fit_sharded_pallas_counts_exact_sums_close():
+    """Given IDENTICAL centroids, the sharded accumulate protocol (per-
+    shard `lloyd_accumulate` partials psum'd over the pixel axis) must
+    produce exactly-equal counts (integer-valued f32 sums are exact well
+    below 2^24) and sums within 1e-5 relative of the single-device
+    accumulator — the VERDICT round-2 acceptance bar for task 1."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    pts = _blob_pixels(n=8192, seed=11)
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    cents, _ = km.fit(pts, 4, 0)
+    mesh = make_mesh(jax.devices(), data=1)
+
+    planes, n_valid = pack_lab_planes(pts)
+    want = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n_valid, weight_planes=pack_plane(weight),
+            interpret=True,
+        )
+    )
+
+    def local(px, wt):
+        pl_local, nv = pack_lab_planes(px)
+        totals = lloyd_accumulate(
+            pl_local, cents, nv, weight_planes=pack_plane(wt),
+            interpret=True,
+        )
+        return jax.lax.psum(totals, PIXEL_AXIS)
+
+    got = np.asarray(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(PIXEL_AXIS, None), P(PIXEL_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )(pts, weight)
+    )
+    np.testing.assert_array_equal(got[:, 3], want[:, 3])  # counts exact
+    np.testing.assert_allclose(got[:, :3], want[:, :3], rtol=1e-5)
+
+
+def test_fit_sharded_chunked_matches_fit_chunked():
+    """The row-chunked psum trainer (CIEDE2000 k>64 / k>512 fallback) must
+    reproduce the single-device `fit_chunked` within psum tolerance."""
+    pts = _blob_pixels(n=4096, seed=3)
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)
+
+    single, it_single = km.fit_chunked(pts, 3, 0)
+    sharded, it_sharded = fit_sharded(
+        mesh, pts, weight, 3, 0, trainer="chunked"
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-3
+    )
+    assert int(it_single) == int(it_sharded)
+
+
+def test_fit_sharded_pallas_restarts_and_plane_dtype():
+    """Sequential sharded Pallas restarts: restart winner must match the
+    single-device `fit_large_restarts` (same seeds by construction) within
+    psum tolerance; bf16 plane_dtype must run and stay near the f32 run
+    (input quantization only)."""
+    pts = _blob_pixels(n=4096, seed=21)
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)
+    R = 3
+
+    single, it_single = km.fit_large_restarts(
+        pts, 3, 0, restarts=R, interpret=True
+    )
+    sharded, it_sharded = fit_sharded(
+        mesh, pts, weight, 3, 0, restarts=R, trainer="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-3
+    )
+    assert int(it_single) == int(it_sharded)
+
+    bf16, _ = fit_sharded(
+        mesh, pts, weight, 3, 0, trainer="pallas", plane_dtype="bfloat16",
+        interpret=True,
+    )
+    f32, _ = fit_sharded(
+        mesh, pts, weight, 3, 0, trainer="pallas", interpret=True
+    )
+    # bf16 planes quantize the training input (~0.3 dE documented); the
+    # blob test data converges to nearly the same centroids.
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=0.5)
+
+
+def test_fit_sharded_chunked_restarts_selects_min_inertia():
+    """Sequential chunked restarts pick the same winner as individually-
+    run chunked sharded fits."""
+    pts = _blob_pixels(n=4096, seed=7)
+    weight = jnp.ones(pts.shape[0], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=1)
+    R = 3
+    seeds = np.asarray(km.derive_restart_seeds(4096, 0, R, weight))
+    runs = [
+        fit_sharded(mesh, pts, weight, 3, int(s), trainer="chunked")
+        for s in seeds
+    ]
+
+    def inertia(c):
+        d2 = np.asarray(km._masked_d2(pts, jnp.asarray(c), jnp.ones(3, bool)))
+        return float(d2.min(axis=1).sum())
+
+    best = int(np.argmin([inertia(c) for c, _ in runs]))
+    cR, iR = fit_sharded(
+        mesh, pts, weight, 3, 0, restarts=R, trainer="chunked"
+    )
+    np.testing.assert_allclose(
+        np.asarray(cR), np.asarray(runs[best][0]), atol=1e-3
+    )
+    assert int(iR) == int(runs[best][1])
+
+
+def test_sharded_trainer_route_mirrors_fit_auto():
+    """`_sharded_trainer_route` must follow `_fit_auto`'s branches:
+    small/shrunk -> onehot; large-N TPU cie94 -> pallas; cie2000 k>64 or
+    k>512 past the element budget -> chunked; CPU never routes pallas."""
+    from kmeans_tpu.api import _sharded_trainer_route as route
+
+    n_small, n_large = 65_536, 8_294_400  # 256px shrink vs full-res 4K
+    # shrunk trainings keep the bit-compatible one-hot protocol
+    assert route(n_small, 8, True, "cie94") == "onehot"
+    assert route(n_small, 256, True, "cie94") == "onehot"
+    # full-res sharded -> per-shard Pallas accumulator (TPU)
+    assert route(n_large, 8, True, "cie94") == "pallas"
+    assert route(n_large, 64, True, "cie2000") == "pallas"
+    assert route(n_large, 128, True, "cie94") == "pallas"
+    assert route(n_large, 512, True, "cie94") == "pallas"
+    # the accumulator's documented exclusions -> chunked
+    assert route(n_large, 128, True, "cie2000") == "chunked"
+    assert route(n_large, 1024, True, "cie94") == "chunked"
+    # CPU meshes never route pallas
+    assert route(n_large, 8, False, "cie94") == "onehot"
+    assert route(n_large, 128, False, "cie94") == "chunked"
+
+
+def test_reduce_sharded_full_res_training_routes_and_matches(monkeypatch):
+    """API-level routing: with train_max_size=None the sharded reduce must
+    route training through a large-N trainer (not the one-hot protocol)
+    and still produce near-identical output. Budgets are monkeypatched
+    down so the CPU-mesh test exercises the chunked route without a
+    multi-megapixel input."""
+    import kmeans_tpu.api as api_mod
+    from kmeans_tpu.api import ImageProcessor
+
+    rng = np.random.default_rng(17)
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    idx = rng.integers(0, 3, size=(96, 120))
+    rgb = np.clip(base[idx] + rng.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    rgba = np.concatenate(
+        [rgb.astype(np.uint8), np.full((96, 120, 1), 255, np.uint8)], -1
+    )
+    monkeypatch.setattr(api_mod, "_CHUNKED_TRAIN_ELEMS", 1)
+
+    routes = []
+    real_route = api_mod._sharded_trainer_route
+
+    def spy(n_px, kp, use_pallas, metric):
+        r = real_route(n_px, kp, use_pallas, metric)
+        routes.append(r)
+        return r
+
+    monkeypatch.setattr(api_mod, "_sharded_trainer_route", spy)
+    p = ImageProcessor(train_max_size=None)
+    sharded = p.reduce_sharded(65, rgba)
+    assert routes == ["chunked"]
+    single = p.reduce(65, rgba)
+    frac = (single.pixels == sharded.pixels).all(axis=-1).mean()
+    assert frac > 0.99
+
+
 def test_quantize_sharded_matches_unsharded():
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.integers(0, 256, (64, 128, 4), dtype=np.uint8))
