@@ -98,6 +98,37 @@ def _probe_device(timeout_s: int = 480) -> bool:
         signal.signal(signal.SIGALRM, old)
 
 
+def _measure_wire_rates(call_latency: float, mb: int = 12) -> tuple[float, float]:
+    """(upload, readback) MB/s of the device transport, measured in-run
+    with `mb`-sized buffers; the per-call latency is subtracted from each
+    sample. Upload reps perturb the host buffer and force completion with
+    a tiny derived readback (`block_until_ready` is unreliable over this
+    tunnel — docs/STATUS.md); readback reps read a FRESH derived array
+    each time (JAX caches the host copy after the first np.asarray of an
+    Array). Best-of-3 each: these feed the e2e floor estimate, which must
+    track the wire's capability, not a single transfer's luck."""
+    import jax.numpy as jnp
+    import numpy as onp
+
+    n = mb * (1 << 20)
+    host = onp.zeros(n, onp.uint8)
+    dev = jnp.asarray(host)  # warm the transfer path
+    onp.asarray(dev[:8])
+
+    up_times = []
+    for i in range(3):
+        host[0] = i + 1  # defeat any same-buffer transfer short-circuit
+        t = _timed(lambda: onp.asarray(jnp.asarray(host)[:8]))
+        up_times.append(max(t - call_latency, 1e-6))
+    down_times = []
+    for i in range(3):
+        fresh = dev + onp.uint8(i + 1)
+        onp.asarray(fresh[:8])  # ensure the derived array is materialized
+        t = _timed(lambda: onp.asarray(fresh))
+        down_times.append(max(t - call_latency, 1e-6))
+    return mb / min(up_times), mb / min(down_times)
+
+
 def _measure_call_latency(reps: int = 12) -> float:
     """Per-call roundtrip latency of the device transport, measured in-run
     (round 1 hardcoded 30 ms): the time to dispatch a tiny device
@@ -163,19 +194,10 @@ def main() -> None:
     processor.reduce(K, image, Algorithm.KMEANS, ReduceMode.REPLACE)
     log("bench: warmup done")
 
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = processor.reduce(K, image, Algorithm.KMEANS, ReduceMode.REPLACE)
-        # .pixels is a host numpy array: the transfer back is included.
-        assert out.pixels.shape == (HEIGHT, WIDTH, 4)
-        times.append(time.perf_counter() - t0)
-    e2e = min(times)
-    e2e_mpix_s = mpix / e2e
-    log(f"bench: e2e best {e2e*1e3:.0f} ms")
-
     call_latency = _measure_call_latency()
     log(f"bench: per-call transport latency {call_latency*1e3:.1f} ms")
+    wire_up, wire_down = _measure_wire_rates(call_latency)
+    log(f"bench: wire up {wire_up:.1f} MB/s, down {wire_down:.1f} MB/s")
 
     # Device-side throughput of the same full reduce (train + assign),
     # excluding the dev-harness tunnel transfers (~30-40 MB/s here, vs
@@ -226,9 +248,56 @@ def main() -> None:
     # accelerator (PCIe staging instead of the dev tunnel). Bytes moved by
     # the flagship path: RGB-only upload (3 B/px) + bit-packed index
     # readback (0.5 B/px at k=8).
-    bytes_moved = WIDTH * HEIGHT * 3 + WIDTH * HEIGHT // 2
+    up_bytes = WIDTH * HEIGHT * 3
+    down_bytes = WIDTH * HEIGHT // 2
+    bytes_moved = up_bytes + down_bytes
     pcie_s = device_s + bytes_moved / (PCIE_GBPS * 1e9)
     log(f"bench: PCIe-projected e2e {pcie_s*1e3:.1f} ms")
+
+    # --- e2e capture, degradation-proofed (VERDICT round-2 task 2) ---
+    # The e2e number is >90% wire time here, so a transiently-degraded
+    # tunnel used to publish its degradation as the score (r02: 846 ms
+    # captured while the same code measured 509-569 ms). Guard: compute
+    # the session's achievable floor from the wire rates + latency +
+    # device time measured IN THIS RUN; while best-of-N exceeds 1.5x that
+    # floor, keep measuring with a short backoff (the tunnel recovers on
+    # the tens-of-seconds scale) up to a wall-clock budget, re-measuring
+    # the wire rates as we go (the floor tracks the BEST observed rates).
+    def e2e_floor() -> float:
+        return (
+            up_bytes / (wire_up * 1e6)
+            + down_bytes / (wire_down * 1e6)
+            + call_latency
+            + device_s
+        )
+
+    def one_e2e() -> float:
+        t0 = time.perf_counter()
+        out = processor.reduce(K, image, Algorithm.KMEANS, ReduceMode.REPLACE)
+        # .pixels is a host numpy array: the transfer back is included.
+        assert out.pixels.shape == (HEIGHT, WIDTH, 4)
+        return time.perf_counter() - t0
+
+    times = [one_e2e() for _ in range(REPS)]
+    budget_end = time.monotonic() + 480.0
+    while (
+        min(times) > 1.5 * e2e_floor() and time.monotonic() < budget_end
+    ):
+        log(
+            f"bench: e2e best {min(times)*1e3:.0f} ms exceeds 1.5x floor "
+            f"{e2e_floor()*1e3:.0f} ms — tunnel degraded, re-measuring"
+        )
+        time.sleep(20)
+        u, d = _measure_wire_rates(call_latency)
+        wire_up, wire_down = max(wire_up, u), max(wire_down, d)
+        times.extend(one_e2e() for _ in range(2))
+    e2e = min(times)
+    e2e_median = sorted(times)[len(times) // 2]
+    e2e_mpix_s = mpix / e2e
+    log(
+        f"bench: e2e best {e2e*1e3:.0f} ms, median {e2e_median*1e3:.0f} ms "
+        f"over {len(times)} reps (floor {e2e_floor()*1e3:.0f} ms)"
+    )
 
     # The full BASELINE.json config matrix (reference workloads on
     # tokyo.png) — per-config failures are recorded, not fatal.
@@ -250,6 +319,11 @@ def main() -> None:
                 "device_mpix_s": round(mpix / device_s, 1),
                 "device_ms": round(device_s * 1e3, 2),
                 "e2e_ms": round(e2e * 1e3, 1),
+                "e2e_median_ms": round(e2e_median * 1e3, 1),
+                "e2e_floor_ms": round(e2e_floor() * 1e3, 1),
+                "e2e_reps": len(times),
+                "wire_up_mb_s": round(wire_up, 1),
+                "wire_down_mb_s": round(wire_down, 1),
                 "call_latency_ms": round(call_latency * 1e3, 1),
                 "pcie_projected_mpix_s": round(mpix / pcie_s, 1),
                 "baseline_mpix_s": REFERENCE_BASELINE_MPIX_S,
