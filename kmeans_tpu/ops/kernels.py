@@ -95,6 +95,16 @@ UNROLL_CHUNK = 128
 # production default must stay (16, 1) unless re-measured.
 UNROLL_KP_MAX_2000 = 16
 UNROLL_CHUNK_2000 = 1
+# Candidate count of the CIEDE2000 fast tier (`fast=True, metric=
+# "cie2000", kp > 16`): a cheap screening loop (the factorized CIE94
+# score — 7 FMAs/trip against the SMEM G-table) keeps the PRUNE_M
+# nearest candidates per pixel, and the exact CIEDE2000 trig chain runs
+# only on those survivors (gathered from a VMEM centroid table) — the
+# k x trig cost that made exact fused cie2000 451 ms at 4K k=256
+# (docs/perf.md) shrinks to M x trig + k x screen. Swept on hardware
+# (tools/exp_prune.py); mismatch vs exact measured and documented in
+# docs/perf.md. Like every fast mode: opt-in, never a default.
+PRUNE_M = 8
 # Largest palette the Lloyd tile accumulator accepts. Its two Python
 # loops (distance + per-cluster mask reductions) fully unroll over kp,
 # so this bounds kernel program size; swept on hardware
@@ -102,16 +112,22 @@ UNROLL_CHUNK_2000 = 1
 ACCUM_MAX_K = 512
 
 
-def set_loop_knobs(kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None):
+def set_loop_knobs(
+    kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None, prune_m=None
+):
     """Set the loop-form knobs AND clear the jit caches in one step.
 
     The knobs are module globals read at TRACE time and are not part of
     any jit cache key, so mutating them directly serves stale loop forms
     from already-traced executables. Every sweeper (tools/exp_*.py,
     tests/conftest.py) must go through this helper. Returns the previous
-    values `(kp_max, chunk, kp_max_2000, chunk_2000)`."""
+    values `(kp_max, chunk, kp_max_2000, chunk_2000, prune_m)`."""
     global UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000
-    prev = (UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
+    global PRUNE_M
+    prev = (
+        UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000,
+        PRUNE_M,
+    )
     if kp_max is not None:
         UNROLL_KP_MAX = kp_max
     if chunk is not None:
@@ -120,6 +136,8 @@ def set_loop_knobs(kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None):
         UNROLL_KP_MAX_2000 = kp_max_2000
     if chunk_2000 is not None:
         UNROLL_CHUNK_2000 = chunk_2000
+    if prune_m is not None:
+        PRUNE_M = prune_m
     jax.clear_caches()
     return prev
 ACCUM_TILE_ROWS = 128
@@ -373,6 +391,67 @@ def factor_g_table(centroids_lab: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([l2, l2 * l2, c2, c2 * c2, a2, b2, ab2], axis=1)
 
 
+def _prune_mode(fast: bool, metric: str, kp: int) -> bool:
+    """True when the quantize kernel runs the two-pass pruned CIEDE2000
+    fast tier: factorized-CIE94 screening keeps the PRUNE_M nearest
+    candidates, exact CIEDE2000 runs only on them. Same size gate as the
+    cie94 fast mode (kp > 16: below it the exact loop is already
+    transcendental-bound and fast changes nothing). The kernel and its
+    wrappers MUST agree on this predicate — it adds the SMEM G-table and
+    the VMEM centroid/palette gather tables as operands."""
+    return bool(fast) and metric == "cie2000" and kp > 16
+
+
+def prune_rows(kp: int) -> int:
+    """Rows per 128-lane gather table covering a kp-entry palette."""
+    return (kp + LANES - 1) // LANES
+
+
+def prune_c_table(centroids_lab: jnp.ndarray) -> jnp.ndarray:
+    """Centroid Lab channels in the gatherable `[3 * H, 128]` layout the
+    pruned exact pass reads with `_table_gather` (H = `prune_rows(kp)`;
+    channel c of centroid k sits at row c * H + k // 128, lane k % 128).
+    Accepts `[KP, 3]` (single palette) or `[B, KP, 3]` (frame batch ->
+    `[B * 3 * H, 128]`, frame b's block at rows b * 3H..)."""
+    batched = centroids_lab.ndim == 3
+    c = centroids_lab if batched else centroids_lab[None]
+    b, kp = c.shape[0], c.shape[1]
+    h = prune_rows(kp)
+    pad = jnp.pad(c, ((0, 0), (0, h * LANES - kp), (0, 0)))
+    out = pad.transpose(0, 2, 1).reshape(b * 3 * h, LANES)
+    return out
+
+
+def prune_pal_table(packed_pal: jnp.ndarray) -> jnp.ndarray:
+    """Packed RGBA palette words in the gatherable `[H, 128]` (or
+    `[B * H, 128]`) layout for the pruned color-emit gather."""
+    batched = packed_pal.ndim == 2
+    p = packed_pal if batched else packed_pal[None]
+    b, kp = p.shape[0], p.shape[1]
+    h = prune_rows(kp)
+    pad = jnp.pad(p, ((0, 0), (0, h * LANES - kp)))
+    return pad.reshape(b * h, LANES)
+
+
+def _table_gather(tab_ref, idx, n_rows: int, row0: int = 0):
+    """Per-pixel table lookup `table[idx]` via the one gather form Mosaic
+    lowers (element-wise take_along_axis against broadcast 128-lane rows,
+    like `_lut_gather`): `tab_ref` holds the table as `n_rows` rows of
+    128 lanes starting at static row `row0`; `idx` is an i32 tile with
+    values in [0, n_rows * 128)."""
+    out = None
+    for h in range(n_rows):
+        row = jnp.broadcast_to(tab_ref[row0 + h : row0 + h + 1, :], idx.shape)
+        v = jnp.take_along_axis(
+            row, jnp.clip(idx - h * LANES, 0, LANES - 1), axis=1
+        )
+        if out is None:
+            out = v
+        else:
+            out = jnp.where((idx >> 7) == h, v, out)
+    return out
+
+
 def _bayer_value(x, y):
     """(M4[y%4][x%4] / 16) - 0.5 in closed form (see module docstring);
     matches mix_colors.wgsl:14-27."""
@@ -416,8 +495,15 @@ def _quantize_kernel(
     `frame_tiles == 0` single-palette path is untouched — identical
     jaxpr, so existing compiled-cache entries stay valid."""
     factor = _factor_mode(fast, metric, kp)
+    prune = _prune_mode(fast, metric, kp)
     refs = list(refs)
-    gtab_ref = refs.pop(0) if factor else None
+    gtab_ref = refs.pop(0) if (factor or prune) else None
+    ctab_ref = refs.pop(0) if prune else None
+    ptab_ref = (
+        refs.pop(0)
+        if (prune and mode in ("replace", "dither") and not emit_index)
+        else None
+    )
     lut_ref = refs.pop(0) if use_lut else None
     in_ref, out_ref = refs
     if frame_tiles:
@@ -497,9 +583,11 @@ def _quantize_kernel(
         #   not carry-bound), 76-636 s remote compiles, and form-
         #   dependent bits. Identical program to round 1.
         # Trip order and per-trip arithmetic are identical in all forms.
+        # The pruned-cie2000 SCREENING loop is a cie94-class body (7 FMAs
+        # + the top-M insert, no trig), so it takes the cie94 knobs.
         kp_max, chunk = (
             (UNROLL_KP_MAX, UNROLL_CHUNK)
-            if metric == "cie94"
+            if metric == "cie94" or prune
             else (UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
         )
         if kp <= kp_max:
@@ -570,22 +658,36 @@ def _quantize_kernel(
 
         pair_sq = _cie94_sq_planes
     else:  # cie2000 (fused; polynomial atan2 — see _atan2_planes)
-        fast = False  # no fast variant for this metric
         # Pixel-side chroma is centroid-independent: hoist it out of the
         # centroid loop (bit-identical — same expression, same inputs).
         c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
+        if prune:
+            # The fast tier's SCREENING rank is the factorized CIE94
+            # score (it only orders candidates; the winning distance is
+            # always exact CIEDE2000), so it shares the cie94 fast
+            # branch's pixel factors and SMEM G-table.
+            sc_p = 1.0 + _K1 * c1_p
+            sh2r = 1.0 / ((1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p))
+            rsh2_p = sh2r
+            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+            f0_p = -2.0 * l_p
+            f2_p = -2.0 * c1_p * q_p
+            f4_p = -2.0 * a_p * rsh2_p
+            f5_p = -2.0 * b_p * rsh2_p
+        fast = False  # the cie94 'fast' lever never applies to this metric
 
         def dist_sq(cl, ca, cb):
             return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
 
         pair_sq = _cie2000_sq_planes
 
-    if factor:
+    if factor or prune:
         # Factorized fast score against the precomputed SMEM G-table:
         # 6 FMAs + 1 scalar-broadcast add per centroid, zero in-loop
         # scalar arithmetic (gtab rows are [L2, L2^2, C2, C2^2, a2, b2,
-        # a2^2 + b2^2] — `factor_g_table`).
-        def dist_sq_k(k):
+        # a2^2 + b2^2] — `factor_g_table`). Under prune it is only the
+        # screening RANK; under cie94 fast it is the distance itself.
+        def screen_k(k):
             i = cent_base + k if frame_tiles else k
             return (
                 f0_p * gtab_ref[i, 0]
@@ -596,37 +698,108 @@ def _quantize_kernel(
                 + f5_p * gtab_ref[i, 5]
                 + rsh2_p * gtab_ref[i, 6]
             )
+
+    if factor:
+        dist_sq_k = screen_k
     else:
 
         def dist_sq_k(k):
             return dist_sq(*centroid(k))
 
+    if prune:
+        # ---- CIEDE2000 fast tier: two-pass candidate pruning ----
+        # Pass 1 keeps the m nearest candidates by the cheap screening
+        # rank (top-m insertion: m compare-swap stages on (d, k) carries);
+        # pass 2 evaluates exact CIEDE2000 only on those survivors, whose
+        # Lab channels are gathered per pixel from the VMEM centroid
+        # table (`prune_c_table` layout). The k x trig chain that made
+        # exact fused cie2000 451 ms at 4K k=256 becomes k x ~12 VPU ops
+        # + m x trig. Opt-in (`fast=True`): the winner is chosen by exact
+        # distances, but a true nearest centroid screened out of the
+        # top-m is lost — mismatch rate measured in docs/perf.md.
+        m = min(PRUNE_M, kp)
+        h_rows = prune_rows(kp)
+        big_half = jnp.float32(1.7e38)  # validity test: below any screen
+
+        def sbody(k, carry):
+            carry = list(carry)
+            sd = screen_k(k)
+            sd = jnp.where(k < k_active, sd, big)
+            si = jnp.zeros(l_p.shape, jnp.int32) + k
+            for j in range(m):
+                d_j, i_j = carry[2 * j], carry[2 * j + 1]
+                take = sd < d_j
+                nd = jnp.where(take, sd, d_j)
+                ni = jnp.where(take, si, i_j)
+                sd = jnp.where(take, d_j, sd)
+                si = jnp.where(take, i_j, si)
+                carry[2 * j], carry[2 * j + 1] = nd, ni
+            return tuple(carry)
+
+        sinit = []
+        for _ in range(m):
+            sinit.append(jnp.full_like(l_p, big))
+            sinit.append(jnp.zeros(l_p.shape, jnp.int32))
+        scarry = k_loop(sbody, tuple(sinit))
+        cand_d = [scarry[2 * j] for j in range(m)]
+        cand_i = [scarry[2 * j + 1] for j in range(m)]
+
+        def exact_j(j):
+            """(exact d^2, index, cl, ca, cb) of screening candidate j;
+            invalid (masked k_active) candidates stay at big."""
+            idx = cand_i[j]
+            cl = _table_gather(ctab_ref, idx, h_rows, 0)
+            ca = _table_gather(ctab_ref, idx, h_rows, h_rows)
+            cb = _table_gather(ctab_ref, idx, h_rows, 2 * h_rows)
+            d = _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
+            return jnp.where(cand_d[j] < big_half, d, big), idx, cl, ca, cb
+
     if mode in ("replace", "dither"):
-        # Each output form needs exactly TWO loop carries: the index map
-        # carries best_k, the color modes carry the packed palette select
-        # (pal_ref[k] at loop-trip time — a scalar SMEM read, so carrying
-        # it is as cheap as carrying k). Dropping the unused third carry
-        # cuts the rolled (k > 16) loop's carried VMEM a third; selection
-        # logic is unchanged, so outputs are bit-identical.
-        sel0 = jnp.zeros(l_p.shape, jnp.int32)
+        if prune:
+            # Winner among the m survivors by EXACT distance; ties break
+            # by screening rank (strict <), not centroid index — a
+            # documented fast-mode deviation, like cie94 fast's
+            # knife-edge flips. The color emit gathers the packed
+            # palette word by the winning index (`prune_pal_table`).
+            best_d = jnp.full_like(l_p, big)
+            best_sel = jnp.zeros(l_p.shape, jnp.int32)
+            for j in range(m):
+                d, idx, _, _, _ = exact_j(j)
+                sel = (
+                    idx
+                    if emit_index
+                    else _table_gather(ptab_ref, idx, h_rows, 0)
+                )
+                take = d < best_d
+                best_d = jnp.where(take, d, best_d)
+                best_sel = jnp.where(take, sel, best_sel)
+        else:
+            # Each output form needs exactly TWO loop carries: the index
+            # map carries best_k, the color modes carry the packed
+            # palette select (pal_ref[k] at loop-trip time — a scalar
+            # SMEM read, so carrying it is as cheap as carrying k).
+            # Dropping the unused third carry cuts the rolled (k > 16)
+            # loop's carried VMEM a third; selection logic is unchanged,
+            # so outputs are bit-identical.
+            sel0 = jnp.zeros(l_p.shape, jnp.int32)
 
-        def body(k, carry):
-            best_d, best_sel = carry
-            d = dist_sq_k(k)
-            d = jnp.where(k < k_active, d, big)
-            take = d < best_d
-            if emit_index:
-                sel = k
-            elif frame_tiles:
-                sel = pal_ref[cent_base + k]
-            else:
-                sel = pal_ref[k]
-            return (
-                jnp.where(take, d, best_d),
-                jnp.where(take, sel, best_sel),
-            )
+            def body(k, carry):
+                best_d, best_sel = carry
+                d = dist_sq_k(k)
+                d = jnp.where(k < k_active, d, big)
+                take = d < best_d
+                if emit_index:
+                    sel = k
+                elif frame_tiles:
+                    sel = pal_ref[cent_base + k]
+                else:
+                    sel = pal_ref[k]
+                return (
+                    jnp.where(take, d, best_d),
+                    jnp.where(take, sel, best_sel),
+                )
 
-        _, best_sel = k_loop(body, (jnp.full_like(l_p, big), sel0))
+            _, best_sel = k_loop(body, (jnp.full_like(l_p, big), sel0))
         best_k = best_packed = best_sel
         if emit_index:
             if pack_bits_n:
@@ -655,11 +828,8 @@ def _quantize_kernel(
         return
     else:  # meld (mix_colors.wgsl:29-47,85-90)
 
-        def body(k, carry):
+        def meld_update(carry, d, cl, ca, cb):
             d1, l1, a1, b1, d2, l2, a2, b2 = carry
-            cl, ca, cb = centroid(k)
-            d = dist_sq_k(k)
-            d = jnp.where(k < k_active, d, big)
             first = d < d1
             second = jnp.logical_and(jnp.logical_not(first), d < d2)
             # new second-closest: old closest if displaced, else maybe d
@@ -674,7 +844,24 @@ def _quantize_kernel(
             return n_d1, n_l1, n_a1, n_b1, n_d2, n_l2, n_a2, n_b2
 
         init = (jnp.full_like(l_p, big), zero, zero, zero) * 2
-        _, l1, a1, b1, d2_carry, l2, a2, b2 = k_loop(body, init)
+        if prune:
+            # 2-closest by EXACT distance among the m screening
+            # survivors, consuming the gathered candidate Lab values —
+            # the blend tail below is identical to the exact path's.
+            carry = init
+            for j in range(m):
+                d, _, cl, ca, cb = exact_j(j)
+                carry = meld_update(carry, d, cl, ca, cb)
+            _, l1, a1, b1, d2_carry, l2, a2, b2 = carry
+        else:
+
+            def body(k, carry):
+                cl, ca, cb = centroid(k)
+                d = dist_sq_k(k)
+                d = jnp.where(k < k_active, d, big)
+                return meld_update(carry, d, cl, ca, cb)
+
+            _, l1, a1, b1, d2_carry, l2, a2, b2 = k_loop(body, init)
         # factor = d(color, second) / d(closest, second); CIE94 asymmetric
         # orientations per mix_colors.wgsl:86 (metric-dependent). The loop
         # carry already holds d^2(pixel, second) computed with the exact
@@ -794,15 +981,36 @@ def _run_quantize_kernel(
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     cents_f32 = jnp.asarray(centroids_lab, jnp.float32)
+    packed_pal = _packed_palette(centroids_lab)
     operands = [
         scalars,
         thr,
         cents_f32,
-        _packed_palette(centroids_lab),
+        packed_pal,
     ]
-    if _factor_mode(fast, metric, kp):
+    if _factor_mode(fast, metric, kp) or _prune_mode(fast, metric, kp):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(factor_g_table(cents_f32))
+    if _prune_mode(fast, metric, kp):
+        # Pruned cie2000 fast tier: VMEM gather tables for the exact pass
+        # (centroid Lab channels; packed palette words for the color
+        # emit) — layouts documented at prune_c_table/prune_pal_table.
+        h_rows = prune_rows(kp)
+        in_specs.append(
+            pl.BlockSpec(
+                (3 * h_rows, LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(prune_c_table(cents_f32))
+        if mode in ("replace", "dither") and not emit_index:
+            in_specs.append(
+                pl.BlockSpec(
+                    (h_rows, LANES), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(prune_pal_table(packed_pal))
     if use_lut:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(gamma_lut_values())
@@ -1232,10 +1440,35 @@ def _run_quantize_kernel_frames(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    operands = [scalars, thr, cents, _packed_palette(cents)]
-    if _factor_mode(fast, metric, kp):
+    packed_pal = _packed_palette(cents)
+    operands = [scalars, thr, cents, packed_pal]
+    if _factor_mode(fast, metric, kp) or _prune_mode(fast, metric, kp):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(factor_g_table(cents))
+    if _prune_mode(fast, metric, kp):
+        # Per-frame gather tables, block-mapped so the kernel always sees
+        # its own frame's rows at static offsets (grid step i belongs to
+        # frame i // frame_tiles).
+        h_rows = prune_rows(kp)
+        in_specs.append(
+            pl.BlockSpec(
+                (3 * h_rows, LANES),
+                lambda i: (i // frame_tiles, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(
+            prune_c_table(jnp.asarray(centroids_lab, jnp.float32))
+        )
+        if mode in ("replace", "dither") and not emit_index:
+            in_specs.append(
+                pl.BlockSpec(
+                    (h_rows, LANES),
+                    lambda i: (i // frame_tiles, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(prune_pal_table(packed_pal.reshape(b, kp)))
     if use_lut:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(gamma_lut_values())

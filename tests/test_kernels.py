@@ -776,3 +776,145 @@ def test_fused_frames_rejects_oversize_batch():
     thr = jnp.zeros((b,), jnp.float32)
     with pytest.raises(ValueError, match="FRAMES_MAX_BK"):
         fused_quantize_frames(frames, cents, thr, interpret=True)
+
+
+# ------------------------------------------------------------------ #
+# CIEDE2000 fast tier (two-pass candidate pruning) — round 3
+# ------------------------------------------------------------------ #
+
+
+def test_prune_full_m_matches_exact():
+    """With PRUNE_M >= kp the screening pass keeps EVERY candidate, so the
+    pruned selection must equal the exact cie2000 fused path for every
+    mode (validates the gather tables, masks, and the exact pass
+    end-to-end; ties are measure-zero on random f32 data)."""
+    from kmeans_tpu.ops import kernels as k_mod
+
+    img = _image(24, 40, seed=5)
+    pal = _palette(20, seed=6)
+    thr = dither_threshold(pal, metric="cie2000")
+    prev = k_mod.set_loop_knobs(prune_m=64)
+    try:
+        for mode in ("replace", "dither", "meld"):
+            want = np.asarray(
+                fused_quantize(
+                    img, pal, thr, mode=mode, interpret=True,
+                    metric="cie2000",
+                )
+            )
+            got = np.asarray(
+                fused_quantize(
+                    img, pal, thr, mode=mode, interpret=True,
+                    metric="cie2000", fast=True,
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=mode)
+    finally:
+        k_mod.set_loop_knobs(prune_m=prev[4])
+
+
+def test_prune_default_m_quality_and_k_active():
+    """At the production PRUNE_M the pruned tier must (a) rarely disagree
+    with exact (screening keeps the true nearest in its top-m for almost
+    every pixel), (b) never emit an index >= k_active, (c) match exact
+    when k_active <= m (every active candidate survives screening)."""
+    from kmeans_tpu.ops.kernels import fused_assign
+
+    img = _image(40, 48, seed=7)
+    pal = _palette(24, seed=8)
+    exact = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), mode="replace", interpret=True,
+            metric="cie2000",
+        )
+    )
+    fast = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), mode="replace", interpret=True,
+            metric="cie2000", fast=True,
+        )
+    )
+    assert (fast != exact).mean() < 5e-3
+    # (b)+(c): masked palette with k_active <= m
+    ka = 6
+    exact_m = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), k_active=ka, mode="replace",
+            interpret=True, metric="cie2000",
+        )
+    )
+    fast_m = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), k_active=ka, mode="replace",
+            interpret=True, metric="cie2000", fast=True,
+        )
+    )
+    assert fast_m.max() < ka
+    np.testing.assert_array_equal(fast_m, exact_m)
+
+
+def test_prune_packed_and_frames_match_single():
+    """The pruned tier must compose with the in-kernel bit pack and the
+    per-frame-palette batch mode: packed words unpack to the same index
+    map as fused_assign, and the frame batch matches per-frame
+    launches."""
+    from kmeans_tpu.ops.kernels import (
+        fused_assign,
+        fused_assign_frames_packed,
+        fused_assign_packed,
+        fused_quantize_frames,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    h, w, kp = 24, 40, 20
+    img = _image(h, w, seed=9)
+    pal = _palette(kp, seed=10)
+    idx = np.asarray(
+        fused_assign(
+            img, pal, jnp.float32(0.0), mode="replace", interpret=True,
+            metric="cie2000", fast=True,
+        )
+    )
+    words = fused_assign_packed(
+        img, pal, jnp.float32(0.0), mode="replace", interpret=True,
+        metric="cie2000", fast=True,
+    )
+    got = unpack_tile_words(
+        np.asarray(words), h, w, pack_bits(kp), tile_rows=quant_tile_rows(kp)
+    )
+    np.testing.assert_array_equal(got, idx)
+
+    frames = jnp.stack([_image(h, w, seed=11), _image(h, w, seed=12)])
+    pals = jnp.stack([pal, _palette(kp, seed=13)])
+    thrs = jnp.zeros(2, jnp.float32)
+    batch = np.asarray(
+        fused_quantize_frames(
+            frames, pals, thrs, mode="replace", interpret=True,
+            metric="cie2000", fast=True,
+        )
+    )
+    for f in range(2):
+        solo = np.asarray(
+            fused_quantize(
+                frames[f], pals[f], jnp.float32(0.0), mode="replace",
+                interpret=True, metric="cie2000", fast=True,
+            )
+        )
+        np.testing.assert_array_equal(batch[f], solo, err_msg=f"frame {f}")
+    wordsb = fused_assign_frames_packed(
+        frames, pals, thrs, mode="replace", interpret=True,
+        metric="cie2000", fast=True,
+    )
+    for f in range(2):
+        gotb = unpack_tile_words(
+            np.asarray(wordsb[f]), h, w, pack_bits(kp),
+            tile_rows=quant_tile_rows(kp),
+        )
+        solo_idx = np.asarray(
+            fused_assign(
+                frames[f], pals[f], jnp.float32(0.0), mode="replace",
+                interpret=True, metric="cie2000", fast=True,
+            )
+        )
+        np.testing.assert_array_equal(gotb, solo_idx, err_msg=f"frame {f}")
