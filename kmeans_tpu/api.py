@@ -48,6 +48,7 @@ from kmeans_tpu.ops.kernels import (
     FRAMES_MAX_BK,
     fused_assign_frames_packed,
     fused_assign_packed,
+    fused_meld_packed,
     fused_quantize,
 )
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
@@ -392,6 +393,44 @@ def _reduce_indexed_jit(
     return words, palette_rgba
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "train_shape", "fast", "restarts", "metric",
+                     "train_dtype"),
+)
+def _reduce_meld_packed_jit(
+    pixels_u8: jnp.ndarray,
+    k: int,
+    train_shape: tuple[int, int],
+    first_index: int,
+    convergence: float,
+    fast: bool = False,
+    restarts: int = 1,
+    metric: str = "cie94",
+    train_dtype: str | None = None,
+):
+    """Meld reduce with the RGB-packed readback: train, then return the
+    blended output as in-kernel RGB byte-packed words (3 B/px instead of
+    4 B/px RGBA, bit-identical colors — meld has no index map, so this is
+    its compact tier; `ops.kernels.fused_meld_packed`). Accepts
+    `[H, W, 3]` input (RGB-only upload)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
+    sh, sw = train_shape
+    train_u8 = (
+        resize_uint8(pixels_u8, sh, sw)
+        if (pixels_u8.shape[0], pixels_u8.shape[1]) != (sh, sw)
+        else pixels_u8
+    )
+    work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
+    centroids, _ = _fit_auto(
+        work, k, first_index, convergence, use_pallas=True, restarts=restarts,
+        metric=metric, fast=fast, plane_dtype=train_dtype,
+    )
+    return fused_meld_packed(
+        pixels_u8, centroids, fast=fast, metric=metric
+    )
+
+
 # Index-map bit packing lives in utils/packing.py (shared with the
 # sharded readback paths); these aliases keep the API module's historical
 # names working. The fused single-chip paths use the IN-KERNEL tile-word
@@ -419,6 +458,17 @@ def _unpack_idx(words: np.ndarray, h: int, w: int, kp: int) -> np.ndarray:
     )
 
 
+def _unpack_meld(words: np.ndarray, h: int, w: int, kp: int) -> np.ndarray:
+    """Host inverse of the meld kernel's in-kernel RGB byte pack:
+    `[h, w, 4]` RGBA (alpha 255) from the `[M, 128]` i32 word readback."""
+    from kmeans_tpu.ops.kernels import quant_tile_rows
+    from kmeans_tpu.utils.packing import unpack_rgb24_tile_words
+
+    return unpack_rgb24_tile_words(
+        words, h, w, tile_rows=quant_tile_rows(kp)
+    )
+
+
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
 def _assign_indexed_jit(
     pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
@@ -437,6 +487,21 @@ def _assign_indexed_jit(
     return fused_assign_packed(
         pixels_u8, palette_lab, threshold, k_active=k_active, mode=mode,
         row_offset=row_offset, fast=fast, metric=metric,
+    )
+
+
+@partial(jax.jit, static_argnames=("fast", "metric"))
+def _meld_packed_jit(
+    pixels_u8, palette_lab, k_active=None, fast: bool = False,
+    metric: str = "cie94",
+):
+    """Fixed-palette meld with the RGB-packed readback (the `find -m meld`
+    fast path — 3 B/px instead of 4, bit-identical colors). Accepts
+    `[H, W, 3]` input (RGB-only upload)."""
+    pixels_u8 = _ensure_rgba(pixels_u8)
+    return fused_meld_packed(
+        pixels_u8, palette_lab, k_active=k_active, fast=fast,
+        metric=metric,
     )
 
 
@@ -546,6 +611,38 @@ def _reduce_bucketed_indexed_jit(
     )
     palette_rgba, _ = _lab_palette_to_u8(centroids)
     return words, palette_rgba
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kp", "canvas_shape", "fast", "restarts", "metric"),
+)
+def _reduce_bucketed_meld_jit(
+    padded_u8: jnp.ndarray,
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_index,
+    src_h,
+    src_w,
+    out_h,
+    out_w,
+    convergence,
+    k_active,
+    fast: bool = False,
+    restarts: int = 1,
+    metric: str = "cie94",
+):
+    """Bucketed meld reduce with the RGB-packed readback (TPU fused path;
+    see `_reduce_meld_packed_jit`). Accepts `[H, W, 3]` input."""
+    padded_u8 = _ensure_rgba(padded_u8)
+    centroids, _ = _train_bucketed_jit(
+        padded_u8, kp, canvas_shape, first_index, src_h, src_w, out_h, out_w,
+        convergence, k_active, use_pallas=True,  # fused-only executable
+        restarts=restarts, metric=metric, fast=fast,
+    )
+    return fused_meld_packed(
+        padded_u8, centroids, k_active=k_active, fast=fast, metric=metric
+    )
 
 
 @partial(
@@ -992,6 +1089,13 @@ class ImageProcessor:
             words_np, pal_np = _host_fetch(words, pal)
             idx_np = _unpack_idx(words_np, bh, bw, kp)
             return pal_np[idx_np[:h, :w]]
+        if self.fused and reduce_mode is ReduceMode.MELD:
+            words = _reduce_bucketed_meld_jit(
+                jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
+                k, fast=self.fast, restarts=self.restarts,
+                metric=self.delta_e,
+            )
+            return _unpack_meld(np.asarray(words), bh, bw, kp)[:h, :w]
         out = _reduce_bucketed_jit(
             jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
             reduce_mode.value, self.fused, k, fast=self.fast,
@@ -1262,6 +1366,21 @@ class ImageProcessor:
                 words_np, pal_np = _host_fetch(words, palette_rgba)
                 idx_np = _unpack_idx(words_np, h, w, color_count)
                 out = pal_np[idx_np]
+            elif self.fused and reduce_mode is ReduceMode.MELD:
+                # Meld's compact tier: in-kernel RGB byte pack (3 B/px,
+                # bit-identical colors — meld has no index map).
+                words = _reduce_meld_packed_jit(
+                    jnp.asarray(_host_rgb(image.pixels)),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    fast=self.fast,
+                    restarts=self.restarts,
+                    metric=self.delta_e,
+                    train_dtype=self.train_dtype,
+                )
+                out = _unpack_meld(np.asarray(words), h, w, color_count)
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
@@ -1370,6 +1489,15 @@ class ImageProcessor:
                     pixels_u8.shape[1], palette_lab.shape[0],
                 )
                 return pal_np[idx_np]
+            if reduce_mode is ReduceMode.MELD:
+                words = _meld_packed_jit(
+                    pixels_u8, palette_lab, k_active, fast=self.fast,
+                    metric=self.delta_e,
+                )
+                return _unpack_meld(
+                    np.asarray(words), pixels_u8.shape[0],
+                    pixels_u8.shape[1], palette_lab.shape[0],
+                )
             return _quantize_fused_jit(
                 pixels_u8, palette_lab, reduce_mode.value, k_active,
                 fast=self.fast, metric=self.delta_e,
@@ -2295,14 +2423,19 @@ class ImageProcessor:
         kp = bucket_k(color_count)
         conv = ColorSpace.LAB.convergence
         for (bh, bw), idxs in groups.items():
-            # Coalescing replicates only the plain-trainer route; buckets
-            # whose training canvas routes solo requests to the Pallas /
-            # chunked large-N trainers stay per-image (_plain_fit_route).
+            # The vmapped coalesced executables replicate only the
+            # plain-trainer route; buckets whose training canvas routes
+            # solo requests to the Pallas / chunked large-N trainers
+            # (_plain_fit_route False) coalesce through the HEAVY
+            # executable instead — sequential per-frame trainings via
+            # lax.map in ONE launch, so solo memory behavior is kept
+            # while concurrent heavy requests stop paying a launch each.
             h0, w0 = frames[idxs[0]].pixels.shape[:2]
             canvas0, _, _ = self._bucket_train_args(w0, h0, bw, bh)
-            if len(idxs) == 1 or not _plain_fit_route(
+            plain = _plain_fit_route(
                 canvas0[0] * canvas0[1], kp, self.fused, self.delta_e
-            ):
+            )
+            if len(idxs) == 1:
                 for i in idxs:
                     results[i] = self.reduce(
                         color_count, frames[i], Algorithm.KMEANS, reduce_mode
@@ -2328,7 +2461,33 @@ class ImageProcessor:
             def vec(v):
                 return jnp.asarray(v + [v[0]] * n_pad, jnp.int32)
 
-            if self._frames_fused_ok(stack.shape[0], kp, reduce_mode):
+            if not plain:
+                outs_dev, pals = _reduce_many_bucketed_heavy_jit(
+                    jnp.asarray(stack), kp, canvas, vec(firsts),
+                    vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                    conv, reduce_mode.value, color_count, self.fused,
+                    fast=self.fast, metric=self.delta_e,
+                    restarts=self.restarts,
+                )
+                if (
+                    self.fused
+                    and reduce_mode is not ReduceMode.MELD
+                    and kp <= 512
+                ):
+                    words_np, pals_np = _host_fetch(outs_dev, pals)
+                    outs = np.stack([
+                        pals_np[j][_unpack_idx(words_np[j], bh, bw, kp)]
+                        for j in range(len(idxs))
+                    ])
+                elif self.fused and reduce_mode is ReduceMode.MELD:
+                    words_np = np.asarray(outs_dev)
+                    outs = np.stack([
+                        _unpack_meld(words_np[j], bh, bw, kp)
+                        for j in range(len(idxs))
+                    ])
+                else:
+                    outs = np.asarray(outs_dev)
+            elif self._frames_fused_ok(stack.shape[0], kp, reduce_mode):
                 # Fused frame-batch tail (exact kernels: this processor is
                 # not `fast`, so outputs stay bit-equal to the XLA
                 # quantizer the non-fused executable uses).
@@ -2404,13 +2563,15 @@ class ImageProcessor:
         kp = bucket_k(color_count)
         conv = ColorSpace.LAB.convergence
         for (bh, bw), idxs in groups.items():
-            # Same coalescing gate as reduce_many: only buckets whose
-            # training canvas takes the plain-trainer route batch.
+            # Same two-tier coalescing as reduce_many: plain buckets take
+            # the vmapped executable, heavy buckets the sequential
+            # lax.map executable (one launch, solo memory behavior).
             th0, tw0 = train_hw(frames[idxs[0]])
             canvas0, _, _ = self._bucket_train_args(tw0, th0, bw, bh)
-            if len(idxs) == 1 or not _plain_fit_route(
+            plain = _plain_fit_route(
                 canvas0[0] * canvas0[1], kp, self.fused, self.delta_e
-            ):
+            )
+            if len(idxs) == 1:
                 for i in idxs:
                     results[i] = self.palette(color_count, frames[i], algo)
                 continue
@@ -2437,12 +2598,20 @@ class ImageProcessor:
             def vec(v):
                 return jnp.asarray(v + [v[0]] * n_pad, jnp.int32)
 
-            rgba, light = _palette_many_bucketed_jit(
-                jnp.asarray(stack), kp, canvas, vec(firsts),
-                vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
-                conv, color_count, metric=self.delta_e,
-                restarts=self.restarts,
-            )
+            if plain:
+                rgba, light = _palette_many_bucketed_jit(
+                    jnp.asarray(stack), kp, canvas, vec(firsts),
+                    vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                    conv, color_count, metric=self.delta_e,
+                    restarts=self.restarts,
+                )
+            else:
+                rgba, light = _palette_many_bucketed_heavy_jit(
+                    jnp.asarray(stack), kp, canvas, vec(firsts),
+                    vec(src_hs), vec(src_ws), vec(out_hs), vec(out_ws),
+                    conv, color_count, self.fused, fast=self.fast,
+                    metric=self.delta_e, restarts=self.restarts,
+                )
             rgba_np, light_np = _host_fetch(rgba, light)
             for j, i in enumerate(idxs):
                 r = rgba_np[j][:color_count]
@@ -2749,6 +2918,140 @@ def _reduce_many_bucketed_jit(
     return jax.vmap(one)(
         frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kp", "canvas_shape", "mode", "use_pallas", "fast", "metric",
+        "restarts",
+    ),
+)
+def _reduce_many_bucketed_heavy_jit(
+    frames_u8,  # [B, BH, BW, 3|4] bucket-padded, sizes may differ per frame
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_indices,  # [B]
+    src_hs,  # [B]
+    src_ws,  # [B]
+    out_hs,  # [B]
+    out_ws,  # [B]
+    convergence,
+    mode: str,
+    k_active,
+    use_pallas: bool,
+    fast: bool = False,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """Micro-batch executable for the HEAVY buckets — trainings whose
+    canvas routes solo requests to the Pallas-accumulator / chunked
+    large-N trainers (`_plain_fit_route` False), where a vmapped batch
+    would stack B [N, K]-class intermediates. `lax.map` runs each frame
+    STRICTLY SEQUENTIALLY inside ONE executable: solo memory behavior
+    (one frame's training state live at a time), solo per-frame routing
+    (`_fit_auto` on the shared static canvas), but a single launch for
+    the whole batch — so concurrent 4K-class or k > 64 requests stop
+    paying one tunnel round trip each (VERDICT round-2 task 4). The
+    quantize tail mirrors solo `reduce`: fused packed-index (k <= 512) /
+    packed-RGB meld / full-RGBA kernels on TPU, the XLA quantizer
+    elsewhere. Returns (per-frame outputs, per-frame RGBA8 palettes)."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def one(args):
+        frame, first, src_h, src_w, out_h, out_w = args
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = _fit_auto(
+            work, kp, first, convergence, use_pallas,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+            restarts=restarts, fast=fast,
+        )
+        if use_pallas:
+            if mode == "meld":
+                out = fused_meld_packed(
+                    frame, centroids, k_active=k_active, fast=fast,
+                    metric=metric,
+                )
+            else:
+                threshold = (
+                    dither_threshold(centroids, k_active=k_active,
+                                     metric=metric)
+                    if mode == "dither"
+                    else jnp.float32(0.0)
+                )
+                if kp <= 512:
+                    out = fused_assign_packed(
+                        frame, centroids, threshold, k_active=k_active,
+                        mode=mode, fast=fast, metric=metric,
+                    )
+                else:
+                    out = fused_quantize(
+                        frame, centroids, threshold, k_active=k_active,
+                        mode=mode, fast=fast, metric=metric,
+                    )
+        else:
+            out = quantize_image(
+                frame, centroids, mode=mode, k_active=k_active, metric=metric
+            )
+        return out, centroids
+
+    outs, cents = jax.lax.map(
+        one, (frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws)
+    )
+    palettes = jax.vmap(lambda c: _lab_palette_to_u8(c)[0])(cents)
+    return outs, palettes
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kp", "canvas_shape", "use_pallas", "fast", "metric", "restarts",
+    ),
+)
+def _palette_many_bucketed_heavy_jit(
+    frames_u8,
+    kp: int,
+    canvas_shape: tuple[int, int],
+    first_indices,
+    src_hs,
+    src_ws,
+    out_hs,
+    out_ws,
+    convergence,
+    k_active,
+    use_pallas: bool,
+    fast: bool = False,
+    metric: str = "cie94",
+    restarts: int = 1,
+):
+    """`_palette_many_bucketed_jit` for the heavy buckets: sequential
+    per-frame `_fit_auto` trainings via `lax.map` in ONE executable (see
+    `_reduce_many_bucketed_heavy_jit`), then the batched u8 + L*
+    readback."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    ch, cw = canvas_shape
+
+    def one(args):
+        frame, first, src_h, src_w, out_h, out_w = args
+        canvas, weight = resize_to_canvas(
+            frame[..., :3], ch, cw, src_h, src_w, out_h, out_w
+        )
+        work = srgb8_to_lab(canvas.reshape(-1, 3))
+        centroids, _ = _fit_auto(
+            work, kp, first, convergence, use_pallas,
+            weight=weight.reshape(-1), k_active=k_active, metric=metric,
+            restarts=restarts, fast=fast,
+        )
+        return centroids
+
+    cents = jax.lax.map(
+        one, (frames_u8, first_indices, src_hs, src_ws, out_hs, out_ws)
+    )
+    return jax.vmap(_lab_palette_to_u8)(cents)
 
 
 @partial(

@@ -483,6 +483,7 @@ def _quantize_kernel(
     pack_bits_n: int = 0,
     tile_rows: int = QUANT_TILE_ROWS,
     frame_tiles: int = 0,
+    emit_rgb24: bool = False,
 ):
     """`frame_tiles > 0` selects per-frame-palette batch mode: the 1-D
     grid covers `B * frame_tiles` tiles (each frame padded to a whole
@@ -889,6 +890,29 @@ def _quantize_kernel(
     r8 = jnp.round(orr * 255.0).astype(jnp.int32)
     g8 = jnp.round(og * 255.0).astype(jnp.int32)
     b8 = jnp.round(obb * 255.0).astype(jnp.int32)
+    if emit_rgb24:
+        # In-kernel RGB byte pack (meld's compact readback): alpha is
+        # always 255, so 4 sublane blocks of RGB fold into 3 output words
+        # — 3 B/px device->host instead of 4, with BIT-IDENTICAL colors
+        # (unlike a quantized (k1, k2, factor) record, measured mean
+        # 0.056 dE / 31% of pixels at one u8 step — docs/perf.md round
+        # 3). Static row slices + shifts, pure VPU; the host inverts the
+        # exact layout with utils.packing.unpack_rgb24_tile_words.
+        blk = r8.shape[0] // 4
+
+        def s(x, j):
+            return x[blk * j : blk * (j + 1), :]
+
+        out_ref[0:blk, :] = (
+            s(r8, 0) | (s(g8, 0) << 8) | (s(b8, 0) << 16) | (s(r8, 1) << 24)
+        )
+        out_ref[blk : 2 * blk, :] = (
+            s(g8, 1) | (s(b8, 1) << 8) | (s(r8, 2) << 16) | (s(g8, 2) << 24)
+        )
+        out_ref[2 * blk : 3 * blk, :] = (
+            s(b8, 2) | (s(r8, 3) << 8) | (s(g8, 3) << 16) | (s(b8, 3) << 24)
+        )
+        return
     # 0xFF000000 as signed int32 (alpha = 255).
     out_ref[:] = r8 | (g8 << 8) | (b8 << 16) | jnp.int32(-16777216)
 
@@ -955,6 +979,7 @@ def fused_quantize(
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
     row_offset=0, fast=False, metric="cie94", use_lut=True, pack_bits_n=0,
+    emit_rgb24=False,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
     The named_scope labels the pass in profiler traces, like the
@@ -1028,11 +1053,14 @@ def _run_quantize_kernel(
         ppw = 32 // pack_bits_n
         out_rows = tile_rows // ppw
         out_shape = (tiles.shape[0] // ppw, LANES)
+    elif emit_rgb24:
+        out_rows = tile_rows * 3 // 4
+        out_shape = (tiles.shape[0] * 3 // 4, LANES)
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
             fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
-            tile_rows=tile_rows,
+            tile_rows=tile_rows, emit_rgb24=emit_rgb24,
         ),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
         grid=grid,
@@ -1382,6 +1410,35 @@ def fused_assign_packed(
     return _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
         row_offset, fast, metric, use_lut, pack_bits_n=bits,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "fast", "metric", "use_lut")
+)
+def fused_meld_packed(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    k_active=None,
+    interpret: bool = False,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """Meld with the output RGB byte-packed INSIDE the kernel: alpha is
+    unconditionally 255 (mix_colors/lab_to_rgb.wgsl:36,80), so the kernel
+    folds 4 sublane blocks of RGB into 3 i32 words — 3 B/px device->host
+    readback instead of 4 B/px RGBA, with BIT-IDENTICAL colors (meld has
+    no index representation, so this is its analogue of the
+    replace/dither packed-index tiers). Returns
+    `[ceil(n / LANES) * 3 // 4, LANES]` i32 words in the tile layout
+    `utils.packing.unpack_rgb24_tile_words(words, h, w,
+    tile_rows=quant_tile_rows(kp))` inverts on the host. Any k."""
+    if metric not in PALLAS_METRICS:
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    return _run_quantize_kernel(
+        rgba_u8, centroids_lab, jnp.float32(0.0), k_active, "meld",
+        interpret, False, 0, fast, metric, use_lut, emit_rgb24=True,
     )
 
 

@@ -94,6 +94,45 @@ def unpack_tile_words(
     return idx.reshape(-1)[: h * w].reshape(h, w)
 
 
+def unpack_rgb24_tile_words(
+    words: np.ndarray,
+    h: int,
+    w: int,
+    tile_rows: int,
+    lanes: int = 128,
+) -> np.ndarray:
+    """Invert the fused meld kernel's IN-KERNEL RGB byte pack
+    (`ops/kernels.py::fused_meld_packed`): each kernel tile's 4 sublane
+    blocks of RGB fold into 3 word rows (word row j of block group g
+    carries the bytes laid out in the kernel's emit_rgb24 branch).
+    `words` is the `[M, lanes]` int32 readback; returns `[h, w, 4]`
+    uint8 RGBA with alpha 255 (bit-identical to the unpacked kernel
+    output). Pass `tile_rows=ops.kernels.quant_tile_rows(kp)`."""
+    blk = tile_rows // 4
+    wb = (
+        np.ascontiguousarray(words)
+        .view(np.uint32)
+        .astype("<u4")
+        .view(np.uint8)
+        .reshape(words.shape[0], lanes, 4)
+    )
+    n_tiles = words.shape[0] // (3 * blk)
+    wb = wb.reshape(n_tiles, 3 * blk, lanes, 4)
+    w0, w1, w2 = wb[:, :blk], wb[:, blk : 2 * blk], wb[:, 2 * blk :]
+    rgb = np.empty((n_tiles, tile_rows, lanes, 3), np.uint8)
+    rgb[:, 0:blk] = w0[..., 0:3]
+    rgb[:, blk : 2 * blk, :, 0] = w0[..., 3]
+    rgb[:, blk : 2 * blk, :, 1:3] = w1[..., 0:2]
+    rgb[:, 2 * blk : 3 * blk, :, 0:2] = w1[..., 2:4]
+    rgb[:, 2 * blk : 3 * blk, :, 2] = w2[..., 0]
+    rgb[:, 3 * blk :] = w2[..., 1:4]
+    flat = rgb.reshape(-1, 3)[: h * w]
+    out = np.empty((h * w, 4), np.uint8)
+    out[:, :3] = flat
+    out[:, 3] = 255
+    return out.reshape(h, w, 4)
+
+
 def unpack_nibbles(packed: np.ndarray, w: int, bits: int = 4) -> np.ndarray:
     """Invert `pack_nibbles`: `[H, ceil(w/per)]` uint8 -> `[H, w]` uint8
     index map (`per = 8 // bits`)."""

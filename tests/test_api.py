@@ -669,8 +669,9 @@ def test_find_many_matches_per_image_find(monkeypatch, blobs_image):
     micro-batching entry point) must be BIT-EQUAL to per-image `find`:
     two frames share a bucket (coalesced fused tall-stack launch), one is
     alone (solo fallback). Replace/dither coalesce; meld falls back to
-    per-image find and must stay equal too. Also checked against the XLA
-    (fused=False) processor so the fused stack itself is validated."""
+    per-image find (through its RGB24-packed readback) and must stay
+    equal too. Also checked against the XLA (fused=False) processor so
+    the fused stack itself is validated."""
     from functools import partial
 
     import kmeans_tpu.api as api
@@ -683,6 +684,11 @@ def test_find_many_matches_per_image_find(monkeypatch, blobs_image):
     )
     monkeypatch.setattr(
         api, "fused_quantize", partial(kernels.fused_quantize, interpret=True)
+    )
+    monkeypatch.setattr(
+        api,
+        "fused_meld_packed",
+        partial(kernels.fused_meld_packed, interpret=True),
     )
     monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
 
@@ -747,12 +753,13 @@ def test_palette_many_matches_per_image_palette(blobs_image):
 def test_micro_batch_coalescing_gated_on_plain_trainer_route(
     monkeypatch, blobs_image
 ):
-    """reduce_many/palette_many replicate only _fit_auto's plain
-    fit_restarts protocol; buckets whose training canvas would route solo
-    requests to the Pallas/chunked large-N trainers must NOT coalesce
-    (solo semantics + solo memory behavior). _plain_fit_route mirrors the
-    _fit_auto branches; when it says no, the batch entry points fall back
-    per-image and compile nothing batched."""
+    """Buckets whose training canvas routes solo requests to the Pallas/
+    chunked large-N trainers must NOT take the vmapped coalesced
+    executables (those would stack B [N, K]-class intermediates); since
+    round 3 they coalesce through the HEAVY executables instead —
+    sequential per-frame lax.map trainings in ONE launch, with solo
+    semantics and solo memory behavior. _plain_fit_route mirrors the
+    _fit_auto branches."""
     import kmeans_tpu.api as api
 
     # The route mirror itself: plain for small trainings, refused exactly
@@ -767,8 +774,9 @@ def test_micro_batch_coalescing_gated_on_plain_trainer_route(
     )
     assert api._plain_fit_route(api._LARGE_TRAIN_PIXELS + 1, 8, False, "cie94")
 
-    # When the gate refuses, both entry points take the per-image path:
-    # zero batched compiles, outputs equal to solo.
+    # When the gate refuses, both entry points coalesce through the heavy
+    # executables: the vmapped ones compile nothing, the heavy ones serve
+    # the batch in one launch each, outputs match solo.
     monkeypatch.setattr(api, "_plain_fit_route", lambda *a: False)
     image, _ = blobs_image
     many = [
@@ -776,21 +784,58 @@ def test_micro_batch_coalescing_gated_on_plain_trainer_route(
         Image((59, 47), image.pixels[1:48, 2:61]),
     ]
     p = api.ImageProcessor(bucketing=True, fused=False)
-    before = (
+    before_vmapped = (
         api._palette_many_bucketed_jit._cache_size()
         + api._reduce_many_bucketed_jit._cache_size()
+    )
+    before_heavy = (
+        api._palette_many_bucketed_heavy_jit._cache_size()
+        + api._reduce_many_bucketed_heavy_jit._cache_size()
     )
     pals = p.palette_many(many, 3)
     outs = p.reduce_many(many, 3)
     assert (
         api._palette_many_bucketed_jit._cache_size()
         + api._reduce_many_bucketed_jit._cache_size()
-    ) == before
+    ) == before_vmapped
+    assert (
+        api._palette_many_bucketed_heavy_jit._cache_size()
+        + api._reduce_many_bucketed_heavy_jit._cache_size()
+    ) == before_heavy + 2
     for f, pal, out in zip(many, pals, outs):
-        np.testing.assert_array_equal(pal, p.palette(3, f))
-        np.testing.assert_array_equal(
-            out.pixels, p.reduce(3, f).pixels
-        )
+        # lax.map's per-frame computation is the solo protocol; XLA may
+        # reassociate f32 sums across the compilation contexts, so the
+        # bar is near-identity (the reduce_many vmap caveat), not bits.
+        want_pal = p.palette(3, f)
+        assert np.abs(pal.astype(int) - want_pal.astype(int)).max() <= 1
+        frac = (out.pixels == p.reduce(3, f).pixels).all(axis=-1).mean()
+        assert frac > 0.99
+
+
+def test_micro_batch_heavy_singleton_still_solo(monkeypatch, blobs_image):
+    """A frame alone in its heavy bucket keeps the plain per-image path
+    (nothing to coalesce), exactly like plain buckets."""
+    import kmeans_tpu.api as api
+
+    monkeypatch.setattr(api, "_plain_fit_route", lambda *a: False)
+    image, _ = blobs_image
+    p = api.ImageProcessor(bucketing=True, fused=False)
+    before = (
+        api._reduce_many_bucketed_heavy_jit._cache_size()
+        + api._palette_many_bucketed_heavy_jit._cache_size()
+    )
+    (out,) = p.reduce_many([Image((61, 45), image.pixels[:45, :61])], 3)
+    (pal,) = p.palette_many([Image((61, 45), image.pixels[:45, :61])], 3)
+    assert (
+        api._reduce_many_bucketed_heavy_jit._cache_size()
+        + api._palette_many_bucketed_heavy_jit._cache_size()
+    ) == before
+    np.testing.assert_array_equal(
+        out.pixels, p.reduce(3, Image((61, 45), image.pixels[:45, :61])).pixels
+    )
+    np.testing.assert_array_equal(
+        pal, p.palette(3, Image((61, 45), image.pixels[:45, :61]))
+    )
 
 
 def test_host_fetch_matches_sequential_asarray():

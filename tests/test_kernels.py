@@ -918,3 +918,107 @@ def test_prune_packed_and_frames_match_single():
             )
         )
         np.testing.assert_array_equal(gotb, solo_idx, err_msg=f"frame {f}")
+
+
+def test_fused_meld_packed_matches_rgba():
+    """The in-kernel RGB byte pack (meld's 3 B/px compact readback) must
+    unpack to EXACTLY the RGBA kernel's output — it is a byte-layout
+    change, not a numeric one — across palette sizes on both sides of
+    the tile split and with k_active masking."""
+    from kmeans_tpu.ops.kernels import (
+        fused_meld_packed,
+        fused_quantize,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.utils.packing import unpack_rgb24_tile_words
+
+    for h, w, kp, ka in ((16, 24, 5, None), (33, 77, 20, None), (24, 40, 8, 3)):
+        img = _image(h, w, seed=kp)
+        pal = _palette(kp, seed=kp + 1)
+        want = np.asarray(
+            fused_quantize(
+                img, pal, jnp.float32(0.0), k_active=ka, mode="meld",
+                interpret=True,
+            )
+        )
+        words = fused_meld_packed(img, pal, k_active=ka, interpret=True)
+        got = unpack_rgb24_tile_words(
+            np.asarray(words), h, w, tile_rows=quant_tile_rows(kp)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"kp={kp}")
+
+
+def test_unpack_meld_api_helper():
+    """api._unpack_meld consults the same kp-keyed tile height as the
+    kernel (a drift here garbles pixels silently)."""
+    from kmeans_tpu.api import _unpack_meld
+    from kmeans_tpu.ops.kernels import fused_meld_packed, fused_quantize
+
+    img = _image(20, 30, seed=3)
+    pal = _palette(6, seed=4)
+    want = np.asarray(
+        fused_quantize(img, pal, jnp.float32(0.0), mode="meld", interpret=True)
+    )
+    words = fused_meld_packed(img, pal, interpret=True)
+    np.testing.assert_array_equal(
+        _unpack_meld(np.asarray(words), 20, 30, 6), want
+    )
+
+
+def test_k1024_tier_routing_and_quantize():
+    """The reference accepts any -c >= 1 (cli/src/args.rs validate_k has
+    no upper bound); above 512 this repo routes training to the chunked
+    XLA trainer (the accumulator raises past ACCUM_MAX_K) and quantize to
+    the chunk-unrolled kernel (no indexed tier — full RGBA). Pin the
+    routing and exercise the kernel at kp=1024 in interpret mode."""
+    import kmeans_tpu.api as api
+    from kmeans_tpu.models import kmeans as km
+    from kmeans_tpu.ops.kernels import ACCUM_MAX_K, lloyd_accumulate
+
+    # training route: k=1024 past the element budget -> fit_chunked
+    big_n = api._CHUNKED_TRAIN_ELEMS // 1024 + 1
+    assert api._sharded_trainer_route(big_n, 1024, True, "cie94") == "chunked"
+    assert not api._plain_fit_route(big_n, 1024, True, "cie94")
+    routed = []
+    real = km.fit_chunked
+
+    def spy(*a, **k):
+        routed.append(True)
+        return real(*a, **k)
+
+    km_fit_chunked = km.fit_chunked
+    try:
+        km.fit_chunked = spy
+        work = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 100, (2048, 3)), jnp.float32
+        )
+        # monkeypatch-free: force the budget branch with a tiny threshold
+        old = api._CHUNKED_TRAIN_ELEMS
+        api._CHUNKED_TRAIN_ELEMS = 1
+        try:
+            api._fit_auto(work, 1024, 0, 1.0, use_pallas=True)
+        finally:
+            api._CHUNKED_TRAIN_ELEMS = old
+    finally:
+        km.fit_chunked = km_fit_chunked
+    assert routed == [True]
+
+    # the accumulator's documented cap
+    assert ACCUM_MAX_K == 512
+    with pytest.raises(ValueError, match="k <= 512"):
+        lloyd_accumulate(
+            jnp.zeros((3, 128, 128), jnp.float32),
+            jnp.zeros((1024, 3), jnp.float32),
+            128 * 128,
+        )
+
+    # quantize kernel at kp=1024: the chunk-unrolled centroid loop serves
+    # any kp; outputs must match the XLA quantizer bit-for-bit.
+    img = _image(16, 24, seed=40)
+    pal = _palette(1024, seed=41)
+    want = np.asarray(quantize_image(img, pal, mode="replace"))
+    got = np.asarray(
+        fused_quantize(img, pal, jnp.float32(0.0), mode="replace",
+                       interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)

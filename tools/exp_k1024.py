@@ -1,0 +1,144 @@
+"""Hardware experiment: the k > 512 tier (VERDICT round-2 task 7).
+
+The reference accepts any `-c >= 1` (`cli/src/args.rs` validate_k has no
+upper bound); this repo's indexed/unrolled tiers stop at 512, so k=1024
+routes to the ROLLED fused quantize kernel (full-RGBA readback) and the
+chunked XLA trainer. This measures, at 4K on the real TPU:
+
+    fused_quantize replace k=1024   exact + fast   (rolled loop)
+    chunked-unroll variants         (UNROLL_KP_MAX=1024, chunk 128)
+    fit_chunked k=1024              ms/iter (training fallback)
+
+to decide whether the chunked-unroll / accumulator gates should rise
+past 512 or the rolled tier is the right call (compile seconds are part
+of the decision — the 512-trip cie94 unroll already crashed the remote
+compiler once). Run ON TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WIDTH, HEIGHT = 3840, 2160
+LOOP = 8
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kmeans_tpu.models.kmeans import fit_chunked
+    from kmeans_tpu.ops import kernels
+    from kmeans_tpu.ops.colorspace import srgb8_to_lab_np
+    from kmeans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, (HEIGHT, WIDTH, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    img = jnp.asarray(rgba)
+    np.asarray(img[0, 0])
+
+    base = jnp.zeros(8, jnp.uint8)
+    np.asarray(base + np.uint8(255))
+    lat = min(
+        _timed(lambda i=i: np.asarray(base + np.uint8(i))) for i in range(10)
+    )
+    print(f"call latency {lat*1e3:.1f} ms", file=sys.stderr)
+
+    k = 1024
+    pal = rng.integers(0, 256, (k, 3), dtype=np.uint8)
+    cents = jnp.asarray(srgb8_to_lab_np(pal))
+
+    def quant_case(label, fast, kp_max, chunk):
+        kernels.set_loop_knobs(kp_max=kp_max, chunk=chunk)
+
+        def call(img, cents, acc):
+            out = kernels.fused_quantize(
+                img, cents, jnp.float32(0.0) + acc * 0.0,
+                mode="replace", fast=fast,
+            )
+            return out, out[0, 0].astype(jnp.float32)
+
+        @jax.jit
+        def loop(img, cents):
+            def body(i, acc):
+                _, tag = call(img, cents, acc)
+                return acc + tag
+
+            return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
+
+        try:
+            compile_s = _timed(lambda: np.asarray(loop(img, cents)))
+        except Exception as e:
+            r = {"case": label, "error": repr(e)[:200]}
+            print(json.dumps(r), flush=True)
+            return r
+        t = min(_timed(lambda: np.asarray(loop(img, cents))) for _ in range(3))
+        per_call = max((t - lat) / LOOP, 1e-9)
+        out = np.asarray(call(img, cents, jnp.float32(0.0))[0])
+        r = {
+            "case": label, "ms": round(per_call * 1e3, 2),
+            "gpix_s": round(WIDTH * HEIGHT / per_call / 1e9, 3),
+            "compile_s": round(compile_s, 1),
+            "checksum": int(out.view(np.uint32).sum(dtype=np.uint64) % 2**32),
+        }
+        print(json.dumps(r), flush=True)
+        return r
+
+    results = [
+        quant_case("rolled-exact", False, 16, 1),
+        quant_case("rolled-fast", True, 16, 1),
+        quant_case("chunk128-exact", False, 1024, 128),
+        quant_case("chunk128-fast", True, 1024, 128),
+    ]
+    kernels.set_loop_knobs(kp_max=256, chunk=128)
+
+    # Training fallback: fit_chunked ms/iter at k=1024 on a shrunk-training
+    # -scale plane (256px shrink = 36.9k px is the production route; also
+    # the full-res 8.3M plane to bound worst-case).
+    for n, tag in ((256 * 144, "shrink"), (WIDTH * HEIGHT, "fullres")):
+        px = jnp.asarray(rng.uniform(0, 100, (n, 3)).astype(np.float32))
+
+        fit = jax.jit(
+            lambda p, fi, k=None: fit_chunked(p, k, fi), static_argnums=(2,)
+        )
+        compile_s = _timed(lambda: jax.block_until_ready(fit(px, 0, k)))
+        best, iters = 1e9, 1
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c, it = fit(px, 0, k)
+            np.asarray(c)
+            best = min(best, time.perf_counter() - t0)
+            iters = int(np.asarray(it))
+        r = {
+            "case": f"fit_chunked-k1024-{tag}", "n": n, "iters": iters,
+            "fit_ms": round((best - lat) * 1e3, 1),
+            "ms_per_iter": round((best - lat) * 1e3 / max(iters, 1), 2),
+            "compile_s": round(compile_s, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    with open("/tmp/exp_k1024.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote /tmp/exp_k1024.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
