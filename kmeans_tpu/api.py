@@ -469,6 +469,21 @@ def _unpack_meld(words: np.ndarray, h: int, w: int, kp: int) -> np.ndarray:
     )
 
 
+def _unpack_gather(
+    words: np.ndarray, h: int, w: int, kp: int, palette_rgba: np.ndarray
+) -> np.ndarray:
+    """`palette_rgba[_unpack_idx(...)]` fused into one native pass
+    (`utils.packing.unpack_tile_words_gather`) — the host tail of every
+    indexed readback that wants pixels rather than the index map."""
+    from kmeans_tpu.ops.kernels import quant_tile_rows
+    from kmeans_tpu.utils.packing import unpack_tile_words_gather
+
+    return unpack_tile_words_gather(
+        words, h, w, _pack_bits(kp), palette_rgba,
+        tile_rows=quant_tile_rows(kp),
+    )
+
+
 @partial(jax.jit, static_argnames=("mode", "fast", "metric"))
 def _assign_indexed_jit(
     pixels_u8, palette_lab, mode: str, k_active=None, row_offset=0,
@@ -1087,8 +1102,7 @@ class ImageProcessor:
                 metric=self.delta_e,
             )
             words_np, pal_np = _host_fetch(words, pal)
-            idx_np = _unpack_idx(words_np, bh, bw, kp)
-            return pal_np[idx_np[:h, :w]]
+            return _unpack_gather(words_np, bh, bw, kp, pal_np)[:h, :w]
         if self.fused and reduce_mode is ReduceMode.MELD:
             words = _reduce_bucketed_meld_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
@@ -1364,8 +1378,7 @@ class ImageProcessor:
                     train_dtype=self.train_dtype,
                 )
                 words_np, pal_np = _host_fetch(words, palette_rgba)
-                idx_np = _unpack_idx(words_np, h, w, color_count)
-                out = pal_np[idx_np]
+                out = _unpack_gather(words_np, h, w, color_count, pal_np)
             elif self.fused and reduce_mode is ReduceMode.MELD:
                 # Meld's compact tier: in-kernel RGB byte pack (3 B/px,
                 # bit-identical colors — meld has no index map).
@@ -1462,8 +1475,9 @@ class ImageProcessor:
         palette_rgba, word_arrays = fetched[0], fetched[1:]
         out = np.empty((h, w, 4), np.uint8)
         for (r0, bh, _), words_np in zip(pending, word_arrays):
-            imap = _unpack_idx(words_np, bh, w, color_count)
-            out[r0 : r0 + bh] = palette_rgba[imap[:bh, :w]]
+            out[r0 : r0 + bh] = _unpack_gather(
+                words_np, bh, w, color_count, palette_rgba
+            )
         return out
 
     def _quantize(self, pixels_u8, palette_lab, reduce_mode: ReduceMode):
@@ -1484,11 +1498,10 @@ class ImageProcessor:
                 words_np, pal_np = _host_fetch(
                     words, _lab_palette_to_u8(palette_lab)[0]
                 )
-                idx_np = _unpack_idx(
-                    words_np, pixels_u8.shape[0],
-                    pixels_u8.shape[1], palette_lab.shape[0],
+                return _unpack_gather(
+                    words_np, pixels_u8.shape[0], pixels_u8.shape[1],
+                    palette_lab.shape[0], pal_np,
                 )
-                return pal_np[idx_np]
             if reduce_mode is ReduceMode.MELD:
                 words = _meld_packed_jit(
                     pixels_u8, palette_lab, k_active, fast=self.fast,
@@ -1557,10 +1570,9 @@ class ImageProcessor:
             words_np, pal_u8 = _host_fetch(
                 words, _lab_palette_to_u8(palette_lab)[0]
             )
-            idx = _unpack_idx(words_np, bsz * h4, sw_, kp).reshape(
-                bsz, h4, sw_
-            )
-            outs = pal_u8[idx[: len(frames), :h, :w]]
+            outs = _unpack_gather(words_np, bsz * h4, sw_, kp, pal_u8).reshape(
+                bsz, h4, sw_, 4
+            )[: len(frames), :h, :w]
         else:
             outs = np.asarray(
                 _find_batch_jit(
@@ -1637,13 +1649,12 @@ class ImageProcessor:
             words_np, pal_u8 = _host_fetch(
                 words, _lab_palette_to_u8(palette_lab)[0]
             )
-            idx_map = _unpack_idx(words_np, stack.shape[0] * h4, bw, kp)
-            idx_map = idx_map.reshape(stack.shape[0], h4, bw)
+            px = _unpack_gather(
+                words_np, stack.shape[0] * h4, bw, kp, pal_u8
+            ).reshape(stack.shape[0], h4, bw, 4)
             for j, i in enumerate(idxs):
                 h, w = frames[i].pixels.shape[:2]
-                results[i] = Image(
-                    frames[i].dimensions, pal_u8[idx_map[j, :h, :w]]
-                )
+                results[i] = Image(frames[i].dimensions, px[j, :h, :w])
         return results
 
     @_on_device
@@ -1733,7 +1744,7 @@ class ImageProcessor:
         in-kernel-packed index words and gather its own palette."""
         words, pals = _host_fetch(words, palettes)
         return np.stack(
-            [pals[i][_unpack_idx(words[i], h, w, kp)] for i in range(n)]
+            [_unpack_gather(words[i], h, w, kp, pals[i]) for i in range(n)]
         )
 
     @_on_device
@@ -2167,11 +2178,10 @@ class ImageProcessor:
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
                     k_active, r0, fast=self.fast, metric=self.delta_e,
                 )
-                idx_np = _unpack_idx(
+                out[r0 : r0 + bh_real] = _unpack_gather(
                     np.asarray(words), padded.shape[0], padded.shape[1],
-                    palette_lab.shape[0],
-                )
-                out[r0 : r0 + bh_real] = palette_rgba[idx_np[:bh_real, :w]]
+                    palette_lab.shape[0], palette_rgba,
+                )[:bh_real, :w]
             elif self.fused:
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
@@ -2476,7 +2486,7 @@ class ImageProcessor:
                 ):
                     words_np, pals_np = _host_fetch(outs_dev, pals)
                     outs = np.stack([
-                        pals_np[j][_unpack_idx(words_np[j], bh, bw, kp)]
+                        _unpack_gather(words_np[j], bh, bw, kp, pals_np[j])
                         for j in range(len(idxs))
                     ])
                 elif self.fused and reduce_mode is ReduceMode.MELD:

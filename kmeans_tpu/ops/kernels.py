@@ -105,6 +105,14 @@ UNROLL_CHUNK_2000 = 1
 # (tools/exp_prune.py); mismatch vs exact measured and documented in
 # docs/perf.md. Like every fast mode: opt-in, never a default.
 PRUNE_M = 8
+# Loop form of the pruned screening pass: CHUNKED, never fully unrolled.
+# The screen carries 2*M live [tile, 128] buffers through the insertion
+# chain; a fully-unrolled kp-trip straight-line form on top of that blew
+# Mosaic's 16 MB scoped-VMEM stack at 4K k=64 m=4 (16.41M, hardware —
+# the CPU interpreter cannot catch program-size failures). A fori over
+# PRUNE_CHUNK-trip unrolled chunks bounds the straight-line program at
+# one chunk while keeping the 7-FMA screen body dense.
+PRUNE_CHUNK = 32
 # Largest palette the Lloyd tile accumulator accepts. Its two Python
 # loops (distance + per-cluster mask reductions) fully unroll over kp,
 # so this bounds kernel program size; swept on hardware
@@ -113,7 +121,8 @@ ACCUM_MAX_K = 512
 
 
 def set_loop_knobs(
-    kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None, prune_m=None
+    kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None, prune_m=None,
+    prune_chunk=None,
 ):
     """Set the loop-form knobs AND clear the jit caches in one step.
 
@@ -121,12 +130,13 @@ def set_loop_knobs(
     any jit cache key, so mutating them directly serves stale loop forms
     from already-traced executables. Every sweeper (tools/exp_*.py,
     tests/conftest.py) must go through this helper. Returns the previous
-    values `(kp_max, chunk, kp_max_2000, chunk_2000, prune_m)`."""
+    values `(kp_max, chunk, kp_max_2000, chunk_2000, prune_m,
+    prune_chunk)`."""
     global UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000
-    global PRUNE_M
+    global PRUNE_M, PRUNE_CHUNK
     prev = (
         UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000,
-        PRUNE_M,
+        PRUNE_M, PRUNE_CHUNK,
     )
     if kp_max is not None:
         UNROLL_KP_MAX = kp_max
@@ -138,6 +148,8 @@ def set_loop_knobs(
         UNROLL_CHUNK_2000 = chunk_2000
     if prune_m is not None:
         PRUNE_M = prune_m
+    if prune_chunk is not None:
+        PRUNE_CHUNK = prune_chunk
     jax.clear_caches()
     return prev
 ACCUM_TILE_ROWS = 128
@@ -585,12 +597,18 @@ def _quantize_kernel(
         #   dependent bits. Identical program to round 1.
         # Trip order and per-trip arithmetic are identical in all forms.
         # The pruned-cie2000 SCREENING loop is a cie94-class body (7 FMAs
-        # + the top-M insert, no trig), so it takes the cie94 knobs.
-        kp_max, chunk = (
-            (UNROLL_KP_MAX, UNROLL_CHUNK)
-            if metric == "cie94" or prune
-            else (UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
-        )
+        # + the top-M insert) but carries 2*M live buffers, so it gets
+        # its OWN chunked form (PRUNE_CHUNK) — full unroll on top of the
+        # insertion carries blew the scoped-VMEM stack on hardware (see
+        # the PRUNE_CHUNK constant).
+        if prune:
+            kp_max, chunk = (0, PRUNE_CHUNK)
+        else:
+            kp_max, chunk = (
+                (UNROLL_KP_MAX, UNROLL_CHUNK)
+                if metric == "cie94"
+                else (UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000)
+            )
         if kp <= kp_max:
             carry = init
             for k in range(kp):

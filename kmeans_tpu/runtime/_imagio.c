@@ -1092,6 +1092,225 @@ fail:
     return NULL;
 }
 
+/* ------------------------------------------------------------------ *
+ * Readback unpack fast paths.
+ *
+ * The fused Pallas kernels emit bit-packed device buffers (in-kernel
+ * sublane index pack, ops/kernels.py::fused_assign_packed; in-kernel
+ * RGB byte pack, fused_meld_packed) to cut device->host bytes; the
+ * host-side inverses in utils/packing.py are numpy byte shuffles that
+ * cost hundreds of ms at 4K. These C twins walk the exact same tile
+ * layout in one pass (and fuse the palette gather for the indexed
+ * tiers). Layout constants (tile_rows, lanes, bits) MUST come from
+ * ops/kernels.py — they are a function of the palette size.
+ * ------------------------------------------------------------------ */
+
+static PyObject *
+imagio_unpack_rgb24(PyObject *self, PyObject *args)
+{
+    Py_buffer words;
+    unsigned int h, w, tile_rows, lanes;
+    if (!PyArg_ParseTuple(args, "y*IIII", &words, &h, &w, &tile_rows, &lanes))
+        return NULL;
+
+    PyObject *result = NULL;
+    unsigned char *out = NULL;
+    const size_t hw = (size_t)h * w;
+    const unsigned int blk = tile_rows / 4;
+    if (tile_rows == 0 || lanes == 0 || blk * 4 != tile_rows ||
+        (size_t)words.len % ((size_t)3 * blk * lanes * 4) != 0) {
+        PyErr_SetString(PyExc_ValueError,
+                        "words length does not tile (3 * tile_rows/4 * lanes"
+                        " i32 words per tile; tile_rows % 4 == 0)");
+        goto done;
+    }
+    {
+        const size_t n_tiles = (size_t)words.len / ((size_t)3 * blk * lanes * 4);
+        if (n_tiles * tile_rows * lanes < hw) {
+            PyErr_SetString(PyExc_ValueError, "words too short for h * w");
+            goto done;
+        }
+        out = (unsigned char *)malloc(hw * 4);
+        if (!out) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        const unsigned char *wb = (const unsigned char *)words.buf;
+        for (size_t t = 0; t < n_tiles; t++) {
+            const size_t tile_px0 = t * tile_rows * lanes;
+            if (tile_px0 >= hw)
+                break;
+            /* Interior tiles fit entirely inside h*w: skip the per-pixel
+             * bounds check (only the last tile can be ragged). */
+            const int fits =
+                tile_px0 + (size_t)tile_rows * lanes <= hw;
+            /* Word rows of this tile: w0 = bytes of rows [0, blk),
+             * w1 = [blk, 2blk), w2 = [2blk, 3blk); little-endian i32, so
+             * byte b of word row r, lane l sits at
+             * ((t*3blk + r) * lanes + l) * 4 + b. */
+            for (unsigned int j = 0; j < blk; j++) {
+                const unsigned char *w0 =
+                    wb + (((t * 3) * blk + j) * lanes) * 4;
+                const unsigned char *w1 = w0 + (size_t)blk * lanes * 4;
+                const unsigned char *w2 = w1 + (size_t)blk * lanes * 4;
+                unsigned char *o0 = out + (tile_px0 + (size_t)j * lanes) * 4;
+                unsigned char *o1 = o0 + (size_t)blk * lanes * 4;
+                unsigned char *o2 = o1 + (size_t)blk * lanes * 4;
+                unsigned char *o3 = o2 + (size_t)blk * lanes * 4;
+                if (fits) {
+                    for (unsigned int l = 0; l < lanes; l++) {
+                        const unsigned char *a = w0 + (size_t)l * 4;
+                        const unsigned char *b = w1 + (size_t)l * 4;
+                        const unsigned char *c = w2 + (size_t)l * 4;
+                        unsigned char *o = o0 + (size_t)l * 4;
+                        o[0] = a[0]; o[1] = a[1]; o[2] = a[2]; o[3] = 255;
+                        o = o1 + (size_t)l * 4;
+                        o[0] = a[3]; o[1] = b[0]; o[2] = b[1]; o[3] = 255;
+                        o = o2 + (size_t)l * 4;
+                        o[0] = b[2]; o[1] = b[3]; o[2] = c[0]; o[3] = 255;
+                        o = o3 + (size_t)l * 4;
+                        o[0] = c[1]; o[1] = c[2]; o[2] = c[3]; o[3] = 255;
+                    }
+                    continue;
+                }
+                for (unsigned int l = 0; l < lanes; l++) {
+                    const unsigned char *a = w0 + (size_t)l * 4;
+                    const unsigned char *b = w1 + (size_t)l * 4;
+                    const unsigned char *c = w2 + (size_t)l * 4;
+                    /* Block g holds pixel (row g*blk + j, lane l). */
+                    const unsigned char rgb[4][3] = {
+                        {a[0], a[1], a[2]},
+                        {a[3], b[0], b[1]},
+                        {b[2], b[3], c[0]},
+                        {c[1], c[2], c[3]},
+                    };
+                    for (unsigned int g = 0; g < 4; g++) {
+                        const size_t px =
+                            tile_px0 + ((size_t)g * blk + j) * lanes + l;
+                        if (px >= hw)
+                            continue;
+                        unsigned char *o = out + px * 4;
+                        o[0] = rgb[g][0];
+                        o[1] = rgb[g][1];
+                        o[2] = rgb[g][2];
+                        o[3] = 255;
+                    }
+                }
+            }
+        }
+        result = PyBytes_FromStringAndSize((const char *)out,
+                                           (Py_ssize_t)(hw * 4));
+    }
+
+done:
+    free(out);
+    PyBuffer_Release(&words);
+    return result;
+}
+
+static PyObject *
+imagio_unpack_indices_gather(PyObject *self, PyObject *args)
+{
+    Py_buffer words, palette;
+    unsigned int h, w, bits, tile_rows, lanes;
+    if (!PyArg_ParseTuple(args, "y*IIIIIy*", &words, &h, &w, &bits,
+                          &tile_rows, &lanes, &palette))
+        return NULL;
+
+    PyObject *result = NULL;
+    unsigned char *out = NULL;
+    const size_t hw = (size_t)h * w;
+    if (bits != 2 && bits != 4 && bits != 8 && bits != 16) {
+        PyErr_SetString(PyExc_ValueError, "bits must be 2/4/8/16");
+        goto done;
+    }
+    {
+        const unsigned int ppw = 32 / bits;
+        const unsigned int blk = tile_rows / ppw;
+        const unsigned int k = (unsigned int)(palette.len / 4);
+        const uint32_t mask = (bits == 32) ? 0xffffffffu
+                                           : ((1u << bits) - 1u);
+        if (tile_rows == 0 || lanes == 0 || blk * ppw != tile_rows ||
+            (size_t)palette.len % 4 != 0 || k == 0 ||
+            (size_t)words.len % ((size_t)blk * lanes * 4) != 0) {
+            PyErr_SetString(PyExc_ValueError,
+                            "bad layout (tile_rows % (32/bits) == 0; RGBA8"
+                            " palette; words a whole number of tiles)");
+            goto done;
+        }
+        const size_t n_tiles = (size_t)words.len / ((size_t)blk * lanes * 4);
+        if (n_tiles * tile_rows * lanes < hw) {
+            PyErr_SetString(PyExc_ValueError, "words too short for h * w");
+            goto done;
+        }
+        out = (unsigned char *)malloc(hw * 4);
+        if (!out) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        const uint32_t *wk = (const uint32_t *)words.buf;
+        const unsigned char *pal = (const unsigned char *)palette.buf;
+        /* Palettes are <= 512 RGBA rows: validate indices against a tiny
+         * bitmap-free bound by clamping through a 65536-entry guard only
+         * when bits == 16; narrower tiers cannot exceed 256 < 2^bits, so
+         * a single pre-check of k against 1u << bits suffices there. */
+        const int need_check = (k < (bits >= 32 ? 0xffffffffu
+                                                : (1u << bits)));
+        for (size_t t = 0; t < n_tiles; t++) {
+            const size_t tile_px0 = t * tile_rows * lanes;
+            if (tile_px0 >= hw)
+                break;
+            const int fits =
+                tile_px0 + (size_t)tile_rows * lanes <= hw;
+            for (unsigned int j = 0; j < blk; j++) {
+                const uint32_t *row = wk + (t * blk + j) * lanes;
+                if (fits && !need_check) {
+                    for (unsigned int s = 0; s < ppw; s++) {
+                        unsigned char *orow =
+                            out +
+                            (tile_px0 + ((size_t)s * blk + j) * lanes) * 4;
+                        const unsigned int sh = bits * s;
+                        for (unsigned int l = 0; l < lanes; l++) {
+                            const uint32_t idx = (row[l] >> sh) & mask;
+                            memcpy(orow + (size_t)l * 4,
+                                   pal + (size_t)idx * 4, 4);
+                        }
+                    }
+                    continue;
+                }
+                for (unsigned int l = 0; l < lanes; l++) {
+                    uint32_t word = row[l];
+                    for (unsigned int s = 0; s < ppw; s++) {
+                        const size_t px =
+                            tile_px0 + ((size_t)s * blk + j) * lanes + l;
+                        const uint32_t idx = (word >> (bits * s)) & mask;
+                        if (px >= hw)
+                            continue;
+                        if (idx >= k) {
+                            free(out);
+                            out = NULL;
+                            PyErr_Format(PyExc_ValueError,
+                                         "index %u out of range for %u-color"
+                                         " palette",
+                                         idx, k);
+                            goto done;
+                        }
+                        memcpy(out + px * 4, pal + (size_t)idx * 4, 4);
+                    }
+                }
+            }
+        }
+        result = PyBytes_FromStringAndSize((const char *)out,
+                                           (Py_ssize_t)(hw * 4));
+    }
+
+done:
+    free(out);
+    PyBuffer_Release(&words);
+    PyBuffer_Release(&palette);
+    return result;
+}
+
 static PyObject *
 imagio_set_max_decode_pixels(PyObject *self, PyObject *args)
 {
@@ -1132,6 +1351,13 @@ static PyMethodDef imagio_methods[] = {
      " delay_cs=100, loop=True) -> gif_bytes"},
     {"decode_gif", imagio_decode_gif, METH_VARARGS,
      "decode_gif(data) -> (width, height, [rgba_bytes, ...], [delay_cs, ...])"},
+    {"unpack_rgb24", imagio_unpack_rgb24, METH_VARARGS,
+     "unpack_rgb24(words_i32_bytes, h, w, tile_rows, lanes) -> rgba_bytes"
+     " (inverse of the fused meld kernel's in-kernel RGB byte pack)"},
+    {"unpack_indices_gather", imagio_unpack_indices_gather, METH_VARARGS,
+     "unpack_indices_gather(words_i32_bytes, h, w, bits, tile_rows, lanes,"
+     " palette_rgba_bytes) -> rgba_bytes (inverse of the in-kernel index"
+     " pack, fused with the palette gather)"},
     {"set_max_decode_pixels", imagio_set_max_decode_pixels, METH_VARARGS,
      "set_max_decode_pixels(n) -> previous limit (total decoded pixels per"
      " call; default 512 Mpix)"},

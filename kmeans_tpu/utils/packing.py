@@ -19,6 +19,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+try:  # native unpack fast paths (runtime/_imagio.c); numpy twins below
+    from kmeans_tpu.runtime import _imagio as _native
+except ImportError:  # pragma: no cover - source tree without build_ext
+    _native = None
+
 NIBBLE_PACK_MAX_K = 16
 CRUMB_PACK_MAX_K = 4
 
@@ -94,6 +99,37 @@ def unpack_tile_words(
     return idx.reshape(-1)[: h * w].reshape(h, w)
 
 
+def unpack_tile_words_gather(
+    words: np.ndarray,
+    h: int,
+    w: int,
+    bits: int,
+    palette_rgba: np.ndarray,
+    tile_rows: int | None = None,
+    lanes: int = 128,
+) -> np.ndarray:
+    """`palette_rgba[unpack_tile_words(...)]` in one native pass: unpack
+    the in-kernel index words AND gather the RGBA8 palette row per pixel
+    (runtime/_imagio.c; the numpy twin is the fallback and the layout
+    spec). For the indexed readback paths that want pixels, not the
+    index map — saves materializing the [h, w] intermediate and the
+    separate numpy gather. `palette_rgba` is `[K, 4]` uint8."""
+    if tile_rows is None:
+        raise ValueError(
+            "tile_rows must come from ops.kernels.quant_tile_rows(kp) — "
+            "it is a function of the palette size"
+        )
+    if _native is not None and hasattr(_native, "unpack_indices_gather"):
+        pal = np.ascontiguousarray(palette_rgba, dtype=np.uint8)
+        raw = _native.unpack_indices_gather(
+            np.ascontiguousarray(words).view(np.int32).tobytes(),
+            h, w, bits, tile_rows, lanes, pal.tobytes(),
+        )
+        return np.frombuffer(raw, np.uint8).reshape(h, w, 4)
+    idx = unpack_tile_words(words, h, w, bits, tile_rows, lanes)
+    return np.asarray(palette_rgba, dtype=np.uint8)[idx]
+
+
 def unpack_rgb24_tile_words(
     words: np.ndarray,
     h: int,
@@ -107,7 +143,29 @@ def unpack_rgb24_tile_words(
     carries the bytes laid out in the kernel's emit_rgb24 branch).
     `words` is the `[M, lanes]` int32 readback; returns `[h, w, 4]`
     uint8 RGBA with alpha 255 (bit-identical to the unpacked kernel
-    output). Pass `tile_rows=ops.kernels.quant_tile_rows(kp)`."""
+    output). Pass `tile_rows=ops.kernels.quant_tile_rows(kp)`.
+
+    Dispatches to the native single-pass walk (runtime/_imagio.c,
+    measured ~10x the numpy byte shuffles at 4K) when the extension is
+    built; the numpy twin below is the layout's executable spec and the
+    fallback (tests pin C == numpy)."""
+    if _native is not None and hasattr(_native, "unpack_rgb24"):
+        raw = _native.unpack_rgb24(
+            np.ascontiguousarray(words).view(np.int32).tobytes(),
+            h, w, tile_rows, lanes,
+        )
+        return np.frombuffer(raw, np.uint8).reshape(h, w, 4)
+    return _unpack_rgb24_np(words, h, w, tile_rows, lanes)
+
+
+def _unpack_rgb24_np(
+    words: np.ndarray,
+    h: int,
+    w: int,
+    tile_rows: int,
+    lanes: int = 128,
+) -> np.ndarray:
+    """Numpy spec/fallback for `unpack_rgb24_tile_words`."""
     blk = tile_rows // 4
     wb = (
         np.ascontiguousarray(words)

@@ -65,8 +65,10 @@ def main() -> None:
         pal = rng.integers(0, 256, (k, 3), dtype=np.uint8)
         return jnp.asarray(srgb8_to_lab_np(pal))
 
-    def measure(k, fast):
-        cents = cents_for(k)
+    def measure(k, fast, cents):
+        # cents passed in: exact and pruned MUST rank the same palette
+        # (an earlier revision drew a fresh random palette per call and
+        # measured a meaningless ~99% "mismatch").
 
         def call(img, cents, acc):
             words = kernels.fused_assign_packed(
@@ -95,7 +97,8 @@ def main() -> None:
 
     results = []
     for k in (64, 256):
-        exact_ms, exact_comp, exact_idx = measure(k, fast=False)
+        cents = cents_for(k)
+        exact_ms, exact_comp, exact_idx = measure(k, False, cents)
         r = {
             "case": f"cie2000-exact-k{k}", "ms": round(exact_ms, 2),
             "gpix_s": round(WIDTH * HEIGHT / exact_ms / 1e6, 3),
@@ -105,7 +108,7 @@ def main() -> None:
         print(json.dumps(r), flush=True)
         for m in (4, 8, 16):
             kernels.set_loop_knobs(prune_m=m)
-            ms, comp, idx = measure(k, fast=True)
+            ms, comp, idx = measure(k, True, cents)
             mism = float((idx != exact_idx).mean())
             r = {
                 "case": f"cie2000-prune-k{k}", "prune_m": m,
