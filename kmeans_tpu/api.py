@@ -48,6 +48,7 @@ from kmeans_tpu.ops.kernels import (
     FRAMES_MAX_BK,
     fused_assign_frames_packed,
     fused_assign_packed,
+    fused_meld_frames_packed,
     fused_meld_packed,
     fused_quantize,
 )
@@ -1573,6 +1574,17 @@ class ImageProcessor:
             outs = _unpack_gather(words_np, bsz * h4, sw_, kp, pal_u8).reshape(
                 bsz, h4, sw_, 4
             )[: len(frames), :h, :w]
+        elif self.fused and reduce_mode is ReduceMode.MELD:
+            # Meld's batch tier: one tall RGB24-packed meld launch,
+            # bit-identical to per-frame (no dither phase to align).
+            words = _find_batch_meld_jit(
+                jnp.asarray(stack), palette_lab, k_active,
+                fast=self.fast, metric=self.delta_e,
+            )
+            bsz, sh_, sw_ = stack.shape[:3]
+            outs = _unpack_meld(np.asarray(words), bsz * sh_, sw_, kp).reshape(
+                bsz, sh_, sw_, 4
+            )[: len(frames), :h, :w]
         else:
             outs = np.asarray(
                 _find_batch_jit(
@@ -1598,12 +1610,12 @@ class ImageProcessor:
         Requires bucketing for the coalescing to engage (frames group by
         their shape bucket; the executable population stays the bounded
         warmable set — `warmup(batch_sizes=..., find_palette_sizes=...)`
-        covers it). Without bucketing, for meld (no fused path), for
-        palettes past the 512-color indexed cap, or for any frame alone
-        in its bucket, falls back to per-image `find`. Coalesced frames
-        run the same fused assign program per pixel as solo `find`
-        (stacking adds rows; each frame keeps Bayer phase y%4 == 0 like
-        `_find_batch_fused_jit`), asserted bit-equal in tests."""
+        covers it). Without bucketing, for palettes past the 512-color
+        indexed cap, or for any frame alone in its bucket, falls back to
+        per-image `find`. Coalesced frames run the same fused program per
+        pixel as solo `find` (stacking adds rows; replace/dither keep
+        Bayer phase y%4 == 0 like `_find_batch_fused_jit`; meld takes the
+        tall RGB24-packed launch), asserted bit-equal in tests."""
         frames = [_as_image(im) for im in images]
         if not frames:
             raise ValueError("need at least one image")
@@ -1613,7 +1625,6 @@ class ImageProcessor:
         if (
             not self.bucketing
             or not self.fused
-            or reduce_mode is ReduceMode.MELD
             or palette_rgba.shape[0] > 512
         ):
             return [self.find(f, palette_rgba, reduce_mode) for f in frames]
@@ -1641,17 +1652,28 @@ class ImageProcessor:
             ]
             n_pad = bucket_frames(len(idxs)) - len(idxs)
             stack = np.stack(padded + [padded[0]] * n_pad)
-            words = _find_batch_fused_jit(
-                jnp.asarray(stack), palette_lab, reduce_mode.value,
-                k_active, fast=self.fast, metric=self.delta_e,
-            )
-            h4 = -(-bh // 4) * 4
-            words_np, pal_u8 = _host_fetch(
-                words, _lab_palette_to_u8(palette_lab)[0]
-            )
-            px = _unpack_gather(
-                words_np, stack.shape[0] * h4, bw, kp, pal_u8
-            ).reshape(stack.shape[0], h4, bw, 4)
+            if reduce_mode is ReduceMode.MELD:
+                # Tall-stack meld (RGB24-packed readback; bit-identical
+                # to per-frame find — no dither phase to align).
+                words = _find_batch_meld_jit(
+                    jnp.asarray(stack), palette_lab, k_active,
+                    fast=self.fast, metric=self.delta_e,
+                )
+                px = _unpack_meld(
+                    np.asarray(words), stack.shape[0] * bh, bw, kp
+                ).reshape(stack.shape[0], bh, bw, 4)
+            else:
+                words = _find_batch_fused_jit(
+                    jnp.asarray(stack), palette_lab, reduce_mode.value,
+                    k_active, fast=self.fast, metric=self.delta_e,
+                )
+                h4 = -(-bh // 4) * 4
+                words_np, pal_u8 = _host_fetch(
+                    words, _lab_palette_to_u8(palette_lab)[0]
+                )
+                px = _unpack_gather(
+                    words_np, stack.shape[0] * h4, bw, kp, pal_u8
+                ).reshape(stack.shape[0], h4, bw, 4)
             for j, i in enumerate(idxs):
                 h, w = frames[i].pixels.shape[:2]
                 results[i] = Image(frames[i].dimensions, px[j, :h, :w])
@@ -1692,7 +1714,7 @@ class ImageProcessor:
                     restarts=self.restarts,
                 )
                 outs = self._frames_fused_outs(
-                    words, palettes, len(frames), bh, bw, kp
+                    words, palettes, len(frames), bh, bw, kp, reduce_mode
                 )[:, :h, :w]
             else:
                 outs = np.asarray(
@@ -1713,7 +1735,7 @@ class ImageProcessor:
                 fast=self.fast, metric=self.delta_e, restarts=self.restarts,
             )
             outs = self._frames_fused_outs(
-                words, palettes, len(frames), h, w, color_count
+                words, palettes, len(frames), h, w, color_count, reduce_mode
             )
         else:
             outs = np.asarray(
@@ -1726,22 +1748,29 @@ class ImageProcessor:
 
     def _frames_fused_ok(self, b: int, kp: int, reduce_mode) -> bool:
         """Gate for the per-frame-palette fused batch kernels: TPU fused
-        processor, replace/dither (bit-exact; see `_frames_quantize_tail`
-        on meld), indexable palette, and the stacked SMEM centroid table
-        within the kernel's budget (`FRAMES_MAX_BK`)."""
+        processor, indexable palette (replace/dither; meld has no index
+        cap — its RGB24 pack serves any k), and the stacked SMEM centroid
+        table within the kernel's budget (`FRAMES_MAX_BK`). Meld admitted
+        round 3 under the golden-quality policy (see
+        `_frames_quantize_tail`)."""
         return (
             self.fused
-            and reduce_mode is not ReduceMode.MELD
-            and kp <= 512
+            and (reduce_mode is ReduceMode.MELD or kp <= 512)
             and b * kp <= FRAMES_MAX_BK
         )
 
     @staticmethod
     def _frames_fused_outs(
-        words, palettes, n: int, h: int, w: int, kp: int
+        words, palettes, n: int, h: int, w: int, kp: int, reduce_mode=None
     ) -> np.ndarray:
         """Host tail of the fused frame-batch reduce: unpack each frame's
-        in-kernel-packed index words and gather its own palette."""
+        in-kernel-packed index words and gather its own palette
+        (replace/dither), or invert the RGB24 pack (meld)."""
+        if reduce_mode is ReduceMode.MELD:
+            words_np = np.asarray(words)
+            return np.stack(
+                [_unpack_meld(words_np[i], h, w, kp) for i in range(n)]
+            )
         words, pals = _host_fetch(words, palettes)
         return np.stack(
             [_unpack_gather(words[i], h, w, kp, pals[i]) for i in range(n)]
@@ -1833,7 +1862,8 @@ class ImageProcessor:
         single-chip path: RGB-only upload; replace/dither with k <= 512
         read back an index map (2/4/8 bits per pixel width-packed for
         k <= 256, raw uint16 above) that the host expands via
-        `palette[idx]`."""
+        `palette[idx]`; meld on TPU meshes reads back in-kernel-packed
+        RGB24 words (3 B/px, any k)."""
         from kmeans_tpu.parallel.mesh import make_mesh
         from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
 
@@ -1845,7 +1875,9 @@ class ImageProcessor:
         if mesh is None:
             mesh = make_mesh(self.devices, data=1)
         rgb = _host_rgb(image.pixels)  # alpha is ignored
-        if reduce_mode is not ReduceMode.MELD and palette_lab.shape[0] <= 512:
+        if reduce_mode is ReduceMode.MELD:
+            out = self._meld_sharded(mesh, rgb, palette_lab)
+        elif palette_lab.shape[0] <= 512:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, palette_lab, reduce_mode
             )
@@ -1902,6 +1934,38 @@ class ImageProcessor:
         )
         idx = _unpack_nibbles(arr, w, bits) if bits < 8 else arr[:, :w]
         return pal[idx]
+
+    def _meld_sharded(
+        self, mesh, rgb, palette_lab, k_active=None
+    ) -> np.ndarray:
+        """Sharded meld epilogue: on TPU meshes each shard runs the fused
+        meld kernel with the in-kernel RGB24 pack (3 B/px readback,
+        bit-identical colors — the multi-chip twin of the single-chip
+        `_meld_packed_jit` route); CPU meshes and the fused=False opt-out
+        keep the XLA sharded executable (4 B/px RGBA)."""
+        from kmeans_tpu.parallel.mesh import PIXEL_AXIS
+        from kmeans_tpu.parallel.sharded_ops import (
+            meld_fused_sharded,
+            quantize_image_sharded,
+            unpack_meld_sharded,
+        )
+
+        palette_lab = jnp.asarray(palette_lab)
+        if self.fused and _pallas_available(mesh.devices.flat[0]):
+            words = meld_fused_sharded(
+                mesh, rgb, palette_lab, k_active=k_active,
+                metric=self.delta_e, fast=self.fast,
+            )
+            return unpack_meld_sharded(
+                np.asarray(words), rgb.shape[0], rgb.shape[1],
+                int(palette_lab.shape[0]), int(mesh.shape[PIXEL_AXIS]),
+            )
+        return np.asarray(
+            quantize_image_sharded(
+                mesh, rgb, palette_lab, mode="meld", k_active=k_active,
+                metric=self.delta_e,
+            )
+        )
 
     def _sharded_fit_kwargs(self, n_px: int, kp: int, mesh) -> dict:
         """Trainer selection + opt-in threading for the sharded fits:
@@ -2009,7 +2073,11 @@ class ImageProcessor:
                 metric=self.delta_e, restarts=self.restarts,
                 **self._sharded_fit_kwargs(n, bucket_k(color_count), mesh),
             )
-            if reduce_mode is not ReduceMode.MELD and color_count <= 512:
+            if reduce_mode is ReduceMode.MELD:
+                out = self._meld_sharded(
+                    mesh, padded, centroids, k_active=color_count
+                )
+            elif color_count <= 512:
                 out = self._quantize_indexed_sharded(
                     mesh, padded, centroids, reduce_mode, k_active=color_count
                 )
@@ -2023,7 +2091,9 @@ class ImageProcessor:
             return Image(image.dimensions, out[:h, :w])
         centroids = self._fit_sharded_centroids(image, color_count, mesh)
         rgb = _host_rgb(image.pixels)
-        if reduce_mode is not ReduceMode.MELD and color_count <= 512:
+        if reduce_mode is ReduceMode.MELD:
+            out = self._meld_sharded(mesh, rgb, centroids)
+        elif color_count <= 512:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, centroids, reduce_mode
             )
@@ -2182,6 +2252,17 @@ class ImageProcessor:
                     np.asarray(words), padded.shape[0], padded.shape[1],
                     palette_lab.shape[0], palette_rgba,
                 )[:bh_real, :w]
+            elif self.fused and reduce_mode is ReduceMode.MELD:
+                # Meld's compact tier (3 B/px RGB24 words, bit-identical
+                # colors); meld has no row phase, so bands need no offset.
+                words = _meld_packed_jit(
+                    jnp.asarray(padded), palette_lab, k_active,
+                    fast=self.fast, metric=self.delta_e,
+                )
+                out[r0 : r0 + bh_real] = _unpack_meld(
+                    np.asarray(words), padded.shape[0], padded.shape[1],
+                    palette_lab.shape[0],
+                )[:bh_real, :w]
             elif self.fused:
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
@@ -2261,6 +2342,9 @@ class ImageProcessor:
         def _unpack_crop(hp, wp, h, w, kp):
             return lambda a: _unpack_idx(a, hp, wp, kp)[:h, :w]
 
+        def _unpack_meld_crop(hp, wp, h, w, kp):
+            return lambda a: _unpack_meld(a, hp, wp, kp)[:h, :w]
+
         for im in images:
             if len(pending) >= WINDOW:
                 drain_one()
@@ -2282,6 +2366,17 @@ class ImageProcessor:
                     )
                     post = _unpack_crop(bh, bw, h, w, kp)
                     pending.append((image.dimensions, words, pal, post))
+                elif self.fused and reduce_mode is ReduceMode.MELD:
+                    # Meld's compact tier (3 B/px RGB24 words): same
+                    # executable the bucketed single-image meld uses.
+                    words = _reduce_bucketed_meld_jit(
+                        jnp.asarray(padded), kp, canvas, first,
+                        h, w, sh, sw, conv, color_count,
+                        fast=self.fast, restarts=self.restarts,
+                        metric=self.delta_e,
+                    )
+                    post = _unpack_meld_crop(bh, bw, h, w, kp)
+                    pending.append((image.dimensions, words, None, post))
                 else:
                     out = _reduce_bucketed_jit(
                         jnp.asarray(padded), kp, canvas, first,
@@ -2309,6 +2404,20 @@ class ImageProcessor:
                 )
                 post = _unpack_crop(h, w, h, w, color_count)
                 pending.append((image.dimensions, words, palette_rgba, post))
+            elif self.fused and reduce_mode is ReduceMode.MELD:
+                words = _reduce_meld_packed_jit(
+                    jnp.asarray(_host_rgb(image.pixels)),
+                    color_count,
+                    (sh, sw),
+                    first,
+                    ColorSpace.LAB.convergence,
+                    fast=self.fast,
+                    restarts=self.restarts,
+                    metric=self.delta_e,
+                    train_dtype=self.train_dtype,
+                )
+                post = _unpack_meld_crop(h, w, h, w, color_count)
+                pending.append((image.dimensions, words, None, post))
             else:
                 out, _ = _reduce_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
@@ -2508,7 +2617,7 @@ class ImageProcessor:
                     metric=self.delta_e, restarts=self.restarts,
                 )
                 outs = self._frames_fused_outs(
-                    words, palettes, len(idxs), bh, bw, kp
+                    words, palettes, len(idxs), bh, bw, kp, reduce_mode
                 )
             else:
                 outs = np.asarray(
@@ -2739,21 +2848,26 @@ def _reduce_images_bucketed_jit(
 def _frames_quantize_tail(frames_u8, cents, mode, k_active, fast, metric):
     """Shared tail of the fused frame-batch reduce paths: per-frame dither
     thresholds, then ONE per-frame-palette Pallas launch over the full-res
-    frames with in-kernel index packing (`fused_assign_frames_packed`), so
-    the readback is packed indices + `[B, kp, 4]` palettes instead of full
-    RGBA. Replace/dither only: those are bit-exact vs the XLA quantizer;
-    meld's 2-centroid blend is NOT guaranteed bit-stable under the frame
-    kernel's dynamic centroid indexing (1-ulp rounding flips observed), so
-    meld batches keep the vmapped XLA path. Returns `(words,
+    frames — in-kernel index packing for replace/dither
+    (`fused_assign_frames_packed`; bit-exact vs the XLA quantizer) or the
+    in-kernel RGB24 pack for meld (`fused_meld_frames_packed`; admitted
+    round 3 under the golden-quality policy — the frame kernel's dynamic
+    centroid indexing can flip 1-ulp blend ties vs solo meld, measured
+    tiny on hardware, docs/perf.md round 3). Returns `(words,
     palettes_rgba)`."""
+    k_actives = None if k_active is None else jnp.asarray(k_active, jnp.int32)
+    palettes = jax.vmap(lambda c: _lab_palette_to_u8(c)[0])(cents)
+    if mode == "meld":
+        words = fused_meld_frames_packed(
+            frames_u8, cents, k_actives, fast=fast, metric=metric
+        )
+        return words, palettes
     if mode == "dither":
         thr = jax.vmap(
             lambda c: dither_threshold(c, k_active=k_active, metric=metric)
         )(cents)
     else:
         thr = jnp.zeros((frames_u8.shape[0],), jnp.float32)
-    k_actives = None if k_active is None else jnp.asarray(k_active, jnp.int32)
-    palettes = jax.vmap(lambda c: _lab_palette_to_u8(c)[0])(cents)
     words = fused_assign_frames_packed(
         frames_u8, cents, thr, k_actives, mode=mode, fast=fast, metric=metric
     )
@@ -3168,6 +3282,28 @@ def _find_batch_fused_jit(
     return fused_assign_packed(
         tall, palette_lab, threshold, k_active=k_active, mode=mode,
         fast=fast, metric=metric,
+    )
+
+
+@partial(jax.jit, static_argnames=("fast", "metric"))
+def _find_batch_meld_jit(
+    frames_u8,  # [B, H, W, 3|4]
+    palette_lab,
+    k_active=None,
+    fast: bool = False,
+    metric: str = "cie94",
+):
+    """Fused-kernel meld `find_batch`: stack the same-sized frames into
+    ONE tall image and run a single RGB24-packed meld over it. Meld has
+    no dither phase, so frames need no row alignment — frame f is rows
+    [f*H, (f+1)*H) of the tall image and the result is BIT-IDENTICAL to
+    per-frame `fused_meld_packed` (same palette, per-pixel op;
+    `_unpack_meld` then reshape/slice recovers the frames)."""
+    frames_u8 = _ensure_rgba(frames_u8)
+    b, h, w = frames_u8.shape[:3]
+    tall = frames_u8.reshape(b * h, w, 4)
+    return fused_meld_packed(
+        tall, palette_lab, k_active=k_active, fast=fast, metric=metric
     )
 
 

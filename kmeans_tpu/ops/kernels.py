@@ -386,10 +386,13 @@ def _cie2000_sq_planes(l1, a1, b1, l2, a2, b2, c1=None):
 def _factor_mode(fast: bool, metric: str, kp: int) -> bool:
     """True when the quantize kernel runs the factorized fast CIE94 score.
     Keyed on palette SIZE (kp > 16), not loop form — kp=64/256 palettes
-    are unrolled AND factorized under fast=True. The kernel and its
-    wrapper MUST agree on this predicate, since it adds the SMEM G-table
-    operand."""
-    return bool(fast) and metric == "cie94" and kp > 16
+    are unrolled AND factorized under fast=True. Capped at 512: the
+    factorized rolled loop at kp=1024 crashes the remote Mosaic compiler
+    (tools/exp_k1024.py, HTTP 500 subprocess exit 1), so past the indexed
+    tiers' 512 cap `fast` silently falls back to the exact loop — same
+    rule as the prune tier. The kernel and its wrapper MUST agree on this
+    predicate, since it adds the SMEM G-table operand."""
+    return bool(fast) and metric == "cie94" and 16 < kp <= 512
 
 
 def factor_g_table(centroids_lab: jnp.ndarray) -> jnp.ndarray:
@@ -408,10 +411,13 @@ def _prune_mode(fast: bool, metric: str, kp: int) -> bool:
     fast tier: factorized-CIE94 screening keeps the PRUNE_M nearest
     candidates, exact CIEDE2000 runs only on them. Same size gate as the
     cie94 fast mode (kp > 16: below it the exact loop is already
-    transcendental-bound and fast changes nothing). The kernel and its
-    wrappers MUST agree on this predicate — it adds the SMEM G-table and
-    the VMEM centroid/palette gather tables as operands."""
-    return bool(fast) and metric == "cie2000" and kp > 16
+    transcendental-bound and fast changes nothing; capped at 512 like
+    `_factor_mode` — the factorized screen it shares crashed the remote
+    compiler at kp=1024, so past 512 `fast` falls back to the exact
+    loop). The kernel and its wrappers MUST agree on this predicate — it
+    adds the SMEM G-table and the VMEM centroid/palette gather tables as
+    operands."""
+    return bool(fast) and metric == "cie2000" and 16 < kp <= 512
 
 
 def prune_rows(kp: int) -> int:
@@ -1471,6 +1477,7 @@ FRAMES_MAX_BK = 2048
 def _run_quantize_kernel_frames(
     frames_u8, centroids_lab, thresholds, k_actives, mode, interpret,
     emit_index, fast=False, metric="cie94", use_lut=True, pack_bits_n=0,
+    emit_rgb24=False,
 ):
     """Frame-batched variant of `_run_quantize_kernel`: one pallas_call
     quantizes B same-shaped frames, EACH against its own palette — the
@@ -1561,11 +1568,15 @@ def _run_quantize_kernel_frames(
         ppw = 32 // pack_bits_n
         out_rows = tile_rows // ppw
         out_shape = (tiles.shape[0] // ppw, LANES)
+    elif emit_rgb24:
+        out_rows = tile_rows * 3 // 4
+        out_shape = (tiles.shape[0] * 3 // 4, LANES)
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
             fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
             tile_rows=tile_rows, frame_tiles=frame_tiles,
+            emit_rgb24=emit_rgb24,
         ),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
         grid=grid,
@@ -1665,5 +1676,39 @@ def fused_assign_frames_packed(
     words = _run_quantize_kernel_frames(
         frames_u8, centroids_lab, thresholds, k_actives, mode, interpret,
         True, fast, metric, use_lut, pack_bits_n=bits,
+    )
+    return words.reshape(b, -1, LANES)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "fast", "metric", "use_lut")
+)
+def fused_meld_frames_packed(
+    frames_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    k_actives=None,
+    interpret: bool = False,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """Frame-batched `fused_meld_packed`: B same-shaped frames, each
+    melded against ITS OWN `[B, KP, 3]` Lab palette, RGB byte-packed
+    inside the kernel (3 B/px readback). Returns `[B, W_f, LANES]` i32
+    words; frame `f` inverts with `utils.packing.unpack_rgb24_tile_words
+    (words[f], h, w, tile_rows=quant_tile_rows(kp))`. Bit-stability
+    note: the frame kernel's dynamic centroid indexing COULD in
+    principle contract FMAs differently from the single-frame kernel
+    (the class of 1-ulp blend flips the round-2 unroll policy hit), so
+    callers admit it under the golden-quality policy, not bit-form
+    purity — but the hardware measurement found ZERO differing pixels
+    vs per-frame `fused_meld_packed` at k=8 and k=64 on 8x768x640
+    random frames (docs/perf.md, tools/exp_meld_frames.py). Any k."""
+    _validate_frames_args(frames_u8, centroids_lab, "meld", metric)
+    b = frames_u8.shape[0]
+    words = _run_quantize_kernel_frames(
+        frames_u8, centroids_lab,
+        jnp.zeros((b,), jnp.float32), k_actives, "meld", interpret,
+        False, fast, metric, use_lut, emit_rgb24=True,
     )
     return words.reshape(b, -1, LANES)

@@ -199,6 +199,84 @@ def _assign_fused_jit(
     return fn(rgb_sharded, palette_lab, threshold, k_act)
 
 
+def meld_fused_sharded(
+    mesh,
+    rgb_u8,
+    palette_lab,
+    k_active=None,
+    metric: str = "cie94",
+    fast: bool = False,
+    interpret: bool = False,
+):
+    """Multi-chip meld at single-chip kernel speed with the RGB24-packed
+    (3 B/px) readback: every shard runs the fused meld kernel
+    (`ops/kernels.py::fused_meld_packed` — in-kernel RGB byte pack) on
+    its local row block under `shard_map`. Meld is purely per-pixel
+    (`mix_colors.wgsl:85-90` blends each pixel's own two closest
+    centroids), so no collectives and — unlike dither — no cross-shard
+    phase to thread: each shard's block is BIT-IDENTICAL to the same
+    rows through single-chip `fused_meld_packed`. Returns the
+    `[D * M, 128]` int32 word readback that `unpack_meld_sharded`
+    inverts on the host. Any k (meld has no index-width cap)."""
+    palette_lab = jnp.asarray(palette_lab, jnp.float32)
+    kp = palette_lab.shape[0]
+    sharded, h = _row_sharded(mesh, rgb_u8)
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+    return _meld_fused_jit(
+        sharded, palette_lab, k_act, mesh=mesh, metric=metric, fast=fast,
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric", "fast", "interpret"))
+def _meld_fused_jit(rgb_sharded, palette_lab, k_act, mesh, metric, fast,
+                    interpret):
+    """One executable for the fused sharded meld (alpha append + per-shard
+    kernel) — same single-jit rule as `_assign_fused_jit`."""
+    from kmeans_tpu.ops.kernels import fused_meld_packed
+
+    def local(rgb_local, cents, ka):
+        alpha = jnp.full(rgb_local.shape[:2] + (1,), 255, jnp.uint8)
+        rgba = jnp.concatenate([rgb_local[..., :3], alpha], axis=-1)
+        return fused_meld_packed(
+            rgba, cents, k_active=ka, interpret=interpret, fast=fast,
+            metric=metric,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(PIXEL_AXIS, None, None), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        check_vma=False,
+    )
+    return fn(rgb_sharded, palette_lab, k_act)
+
+
+def unpack_meld_sharded(
+    words: np.ndarray, h: int, w: int, kp: int, n_shards: int
+) -> np.ndarray:
+    """Host inverse of `meld_fused_sharded`: split the concatenated word
+    readback into its D equal shard blocks, invert each shard's in-kernel
+    RGB24 pack (`utils.packing.unpack_rgb24_tile_words` with the SAME
+    kp-keyed tile height the kernel used), and crop the row padding.
+    Returns `[h, w, 4]` uint8 RGBA (alpha 255)."""
+    from kmeans_tpu.ops.kernels import quant_tile_rows
+    from kmeans_tpu.utils.packing import unpack_rgb24_tile_words
+
+    tile_rows = quant_tile_rows(kp)
+    h_pad = (h + n_shards - 1) // n_shards * n_shards
+    local_h = h_pad // n_shards
+    out = np.concatenate(
+        [
+            unpack_rgb24_tile_words(chunk, local_h, w, tile_rows=tile_rows)
+            for chunk in np.split(np.asarray(words), n_shards, axis=0)
+        ],
+        axis=0,
+    )
+    return out[:h]
+
+
 def unpack_fused_sharded(
     words: np.ndarray, h: int, w: int, kp: int, n_shards: int
 ) -> np.ndarray:

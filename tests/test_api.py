@@ -550,7 +550,15 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
 
     # find_batch tall-stack fused path: frames with H % 4 != 0 exercise
     # the per-frame Bayer phase padding; must be bit-equal to the XLA
-    # batch for replace AND dither.
+    # batch for replace AND dither. Meld rides its own tall RGB24-packed
+    # launch (round 3, no phase to align): bit-equal to per-frame fused
+    # `find` — NOT to the XLA twin, whose blend can flip on knife-edge
+    # ties even in interpret mode (this fixture hits one; docs/perf.md).
+    monkeypatch.setattr(
+        api,
+        "fused_meld_packed",
+        partial(kernels.fused_meld_packed, interpret=True),
+    )
     f1 = Image((50, 39), image.pixels[:39, :50])
     f2 = Image((50, 39), image.pixels[30:69, 20:70])
     for mode in (api.ReduceMode.REPLACE, api.ReduceMode.DITHER):
@@ -561,11 +569,74 @@ def test_fused_indexed_paths_on_cpu_interpret(monkeypatch, blobs_image):
         gotb = fused_b.find_batch([f1, f2], colors, mode)
         for g, x in zip(gotb, want):
             np.testing.assert_array_equal(g.pixels, x.pixels)
+    got = fused_p.find_batch([f1, f2], colors, api.ReduceMode.MELD)
+    xla = xla_p.find_batch([f1, f2], colors, api.ReduceMode.MELD)
+    for g, x, f in zip(got, xla, (f1, f2)):
+        solo = fused_p.find(f, colors, api.ReduceMode.MELD)
+        np.testing.assert_array_equal(g.pixels, solo.pixels)
+        frac = (g.pixels != x.pixels).any(axis=-1).mean()
+        assert frac <= 1e-3, f"meld batch vs XLA drift {frac}"
+    gotb = fused_b.find_batch([f1, f2], colors, api.ReduceMode.MELD)
+    for g, b in zip(got, gotb):
+        np.testing.assert_array_equal(g.pixels, b.pixels)
     fs = fused_p.find_streamed(odd, colors, api.ReduceMode.DITHER, band_rows=16)
     ws = api.ImageProcessor(fused=False, bucketing=True).find(
         odd, colors, api.ReduceMode.DITHER
     )
     np.testing.assert_array_equal(fs.pixels, ws.pixels)
+
+
+def test_fused_meld_sharded_streamed_pipelined_on_cpu_interpret(
+    monkeypatch, blobs_image
+):
+    """Round-3 meld compact-tier wiring beyond the solo paths, driven on
+    CPU via interpret-mode kernels: (a) `find_sharded` meld rides the
+    per-shard RGB24-packed kernel under shard_map and must be BIT-EQUAL
+    to solo fused `find` (meld is per-pixel; sharding must be
+    invisible); (b) `find_streamed` meld bands ride `_meld_packed_jit`
+    and must equal the whole-image bucketed result; (c) `reduce_pipelined`
+    meld rides the same packed executables as solo `reduce` on both the
+    exact-shape and bucketed processors."""
+    from functools import partial
+
+    import kmeans_tpu.api as api
+    import kmeans_tpu.parallel.sharded_ops as so
+    from kmeans_tpu.ops import kernels
+
+    monkeypatch.setattr(
+        api,
+        "fused_meld_packed",
+        partial(kernels.fused_meld_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api, "_pallas_available", lambda device=None: True
+    )
+    monkeypatch.setattr(
+        so, "meld_fused_sharded", partial(so.meld_fused_sharded, interpret=True)
+    )
+
+    image, _ = blobs_image
+    odd = Image((127, 51), image.pixels[:51, :127])  # odd h and w
+    colors = np.asarray(
+        [[220, 40, 40, 255], [40, 200, 60, 255], [50, 60, 210, 255]], np.uint8
+    )
+    fused_p = api.ImageProcessor(fused=True)
+    solo = fused_p.find(odd, colors, api.ReduceMode.MELD)
+
+    sharded = fused_p.find_sharded(odd, colors, api.ReduceMode.MELD)
+    np.testing.assert_array_equal(sharded.pixels, solo.pixels)
+
+    fused_b = api.ImageProcessor(fused=True, bucketing=True)
+    streamed = fused_b.find_streamed(
+        odd, colors, api.ReduceMode.MELD, band_rows=16
+    )
+    whole = fused_b.find(odd, colors, api.ReduceMode.MELD)
+    np.testing.assert_array_equal(streamed.pixels, whole.pixels)
+
+    for p in (fused_p, fused_b):
+        piped = p.reduce_pipelined([odd], 4, api.ReduceMode.MELD)
+        want = p.reduce(4, odd, reduce_mode=api.ReduceMode.MELD)
+        np.testing.assert_array_equal(piped[0].pixels, want.pixels)
 
 
 def test_fused_find_large_palette_16bit_on_cpu_interpret(
@@ -607,8 +678,10 @@ def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
     """Drive the per-frame-palette fused batch wiring (reduce_images /
     reduce_many) on CPU via interpret-mode kernels: outputs must be
     bit-equal to the vmapped XLA batch paths for replace and dither, on
-    both the exact-shape and bucketed processors. Meld must take the XLA
-    batch path (the gate excludes it) and stay equal too."""
+    both the exact-shape and bucketed processors. Meld rides the
+    RGB24-packed frames kernel (round-3 admission) and is bit-equal in
+    interpret mode too (hardware 1-ulp flips are measured separately,
+    docs/perf.md)."""
     from functools import partial
 
     import kmeans_tpu.api as api
@@ -618,6 +691,16 @@ def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
         api,
         "fused_assign_frames_packed",
         partial(kernels.fused_assign_frames_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api,
+        "fused_meld_frames_packed",
+        partial(kernels.fused_meld_frames_packed, interpret=True),
+    )
+    monkeypatch.setattr(
+        api,
+        "fused_meld_packed",
+        partial(kernels.fused_meld_packed, interpret=True),
     )
     monkeypatch.setattr(
         api,
@@ -657,7 +740,11 @@ def test_fused_frame_batch_paths_on_cpu_interpret(monkeypatch, blobs_image):
     ]
     fused_b = api.ImageProcessor(fused=True, bucketing=True)
     xla_b = api.ImageProcessor(fused=False, bucketing=True)
-    for mode in (api.ReduceMode.REPLACE, api.ReduceMode.DITHER):
+    for mode in (
+        api.ReduceMode.REPLACE,
+        api.ReduceMode.DITHER,
+        api.ReduceMode.MELD,
+    ):
         got = fused_b.reduce_many(many, 4, mode)
         want = xla_b.reduce_many(many, 4, mode)
         for g, x in zip(got, want):
@@ -668,10 +755,11 @@ def test_find_many_matches_per_image_find(monkeypatch, blobs_image):
     """`find_many` (mixed-size fixed-palette batch, the /find
     micro-batching entry point) must be BIT-EQUAL to per-image `find`:
     two frames share a bucket (coalesced fused tall-stack launch), one is
-    alone (solo fallback). Replace/dither coalesce; meld falls back to
-    per-image find (through its RGB24-packed readback) and must stay
-    equal too. Also checked against the XLA (fused=False) processor so
-    the fused stack itself is validated."""
+    alone (solo fallback). Replace/dither coalesce through the tall-stack
+    index kernel; meld coalesces through the tall RGB24-packed meld
+    launch (round 3) and must stay bit-equal to solo `find` too. Also
+    checked against the XLA (fused=False) processor so the fused stack
+    itself is validated."""
     from functools import partial
 
     import kmeans_tpu.api as api

@@ -437,6 +437,54 @@ def test_assign_fused_sharded_k_active_masking():
     np.testing.assert_array_equal(got, want)
 
 
+def test_meld_fused_sharded_bit_equal_to_single_kernel():
+    """The fused sharded meld (per-shard RGB24-packed kernel under
+    shard_map, interpret mode on CPU) must reproduce the SINGLE-CHIP
+    fused meld kernel bit-for-bit — meld is purely per-pixel, so
+    sharding must be invisible (h=19 over 8 shards pads rows to 24 and
+    exercises the crop; k_active exercises the bucketed padded-palette
+    route). Also bounds drift vs the XLA sharded meld (knife-edge
+    2-closest blend ties can flip between formulations)."""
+    from kmeans_tpu.ops.kernels import fused_meld_packed, quant_tile_rows
+    from kmeans_tpu.parallel.sharded_ops import (
+        meld_fused_sharded,
+        quantize_image_sharded,
+        unpack_meld_sharded,
+    )
+    from kmeans_tpu.utils.packing import unpack_rgb24_tile_words
+
+    rng = np.random.default_rng(13)
+    h, w = 19, 33
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rgba = np.concatenate(
+        [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
+    )
+    mesh = make_mesh(jax.devices(), data=1)
+    d = mesh.devices.size
+    for kp, ka in ((5, None), (8, 5), (20, None)):
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (kp, 3), dtype=np.uint8))
+        )
+        words = meld_fused_sharded(
+            mesh, rgb, pal, k_active=ka, interpret=True
+        )
+        got = unpack_meld_sharded(np.asarray(words), h, w, kp, d)
+        solo = unpack_rgb24_tile_words(
+            np.asarray(
+                fused_meld_packed(
+                    jnp.asarray(rgba), pal, k_active=ka, interpret=True
+                )
+            ),
+            h, w, tile_rows=quant_tile_rows(kp),
+        )
+        np.testing.assert_array_equal(got, solo, err_msg=f"k={kp}")
+        xla = np.asarray(
+            quantize_image_sharded(mesh, rgb, pal, mode="meld", k_active=ka)
+        )
+        frac = (got != xla).any(axis=-1).mean()
+        assert frac <= 1e-3, f"k={kp} drift vs XLA sharded meld {frac}"
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip_topologies(n):
     import importlib.util

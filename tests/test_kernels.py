@@ -1022,3 +1022,38 @@ def test_k1024_tier_routing_and_quantize():
                        interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_meld_frames_packed_matches_per_frame():
+    """Frame-batched RGB24-packed meld must equal B single-frame
+    `fused_meld_packed` launches in interpret mode (per-frame palettes,
+    per-frame k_active) — each frame's word slice has exactly the
+    single-frame layout."""
+    from kmeans_tpu.ops.kernels import (
+        fused_meld_frames_packed,
+        fused_meld_packed,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.utils.packing import unpack_rgb24_tile_words
+
+    b, h, w, kp = 3, 22, 37, 20
+    frames = np.stack([_image(h, w, seed=10 + f) for f in range(b)])
+    pals = np.stack([_palette(kp, seed=20 + f) for f in range(b)])
+    kas = np.array([kp, 7, 12], np.int32)
+    words = fused_meld_frames_packed(
+        jnp.asarray(frames), jnp.asarray(pals), k_actives=jnp.asarray(kas),
+        interpret=True,
+    )
+    words_np = np.asarray(words)
+    for f in range(b):
+        solo = fused_meld_packed(
+            jnp.asarray(frames[f]), jnp.asarray(pals[f]),
+            k_active=int(kas[f]), interpret=True,
+        )
+        got = unpack_rgb24_tile_words(
+            words_np[f], h, w, tile_rows=quant_tile_rows(kp)
+        )
+        want = unpack_rgb24_tile_words(
+            np.asarray(solo), h, w, tile_rows=quant_tile_rows(kp)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {f}")

@@ -73,7 +73,7 @@ def main() -> None:
                 img, cents, jnp.float32(0.0) + acc * 0.0,
                 mode="replace", fast=fast,
             )
-            return out, out[0, 0].astype(jnp.float32)
+            return out, out[0, 0, 0].astype(jnp.float32)
 
         @jax.jit
         def loop(img, cents):
@@ -96,7 +96,7 @@ def main() -> None:
             "case": label, "ms": round(per_call * 1e3, 2),
             "gpix_s": round(WIDTH * HEIGHT / per_call / 1e9, 3),
             "compile_s": round(compile_s, 1),
-            "checksum": int(out.view(np.uint32).sum(dtype=np.uint64) % 2**32),
+            "checksum": int(np.ascontiguousarray(out).view(np.uint32).sum(dtype=np.uint64) % 2**32),
         }
         print(json.dumps(r), flush=True)
         return r

@@ -44,10 +44,10 @@ def _timed(f):
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
     from kmeans_tpu.models.kmeans import fit_large
     from kmeans_tpu.parallel.distributed import fit_sharded
+    from kmeans_tpu.parallel.mesh import make_mesh
     from kmeans_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -66,7 +66,7 @@ def main() -> None:
     )
     print(f"call latency {lat*1e3:.1f} ms", file=sys.stderr)
 
-    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    mesh = make_mesh(jax.devices()[:1])
 
     single = jax.jit(
         lambda px, fi, k=None: fit_large(px, k, fi), static_argnums=(2,)
