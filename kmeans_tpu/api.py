@@ -222,13 +222,17 @@ def _fit_auto(
         # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
         # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
         # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
-        # docs/perf.md). CIE94 ONLY above 64: the fully-unrolled
+        # docs/perf.md). CIE94 above 64 always; CIEDE2000 above 64 only
+        # under fast=True (round 3): the pruned two-pass tier screens
+        # with factorized CIE94 and runs the exact trig chain on PRUNE_M
+        # survivors, compiling in seconds — the EXACT fully-unrolled
         # CIEDE2000 accumulator measured 130/351 s remote compiles at
-        # k=128/256 (trig bodies — same pathology as the cie2000
-        # quantize unroll), a deploy-hostile first-request stall, so
+        # k=128/256 (a deploy-hostile first-request stall), so exact
         # cie2000 k>64 keeps the row-chunked XLA trainer, which also
         # serves CPU and k > ACCUM_MAX_K.
-        if pallas_ok and k <= ACCUM_MAX_K and metric == "cie94":
+        if pallas_ok and k <= ACCUM_MAX_K and (
+            metric == "cie94" or (fast and metric == "cie2000")
+        ):
             return fit_pallas()
         return kmeans_model.fit_chunked(
             work, k, first_index, restarts=restarts, convergence=convergence,
@@ -265,7 +269,7 @@ def _plain_fit_route(n_px: int, kp: int, use_pallas: bool, metric: str) -> bool:
 
 
 def _sharded_trainer_route(
-    n_px: int, kp: int, use_pallas: bool, metric: str
+    n_px: int, kp: int, use_pallas: bool, metric: str, fast: bool = False
 ) -> str:
     """`fit_sharded` trainer for a training of `n_px` (global, pre-pad)
     pixels at `kp` (padded) clusters — the sharded mirror of `_fit_auto`'s
@@ -279,7 +283,9 @@ def _sharded_trainer_route(
 
     pallas_ok = use_pallas and metric in PALLAS_METRICS
     if kp > 64 and n_px * kp > _CHUNKED_TRAIN_ELEMS:
-        if pallas_ok and kp <= ACCUM_MAX_K and metric == "cie94":
+        if pallas_ok and kp <= ACCUM_MAX_K and (
+            metric == "cie94" or (fast and metric == "cie2000")
+        ):
             return "pallas"
         return "chunked"
     if pallas_ok and kp <= 64 and n_px > _LARGE_TRAIN_PIXELS:
@@ -1974,7 +1980,9 @@ class ImageProcessor:
         fused=False opt-out; `fast`/`train_dtype` reach the per-shard
         Pallas accumulator exactly as they reach `fit_large`."""
         use_pallas = self.fused and _pallas_available(mesh.devices.flat[0])
-        trainer = _sharded_trainer_route(n_px, kp, use_pallas, self.delta_e)
+        trainer = _sharded_trainer_route(
+            n_px, kp, use_pallas, self.delta_e, fast=self.fast
+        )
         return {
             "trainer": trainer,
             "fast": self.fast,

@@ -258,11 +258,16 @@ def lloyd_pallas(
     the one-hot intermediate would dominate HBM. `weight[N]` (optional)
     scales contributions (0 = pad pixel), via the kernel's weight plane.
 
-    `fast=True` engages the divide-free algebraic CIE94 distance for
-    LARGE palettes only (k > 16 — same policy as the fused quantize
-    kernels: measured 1.23x/iter at 4K k=64, no gain at k=8, so small-k
-    training stays bit-exact even under fast; docs/perf.md round 2).
-    Knife-edge assignments may flip, like quantize fast mode.
+    `fast=True` engages, for LARGE palettes only (k > 16 — same policy as
+    the fused quantize kernels), the factorized CIE94 score or, under
+    CIEDE2000, the pruned two-pass tier (factorized-CIE94 screen keeps
+    PRUNE_M candidates, exact trig only on survivors — the form that
+    makes cie2000 k > 64 full-res training compile in seconds instead of
+    the exact unrolled accumulator's 130/351 s at k=128/256). Small-k
+    training stays bit-exact even under fast (measured 1.23x/iter at 4K
+    k=64 for cie94, no gain at k=8; docs/perf.md). Knife-edge
+    assignments may flip / a screened-out true nearest is lost, like
+    quantize fast mode.
 
     `plane_dtype="bfloat16"` stores the Lab training planes half-width
     (half the per-iteration HBM traffic; the kernel up-casts on load and
@@ -278,7 +283,7 @@ def lloyd_pallas(
     )
 
     k = centroids.shape[0]
-    fast = bool(fast) and k > 16 and metric == "cie94"
+    fast = bool(fast) and k > 16 and metric in ("cie94", "cie2000")
     k_active = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_active
     dist, _ = metric_fns(metric)
@@ -524,10 +529,16 @@ def fit_large_restarts(
             interpret=interpret, metric=metric, fast=fast,
             plane_dtype=plane_dtype,
         )
+        # The winner-pick pass runs EXACT for cie94 (the factor fast form
+        # is a rank, not a distance). For cie2000 under fast it keeps the
+        # pruned tier: its best_d is the exact squared distance to the
+        # pruned-assigned centroid (the inertia of the clustering actually
+        # trained), and the exact unrolled cie2000 kernel would otherwise
+        # re-introduce the 130/351 s k=128/256 compile this tier removes.
         totals = lloyd_accumulate(
             planes, cents, n_valid, k_active=k_act,
             weight_planes=weight_planes, interpret=interpret, metric=metric,
-            emit_inertia=True,
+            emit_inertia=True, fast=fast and metric == "cie2000",
         )  # [k, 5]; column 4 = per-cluster squared-distance sums
         cents_runs.append(cents)
         iters_runs.append(iters)

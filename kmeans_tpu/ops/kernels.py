@@ -1127,7 +1127,7 @@ def _lloyd_acc_kernel(
     keeps the original output shape, so existing compiled executables'
     cache keys are untouched.
 
-    `fast=True` (CIE94 only) switches the centroid loop to the factorized
+    `fast=True` (CIE94) switches the centroid loop to the factorized
     score dE^2 - pixelOnly(p) = F(p).G(c) (6 vector FMAs per centroid; see
     the quantize kernel's fast branch and tools/exp_mxu.py) — the dropped
     pixel-only term cannot change any per-pixel argmin. When emit_inertia
@@ -1136,12 +1136,27 @@ def _lloyd_acc_kernel(
     dhab_sq clamp) so best_d stays a true squared distance for the
     inertia column. Neither form is bit-identical to exact — knife-edge
     assignments can flip — so fast is opt-in, like the quantize kernels'
-    fast mode. bf16 `lab_ref` planes are up-cast to f32 on load
-    (accumulation always f32): half the HBM traffic per iteration for
-    ~0.3 delta-E input quantization, also opt-in."""
+    fast mode.
+
+    `fast=True` with CIEDE2000 and kp > 16 (`_prune_mode`) runs the same
+    two-pass candidate pruning as the quantize kernels: a chunked
+    factorized-CIE94 screen keeps the PRUNE_M nearest candidates, the
+    exact trig chain runs only on those survivors (gathered from the
+    VMEM `prune_c_table`). The winner is chosen by EXACT CIEDE2000
+    distances, so best_d is a true squared distance and the inertia
+    column stays valid — but a true nearest centroid screened out of the
+    top-M is lost (mismatch rate measured in docs/perf.md). This is what
+    makes cie2000 k > 64 full-resolution training deployable: the exact
+    unrolled accumulator measured 130/351 s remote compiles at k=128/256.
+
+    bf16 `lab_ref` planes are up-cast to f32 on load (accumulation always
+    f32): half the HBM traffic per iteration for ~0.3 delta-E input
+    quantization, also opt-in."""
     factor = fast and metric == "cie94" and not emit_inertia
+    prune = _prune_mode(fast, metric, kp)
     refs = list(refs)
-    gtab_ref = refs.pop(0) if factor else None
+    gtab_ref = refs.pop(0) if (factor or prune) else None
+    ctab_ref = refs.pop(0) if prune else None
     if weighted:
         w_ref, out_ref = refs
     else:
@@ -1229,20 +1244,98 @@ def _lloyd_acc_kernel(
             t = dcab / sc_p
             return dl * dl + t * t + dhab_sq / sh2_p
     else:  # cie2000 (polynomial atan2 — see _atan2_planes)
+        if prune:
+            # Screening-rank factors (factorized CIE94 — it only ORDERS
+            # candidates; winners are chosen by exact CIEDE2000 below).
+            sc_p = 1.0 + _K1 * c1_p
+            rsh2_p = 1.0 / ((1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p))
+            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+            f0_p = -2.0 * l_p
+            f2_p = -2.0 * c1_p * q_p
+            f4_p = -2.0 * a_p * rsh2_p
+            f5_p = -2.0 * b_p * rsh2_p
+
+            def screen_k(k):
+                return (
+                    f0_p * gtab_ref[k, 0]
+                    + gtab_ref[k, 1]
+                    + f2_p * gtab_ref[k, 2]
+                    + q_p * gtab_ref[k, 3]
+                    + f4_p * gtab_ref[k, 4]
+                    + f5_p * gtab_ref[k, 5]
+                    + rsh2_p * gtab_ref[k, 6]
+                )
 
         def dist(cl, ca, cb):
             return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
 
-    # kp is small and static: unroll (VPU-friendly, no loop-carried VMEM).
-    for k in range(kp):
-        if factor:
-            d = dist_k(k)
-        else:
-            d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
-        d = jnp.where(k < k_active, d, big)
-        take = d < best_d
-        best_d = jnp.where(take, d, best_d)
-        best_k = jnp.where(take, k, best_k)
+    if prune:
+        # ---- pruned CIEDE2000 assignment (mirrors the quantize kernel's
+        # fast tier, ops/kernels.py::_quantize_kernel prune branch) ----
+        # Pass 1: chunked screen keeps the m nearest candidates by the
+        # cheap rank (2m live carries — the same scoped-VMEM pressure that
+        # forced PRUNE_CHUNK on the quantize screen applies here).
+        m = min(PRUNE_M, kp)
+        h_rows = prune_rows(kp)
+        big_half = jnp.float32(1.7e38)
+
+        def sbody(k, carry):
+            carry = list(carry)
+            sd = screen_k(k)
+            sd = jnp.where(k < k_active, sd, big)
+            si = jnp.zeros(l_p.shape, jnp.int32) + k
+            for j in range(m):
+                d_j, i_j = carry[2 * j], carry[2 * j + 1]
+                take = sd < d_j
+                nd = jnp.where(take, sd, d_j)
+                ni = jnp.where(take, si, i_j)
+                sd = jnp.where(take, d_j, sd)
+                si = jnp.where(take, i_j, si)
+                carry[2 * j], carry[2 * j + 1] = nd, ni
+            return tuple(carry)
+
+        sinit = []
+        for _ in range(m):
+            sinit.append(jnp.full_like(l_p, big))
+            sinit.append(jnp.zeros(l_p.shape, jnp.int32))
+        chunk = min(PRUNE_CHUNK, kp)
+        n_full = kp // chunk
+
+        def chunk_body(c, carry):
+            base = c * chunk
+            for j in range(chunk):
+                carry = sbody(base + j, carry)
+            return carry
+
+        scarry = jax.lax.fori_loop(0, n_full, chunk_body, tuple(sinit))
+        for k in range(n_full * chunk, kp):  # kp % chunk tail
+            scarry = sbody(k, scarry)
+
+        # Pass 2: exact CIEDE2000 on the m survivors only (VMEM gather of
+        # their Lab channels); winner by exact distance, tie-break by
+        # screening rank (strict <) like the quantize tier.
+        for j in range(m):
+            idx = scarry[2 * j + 1]
+            cl = _table_gather(ctab_ref, idx, h_rows, 0)
+            ca = _table_gather(ctab_ref, idx, h_rows, h_rows)
+            cb = _table_gather(ctab_ref, idx, h_rows, 2 * h_rows)
+            d = dist(cl, ca, cb)
+            d = jnp.where(scarry[2 * j] < big_half, d, big)
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_k = jnp.where(take, idx, best_k)
+    else:
+        # kp is small and static: unroll (VPU-friendly, no loop-carried
+        # VMEM).
+        for k in range(kp):
+            if factor:
+                d = dist_k(k)
+            else:
+                d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
+            d = jnp.where(k < k_active, d, big)
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_k = jnp.where(take, k, best_k)
 
     for k in range(kp):
         mask = jnp.logical_and(best_k == k, valid)
@@ -1276,8 +1369,12 @@ def lloyd_accumulate(
     and counts. `emit_inertia=True` appends a fifth column: the weighted
     sum of each member pixel's squared distance to the centroid
     (`[KP, 5]` result). `fast=True` uses the factorized CIE94 score (or,
-    with emit_inertia, the divide-free algebraic distance) — knife-edge
-    assignments may flip; see `_lloyd_acc_kernel`."""
+    with emit_inertia, the divide-free algebraic distance); with
+    CIEDE2000 and kp > 16 it runs the pruned two-pass tier (screen +
+    exact on PRUNE_M survivors — what makes cie2000 k > 64 training
+    compile in seconds instead of minutes) — knife-edge assignments may
+    flip / a screened-out true nearest is lost; see
+    `_lloyd_acc_kernel`."""
     kp = centroids.shape[0]
     if kp > ACCUM_MAX_K:
         raise ValueError(f"training kernel supports k <= {ACCUM_MAX_K}")
@@ -1304,11 +1401,24 @@ def lloyd_accumulate(
         ),
     ]
     operands = [scalars, cents_f32, lab_planes]
-    if fast and metric == "cie94" and not emit_inertia:
-        # Factorized fast score: precomputed centroid feature table
-        # (must mirror the kernel's `factor` predicate).
+    if (fast and metric == "cie94" and not emit_inertia) or _prune_mode(
+        fast, metric, kp
+    ):
+        # Factorized fast score / pruned screen rank: precomputed centroid
+        # feature table (must mirror the kernel's factor/prune predicates).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(factor_g_table(cents_f32))
+    if _prune_mode(fast, metric, kp):
+        # Pruned cie2000 fast tier: VMEM gather table of centroid Lab
+        # channels for the exact pass (layout at prune_c_table).
+        h_rows = prune_rows(kp)
+        in_specs.append(
+            pl.BlockSpec(
+                (3 * h_rows, LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(prune_c_table(cents_f32))
     if weighted:
         in_specs.append(
             pl.BlockSpec(

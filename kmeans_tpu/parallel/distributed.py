@@ -256,10 +256,11 @@ def _fit_local_pallas(
     with zero host syncs). Replaces choose_centroid.wgsl:73-206's
     single-device pass, distributed.
 
-    `fast` engages the factorized CIE94 distance for k > 16 (same gate as
-    `lloyd_pallas`); `plane_dtype="bfloat16"` stores half-width training
-    planes (the `train_dtype` opt-in, threaded through the sharded path
-    so multi-chip honors it like single-chip)."""
+    `fast` engages the factorized CIE94 distance — or, under CIEDE2000,
+    the pruned two-pass tier — for k > 16 (same gate as `lloyd_pallas`);
+    `plane_dtype="bfloat16"` stores half-width training planes (the
+    `train_dtype` opt-in, threaded through the sharded path so multi-chip
+    honors it like single-chip)."""
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
         pack_lab_planes,
@@ -269,7 +270,7 @@ def _fit_local_pallas(
     k_act = jnp.asarray(k if k_active is None else k_active, jnp.int32)
     valid = jnp.arange(k) < k_act
     dist, _ = metric_fns(metric)
-    fast = bool(fast) and k > 16 and metric == "cie94"
+    fast = bool(fast) and k > 16 and metric in ("cie94", "cie2000")
 
     centroids0 = _seed_local(
         pixels_local, weight_local, k, first_index, k_act, axis_name, metric
@@ -316,12 +317,17 @@ def _fit_local_pallas(
 
 
 def _psum_inertia_pallas(
-    pixels_local, weight_local, cents, k_act, axis_name, metric, interpret
+    pixels_local, weight_local, cents, k_act, axis_name, metric, interpret,
+    fast=False,
 ):
     """Weighted within-cluster inertia of one run, via the accumulator's
     `emit_inertia` column psum'd over the pixel axis — the distributed
     counterpart of `fit_large_restarts`' winner-pick pass (always f32
-    planes: run comparison must not inherit plane quantization)."""
+    planes: run comparison must not inherit plane quantization). `fast`
+    keeps the pruned tier for cie2000 (exact distances to the
+    pruned-assigned centroids; the exact unrolled cie2000 kernel's
+    130/351 s compile is what the tier removes) — cie94 always exact,
+    like `fit_large_restarts`."""
     from kmeans_tpu.ops.kernels import (
         lloyd_accumulate,
         pack_lab_planes,
@@ -338,6 +344,7 @@ def _psum_inertia_pallas(
         interpret=interpret,
         metric=metric,
         emit_inertia=True,
+        fast=fast and metric == "cie2000",
     )  # [K, 5]
     return jax.lax.psum(jnp.sum(totals[:, 4]), axis_name)
 
@@ -374,7 +381,7 @@ def _fit_local_pallas_restarts(
         inert_runs.append(
             _psum_inertia_pallas(
                 pixels_local, weight_local, cents, k_act, axis_name, metric,
-                interpret,
+                interpret, fast=fast,
             )
         )
     best = jnp.argmin(jnp.stack(inert_runs))

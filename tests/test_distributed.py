@@ -264,6 +264,11 @@ def test_sharded_trainer_route_mirrors_fit_auto():
     # the accumulator's documented exclusions -> chunked
     assert route(n_large, 128, True, "cie2000") == "chunked"
     assert route(n_large, 1024, True, "cie94") == "chunked"
+    # fast cie2000 k>64 rides the pruned accumulator tier (round 3);
+    # exact cie2000 k>64 stays chunked (the 130/351 s compile class)
+    assert route(n_large, 128, True, "cie2000", fast=True) == "pallas"
+    assert route(n_large, 512, True, "cie2000", fast=True) == "pallas"
+    assert route(n_large, 1024, True, "cie2000", fast=True) == "chunked"
     # CPU meshes never route pallas
     assert route(n_large, 8, False, "cie94") == "onehot"
     assert route(n_large, 128, False, "cie94") == "chunked"
@@ -290,8 +295,8 @@ def test_reduce_sharded_full_res_training_routes_and_matches(monkeypatch):
     routes = []
     real_route = api_mod._sharded_trainer_route
 
-    def spy(n_px, kp, use_pallas, metric):
-        r = real_route(n_px, kp, use_pallas, metric)
+    def spy(n_px, kp, use_pallas, metric, fast=False):
+        r = real_route(n_px, kp, use_pallas, metric, fast=fast)
         routes.append(r)
         return r
 

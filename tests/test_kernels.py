@@ -149,12 +149,98 @@ def test_lloyd_accumulate_gate_and_large_k_routing(monkeypatch):
     api._fit_auto(work, 128, 0, 1.0, use_pallas=True, restarts=3)
     api._fit_auto(work, 128, 0, 1.0, use_pallas=False)  # CPU fallback
     api._fit_auto(work, 600, 0, 1.0, use_pallas=True)  # beyond ACCUM_MAX_K
-    # cie2000 k>64 stays chunked: its unrolled accumulator measured
-    # 130/351 s remote compiles at k=128/256 (docs/perf.md).
+    # EXACT cie2000 k>64 stays chunked: its unrolled accumulator measured
+    # 130/351 s remote compiles at k=128/256 (docs/perf.md). Under
+    # fast=True it rides the pruned accumulator tier (round 3).
     api._fit_auto(work, 128, 0, 1.0, use_pallas=True, metric="cie2000")
+    api._fit_auto(
+        work, 128, 0, 1.0, use_pallas=True, metric="cie2000", fast=True
+    )
     assert calls == [
         "pallas", "pallas_restarts", "chunked", "chunked", "chunked",
+        "pallas",
     ]
+
+
+def test_lloyd_accumulate_prune_full_m_matches_exact():
+    """Pruned cie2000 accumulator (fast=True, kp > 16) with PRUNE_M >= kp:
+    every candidate survives screening and the winner is chosen by exact
+    distances, so assignments — and therefore the (sum, count, inertia)
+    totals, summed in the same order — must be BIT-EQUAL to the exact
+    accumulator (exact-distance ties are measure-zero on random f32).
+    The inertia column only matches to ~1 ulp: the pruned pass computes
+    the same winning distance from VECTOR-gathered centroid planes while
+    the exact loop broadcasts SMEM scalars, and the two contract FMAs
+    differently (same class as the unroll-form lesson in STATUS.md).
+    Validates the accumulator's screen, gather tables, and exact pass
+    end-to-end, weighted and unweighted."""
+    from kmeans_tpu.ops import kernels as k_mod
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    rng = np.random.default_rng(11)
+    pix = jnp.asarray(rng.uniform(0, 100, (700, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.uniform(0, 100, (20, 3)).astype(np.float32))
+    weight = jnp.asarray(
+        rng.uniform(0, 2, (700,)).astype(np.float32)
+    )
+    planes, n = pack_lab_planes(pix)
+    wplanes = pack_plane(weight)
+    prev = k_mod.set_loop_knobs(prune_m=64)
+    try:
+        for kwargs in (
+            {},
+            {"emit_inertia": True},
+            {"weight_planes": wplanes, "emit_inertia": True},
+            {"k_active": 13},
+        ):
+            want = np.asarray(
+                lloyd_accumulate(
+                    planes, cents, n, interpret=True, metric="cie2000",
+                    **kwargs,
+                )
+            )
+            got = np.asarray(
+                lloyd_accumulate(
+                    planes, cents, n, interpret=True, metric="cie2000",
+                    fast=True, **kwargs,
+                )
+            )
+            np.testing.assert_array_equal(
+                got[:, :4], want[:, :4], err_msg=str(kwargs)
+            )
+            if got.shape[1] == 5:
+                np.testing.assert_allclose(
+                    got[:, 4], want[:, 4], rtol=1e-6, err_msg=str(kwargs)
+                )
+    finally:
+        k_mod.set_loop_knobs(prune_m=prev[4])
+
+
+def test_lloyd_accumulate_prune_default_m_quality():
+    """At the production PRUNE_M the pruned accumulator must stay close to
+    exact: total counts conserved, per-cluster counts within a small
+    fraction of N, and the fast=True cie94 gate unaffected (cie94 + fast
+    still runs the factorized score, not the prune path)."""
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+
+    rng = np.random.default_rng(12)
+    pix = jnp.asarray(rng.uniform(0, 100, (900, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.uniform(0, 100, (24, 3)).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+    exact = np.asarray(
+        lloyd_accumulate(planes, cents, n, interpret=True, metric="cie2000")
+    )
+    fast = np.asarray(
+        lloyd_accumulate(
+            planes, cents, n, interpret=True, metric="cie2000", fast=True
+        )
+    )
+    assert fast[:, 3].sum() == exact[:, 3].sum() == 900
+    assert np.abs(fast[:, 3] - exact[:, 3]).sum() / 900 < 2e-2
 
 
 def test_lloyd_accumulate_emit_inertia():
