@@ -53,6 +53,20 @@ def validate_band_rows(value: str) -> int:
     return n
 
 
+def validate_train_max_size(value: str):
+    # "none" lifts the training shrink entirely (full-resolution training
+    # through the Pallas accumulator, k <= 512 — a TPU-first extension;
+    # the reference hard-codes 256, core/src/structures.rs:23).
+    if value.lower() in ("none", "full"):
+        return None
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            "train-max-size must be >= 1 or 'none'"
+        )
+    return n
+
+
 def validate_size(value: str) -> int:
     s = int(value)
     if not 1 <= s <= 60:
@@ -197,6 +211,24 @@ def build_parser() -> argparse.ArgumentParser:
         "can round isolated strip pixels one u8 step differently from "
         "the device sampler (see docs/perf.md)",
     )
+    parser.add_argument(
+        "--train-max-size",
+        type=validate_train_max_size,
+        default=256,
+        help="long-side cap for the k-means training shrink (the "
+        "reference hard-codes 256); 'none' trains on every "
+        "full-resolution pixel through the Pallas tile accumulator "
+        "(k<=512; 4K k=128 to convergence in ~1.1 s warm — docs/perf.md)",
+    )
+    parser.add_argument(
+        "--train-dtype",
+        choices=["float32", "bfloat16"],
+        default=None,
+        help="storage dtype for the training planes: bfloat16 halves the "
+        "per-iteration HBM traffic of full-resolution training for a "
+        "~0.3 delta-E input quantization (opt-in; rejected with "
+        "--bucketing, where it would be a silent no-op)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     palette = sub.add_parser(
@@ -307,6 +339,7 @@ def main(argv=None) -> int:
     processor = ImageProcessor(
         bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e,
         restarts=args.restarts, pipeline=args.pipeline,
+        train_max_size=args.train_max_size, train_dtype=args.train_dtype,
     )
 
     if args.command == "palette":

@@ -120,6 +120,39 @@ def test_cli_reduce_end_to_end(sample_png):
     assert len(np.unique(img.pixels.reshape(-1, 4), axis=0)) <= 3
 
 
+def test_validate_train_max_size():
+    assert cli.validate_train_max_size("256") == 256
+    assert cli.validate_train_max_size("none") is None
+    assert cli.validate_train_max_size("FULL") is None
+    for bad in ["0", "-1", "abc"]:
+        with pytest.raises((argparse.ArgumentTypeError, ValueError)):
+            cli.validate_train_max_size(bad)
+
+
+def test_cli_train_flags_end_to_end(sample_png):
+    """--train-max-size none (full-resolution training) and --train-dtype
+    reach the processor: the run must succeed and produce <= k colors;
+    --train-dtype with --bucketing must propagate the API's rejection."""
+    assert (
+        cli.main(
+            ["--train-max-size", "none", "reduce", "-i", sample_png, "-c", "3"]
+        )
+        == 0
+    )
+    assert (
+        cli.main(
+            ["--train-dtype", "bfloat16", "--train-max-size", "none",
+             "reduce", "-i", sample_png, "-c", "3"]
+        )
+        == 0
+    )
+    with pytest.raises(ValueError, match="bucketing"):
+        cli.main(
+            ["--train-dtype", "bfloat16", "--bucketing",
+             "reduce", "-i", sample_png, "-c", "3"]
+        )
+
+
 def test_cli_palette_end_to_end(sample_png, capsys):
     assert cli.main(["palette", "-i", sample_png, "-c", "3", "-s", "10"]) == 0
     printed = capsys.readouterr().out
