@@ -115,11 +115,23 @@ def _measure_wire_rates(call_latency: float, mb: int = 12) -> tuple[float, float
     dev = jnp.asarray(host)  # warm the transfer path
     onp.asarray(dev[:8])
 
+    # The upload sample chains THREE transport round trips (upload
+    # dispatch, eager slice, 8-byte readback); subtracting a single
+    # call_latency left ~2 extra RTTs in each sample, so wire_up read
+    # low and the degradation-guard floor read high. Baseline the EXACT
+    # same chain on a tiny buffer and subtract that instead.
+    tiny = onp.zeros(8, onp.uint8)
+    onp.asarray(jnp.asarray(tiny)[:8])  # warm the tiny-shape executables
+    base_times = []
+    for i in range(3):
+        tiny[0] = i + 1  # same perturbation discipline as the samples
+        base_times.append(_timed(lambda: onp.asarray(jnp.asarray(tiny)[:8])))
+    up_base = min(base_times)
     up_times = []
     for i in range(3):
         host[0] = i + 1  # defeat any same-buffer transfer short-circuit
         t = _timed(lambda: onp.asarray(jnp.asarray(host)[:8]))
-        up_times.append(max(t - call_latency, 1e-6))
+        up_times.append(max(t - up_base, 1e-6))
     down_times = []
     for i in range(3):
         fresh = dev + onp.uint8(i + 1)

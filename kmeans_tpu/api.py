@@ -2338,17 +2338,18 @@ class ImageProcessor:
             dims, out, palette, post = pending.pop(0)
             if palette is not None:
                 arr, pal = _host_fetch(out, palette)
+                results.append(Image(dims, post(arr, pal)))
             else:
                 (arr,) = _host_fetch(out)
-            if post is not None:
-                arr = post(arr)
-            results.append(Image(dims, pal[arr] if palette is not None else arr))
+                results.append(Image(dims, post(arr) if post is not None else arr))
 
         def _crop(h, w):
             return lambda a: a[:h, :w]
 
-        def _unpack_crop(hp, wp, h, w, kp):
-            return lambda a: _unpack_idx(a, hp, wp, kp)[:h, :w]
+        def _gather_crop(hp, wp, h, w, kp):
+            # unpack + palette gather in ONE native pass (the same
+            # _unpack_gather tail every sibling indexed path uses)
+            return lambda a, pal: _unpack_gather(a, hp, wp, kp, pal)[:h, :w]
 
         def _unpack_meld_crop(hp, wp, h, w, kp):
             return lambda a: _unpack_meld(a, hp, wp, kp)[:h, :w]
@@ -2372,7 +2373,7 @@ class ImageProcessor:
                         fast=self.fast, restarts=self.restarts,
                         metric=self.delta_e,
                     )
-                    post = _unpack_crop(bh, bw, h, w, kp)
+                    post = _gather_crop(bh, bw, h, w, kp)
                     pending.append((image.dimensions, words, pal, post))
                 elif self.fused and reduce_mode is ReduceMode.MELD:
                     # Meld's compact tier (3 B/px RGB24 words): same
@@ -2410,7 +2411,7 @@ class ImageProcessor:
                     metric=self.delta_e,
                     train_dtype=self.train_dtype,
                 )
-                post = _unpack_crop(h, w, h, w, color_count)
+                post = _gather_crop(h, w, h, w, color_count)
                 pending.append((image.dimensions, words, palette_rgba, post))
             elif self.fused and reduce_mode is ReduceMode.MELD:
                 words = _reduce_meld_packed_jit(

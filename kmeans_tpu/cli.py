@@ -336,11 +336,16 @@ def main(argv=None) -> int:
     from kmeans_tpu.image import Image
     from kmeans_tpu.utils.imageio import load_image, save_image
 
-    processor = ImageProcessor(
-        bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e,
-        restarts=args.restarts, pipeline=args.pipeline,
-        train_max_size=args.train_max_size, train_dtype=args.train_dtype,
-    )
+    try:
+        processor = ImageProcessor(
+            bucketing=args.bucketing, fast=args.fast, delta_e=args.delta_e,
+            restarts=args.restarts, pipeline=args.pipeline,
+            train_max_size=args.train_max_size, train_dtype=args.train_dtype,
+        )
+    except ValueError as exc:
+        # e.g. --train-dtype with --bucketing: surface the API's
+        # rejection as a clean CLI error, not a traceback
+        raise SystemExit(str(exc)) from exc
 
     if args.command == "palette":
         image = load_image(args.input)

@@ -479,6 +479,112 @@ def _bayer_value(x, y):
     return m.astype(jnp.float32) / 16.0 - 0.5
 
 
+def _screen_factor_planes(l_p, a_p, b_p, c1_p):
+    """Pixel-side factors `(rsh2, q, f0, f2, f4, f5)` of the factorized
+    CIE94 score dE^2 = pixelOnly(p) + F(p).G(c) (derivation in
+    tools/exp_mxu.py; G rows from `factor_g_table`). This is the fast-mode
+    DISTANCE under cie94 and the screening RANK of the pruned cie2000
+    tier; one definition serves `_quantize_kernel` and `_lloyd_acc_kernel`
+    so the factorization cannot drift between the quantizer's and the
+    trainer's assignments."""
+    sc_p = 1.0 + _K1 * c1_p
+    sh_p = 1.0 + _K2 * c1_p
+    rsh2_p = 1.0 / (sh_p * sh_p)
+    q_p = 1.0 / (sc_p * sc_p) - rsh2_p
+    return (
+        rsh2_p,
+        q_p,
+        -2.0 * l_p,
+        -2.0 * c1_p * q_p,
+        -2.0 * a_p * rsh2_p,
+        -2.0 * b_p * rsh2_p,
+    )
+
+
+def _screen_k_fn(gtab_ref, factors, cent_base=None):
+    """Factorized score against the precomputed SMEM G-table: 6 vector
+    FMAs + 1 scalar-broadcast add per centroid, zero in-loop scalar
+    arithmetic. `cent_base` offsets into stacked per-frame tables
+    (frame-batch mode)."""
+    rsh2_p, q_p, f0_p, f2_p, f4_p, f5_p = factors
+
+    def screen_k(k):
+        i = k if cent_base is None else cent_base + k
+        return (
+            f0_p * gtab_ref[i, 0]
+            + gtab_ref[i, 1]
+            + f2_p * gtab_ref[i, 2]
+            + q_p * gtab_ref[i, 3]
+            + f4_p * gtab_ref[i, 4]
+            + f5_p * gtab_ref[i, 5]
+            + rsh2_p * gtab_ref[i, 6]
+        )
+
+    return screen_k
+
+
+def _chunked_k_loop(body, init, kp: int, chunk: int):
+    """fori_loop over `chunk`-trip fully-unrolled chunks (Mosaic supports
+    only unroll=1 or full, so partial unrolling is spelled this way) with
+    a straight-line tail for kp % chunk. `chunk <= 1` degenerates to a
+    plain fori_loop."""
+    if chunk <= 1:
+        return jax.lax.fori_loop(0, kp, body, init)
+    chunk = min(chunk, kp)
+    n_full = kp // chunk
+
+    def chunk_body(c, carry):
+        base = c * chunk
+        for j in range(chunk):
+            carry = body(base + j, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n_full, chunk_body, init)
+    for k in range(n_full * chunk, kp):  # kp % chunk tail (none today)
+        carry = body(k, carry)
+    return carry
+
+
+def _prune_screen(screen_k, k_active, l_p, kp: int, k_loop):
+    """Pass 1 of the two-pass pruned CIEDE2000 fast tier, shared verbatim
+    by `_quantize_kernel` and `_lloyd_acc_kernel` (the tie-break, masking,
+    and insertion semantics MUST stay common — a divergence here silently
+    splits the trainer's assignments from the quantizer's): keep the
+    `min(PRUNE_M, kp)` nearest candidates by the cheap screening rank via
+    a top-m insertion network (m compare-swap stages on (d, k) carries).
+    The 2m live carries are why callers chunk the loop (PRUNE_CHUNK) —
+    full unroll on top of the insertion carries blew the 16 MB
+    scoped-VMEM stack at 4K k=64 on hardware. Returns the m (rank,
+    index) plane pairs as two lists."""
+    m = min(PRUNE_M, kp)
+    big = jnp.float32(3.4e38)
+
+    def sbody(k, carry):
+        carry = list(carry)
+        sd = screen_k(k)
+        sd = jnp.where(k < k_active, sd, big)
+        si = jnp.zeros(l_p.shape, jnp.int32) + k
+        for j in range(m):
+            d_j, i_j = carry[2 * j], carry[2 * j + 1]
+            take = sd < d_j
+            nd = jnp.where(take, sd, d_j)
+            ni = jnp.where(take, si, i_j)
+            sd = jnp.where(take, d_j, sd)
+            si = jnp.where(take, i_j, si)
+            carry[2 * j], carry[2 * j + 1] = nd, ni
+        return tuple(carry)
+
+    sinit = []
+    for _ in range(m):
+        sinit.append(jnp.full_like(l_p, big))
+        sinit.append(jnp.zeros(l_p.shape, jnp.int32))
+    scarry = k_loop(sbody, tuple(sinit))
+    return (
+        [scarry[2 * j] for j in range(m)],
+        [scarry[2 * j + 1] for j in range(m)],
+    )
+
+
 # ------------------------------------------------------------------ #
 # Kernel body
 # ------------------------------------------------------------------ #
@@ -620,30 +726,19 @@ def _quantize_kernel(
             for k in range(kp):
                 carry = body(k, carry)
             return carry
-        if chunk <= 1:
-            return jax.lax.fori_loop(0, kp, body, init)
-        chunk = min(chunk, kp)
-        n_full = kp // chunk
-
-        def chunk_body(c, carry):
-            base = c * chunk
-            for j in range(chunk):
-                carry = body(base + j, carry)
-            return carry
-
-        carry = jax.lax.fori_loop(0, n_full, chunk_body, init)
-        for k in range(n_full * chunk, kp):  # kp % chunk tail (none today)
-            carry = body(k, carry)
-        return carry
+        return _chunked_k_loop(body, init, kp, chunk)
 
     if metric == "cie94":
         # Pixel-side CIE94 terms depend only on the (adjusted) pixel: hoist
         # the chroma sqrt and S weights out of the centroid loop
         # (bit-identical to recomputing them per k — same inputs, same
-        # expressions).
+        # expressions). Under factor mode dist_sq is never called
+        # (dist_sq_k is the factorized score), so its S weights are only
+        # emitted on the exact path.
         c1_p = jnp.sqrt(a_p * a_p + b_p * b_p)
-        sc_p = 1.0 + _K1 * c1_p
-        sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
+        if not factor:
+            sc_p = 1.0 + _K1 * c1_p
+            sh2_p = (1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p)
         # Fast mode: factorized CIE94 score. The squared distance splits as
         #   dE^2(p, c) = pixelOnly(p) + F(p).G(c)
         # with F/G 7-wide (tools/exp_mxu.py derivation); pixelOnly is
@@ -664,12 +759,7 @@ def _quantize_kernel(
         # — and therefore bit-parity — under fast=True.
         fast = factor
         if fast:
-            rsh2_p = 1.0 / sh2_p
-            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
-            f0_p = -2.0 * l_p
-            f2_p = -2.0 * c1_p * q_p
-            f4_p = -2.0 * a_p * rsh2_p
-            f5_p = -2.0 * b_p * rsh2_p
+            sfac = _screen_factor_planes(l_p, a_p, b_p, c1_p)
 
         def dist_sq(cl, ca, cb):
             dl = l_p - cl
@@ -691,14 +781,7 @@ def _quantize_kernel(
             # score (it only orders candidates; the winning distance is
             # always exact CIEDE2000), so it shares the cie94 fast
             # branch's pixel factors and SMEM G-table.
-            sc_p = 1.0 + _K1 * c1_p
-            sh2r = 1.0 / ((1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p))
-            rsh2_p = sh2r
-            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
-            f0_p = -2.0 * l_p
-            f2_p = -2.0 * c1_p * q_p
-            f4_p = -2.0 * a_p * rsh2_p
-            f5_p = -2.0 * b_p * rsh2_p
+            sfac = _screen_factor_planes(l_p, a_p, b_p, c1_p)
         fast = False  # the cie94 'fast' lever never applies to this metric
 
         def dist_sq(cl, ca, cb):
@@ -707,22 +790,12 @@ def _quantize_kernel(
         pair_sq = _cie2000_sq_planes
 
     if factor or prune:
-        # Factorized fast score against the precomputed SMEM G-table:
-        # 6 FMAs + 1 scalar-broadcast add per centroid, zero in-loop
-        # scalar arithmetic (gtab rows are [L2, L2^2, C2, C2^2, a2, b2,
-        # a2^2 + b2^2] — `factor_g_table`). Under prune it is only the
-        # screening RANK; under cie94 fast it is the distance itself.
-        def screen_k(k):
-            i = cent_base + k if frame_tiles else k
-            return (
-                f0_p * gtab_ref[i, 0]
-                + gtab_ref[i, 1]
-                + f2_p * gtab_ref[i, 2]
-                + q_p * gtab_ref[i, 3]
-                + f4_p * gtab_ref[i, 4]
-                + f5_p * gtab_ref[i, 5]
-                + rsh2_p * gtab_ref[i, 6]
-            )
+        # Factorized fast score against the SMEM G-table (gtab rows from
+        # `factor_g_table`). Under prune it is only the screening RANK;
+        # under cie94 fast it is the distance itself.
+        screen_k = _screen_k_fn(
+            gtab_ref, sfac, cent_base if frame_tiles else None
+        )
 
     if factor:
         dist_sq_k = screen_k
@@ -745,29 +818,7 @@ def _quantize_kernel(
         m = min(PRUNE_M, kp)
         h_rows = prune_rows(kp)
         big_half = jnp.float32(1.7e38)  # validity test: below any screen
-
-        def sbody(k, carry):
-            carry = list(carry)
-            sd = screen_k(k)
-            sd = jnp.where(k < k_active, sd, big)
-            si = jnp.zeros(l_p.shape, jnp.int32) + k
-            for j in range(m):
-                d_j, i_j = carry[2 * j], carry[2 * j + 1]
-                take = sd < d_j
-                nd = jnp.where(take, sd, d_j)
-                ni = jnp.where(take, si, i_j)
-                sd = jnp.where(take, d_j, sd)
-                si = jnp.where(take, i_j, si)
-                carry[2 * j], carry[2 * j + 1] = nd, ni
-            return tuple(carry)
-
-        sinit = []
-        for _ in range(m):
-            sinit.append(jnp.full_like(l_p, big))
-            sinit.append(jnp.zeros(l_p.shape, jnp.int32))
-        scarry = k_loop(sbody, tuple(sinit))
-        cand_d = [scarry[2 * j] for j in range(m)]
-        cand_i = [scarry[2 * j + 1] for j in range(m)]
+        cand_d, cand_i = _prune_screen(screen_k, k_active, l_p, kp, k_loop)
 
         def exact_j(j):
             """(exact d^2, index, cl, ca, cb) of screening candidate j;
@@ -1193,25 +1244,9 @@ def _lloyd_acc_kernel(
         # emit_inertia is set: best_d must then be a true squared distance
         # (the restart-winner inertia pass always runs exact anyway —
         # models/kmeans.py::fit_large_restarts).
-        sc_p = 1.0 + _K1 * c1_p
-        sh_p = 1.0 + _K2 * c1_p
-        rsh2_p = 1.0 / (sh_p * sh_p)
-        q_p = 1.0 / (sc_p * sc_p) - rsh2_p
-        f0_p = -2.0 * l_p
-        f2_p = -2.0 * c1_p * q_p
-        f4_p = -2.0 * a_p * rsh2_p
-        f5_p = -2.0 * b_p * rsh2_p
-
-        def dist_k(k):
-            return (
-                f0_p * gtab_ref[k, 0]
-                + gtab_ref[k, 1]
-                + f2_p * gtab_ref[k, 2]
-                + q_p * gtab_ref[k, 3]
-                + f4_p * gtab_ref[k, 4]
-                + f5_p * gtab_ref[k, 5]
-                + rsh2_p * gtab_ref[k, 6]
-            )
+        dist_k = _screen_k_fn(
+            gtab_ref, _screen_factor_planes(l_p, a_p, b_p, c1_p)
+        )
     elif metric == "cie94" and fast:
         # Algebraic expansion on per-pixel reciprocals (see docstring):
         # zero divides, zero clamps in the centroid loop. best_d stays a
@@ -1247,24 +1282,9 @@ def _lloyd_acc_kernel(
         if prune:
             # Screening-rank factors (factorized CIE94 — it only ORDERS
             # candidates; winners are chosen by exact CIEDE2000 below).
-            sc_p = 1.0 + _K1 * c1_p
-            rsh2_p = 1.0 / ((1.0 + _K2 * c1_p) * (1.0 + _K2 * c1_p))
-            q_p = 1.0 / (sc_p * sc_p) - rsh2_p
-            f0_p = -2.0 * l_p
-            f2_p = -2.0 * c1_p * q_p
-            f4_p = -2.0 * a_p * rsh2_p
-            f5_p = -2.0 * b_p * rsh2_p
-
-            def screen_k(k):
-                return (
-                    f0_p * gtab_ref[k, 0]
-                    + gtab_ref[k, 1]
-                    + f2_p * gtab_ref[k, 2]
-                    + q_p * gtab_ref[k, 3]
-                    + f4_p * gtab_ref[k, 4]
-                    + f5_p * gtab_ref[k, 5]
-                    + rsh2_p * gtab_ref[k, 6]
-                )
+            screen_k = _screen_k_fn(
+                gtab_ref, _screen_factor_planes(l_p, a_p, b_p, c1_p)
+            )
 
         def dist(cl, ca, cb):
             return _cie2000_sq_planes(l_p, a_p, b_p, cl, ca, cb, c1=c1_p)
@@ -1278,49 +1298,21 @@ def _lloyd_acc_kernel(
         m = min(PRUNE_M, kp)
         h_rows = prune_rows(kp)
         big_half = jnp.float32(1.7e38)
-
-        def sbody(k, carry):
-            carry = list(carry)
-            sd = screen_k(k)
-            sd = jnp.where(k < k_active, sd, big)
-            si = jnp.zeros(l_p.shape, jnp.int32) + k
-            for j in range(m):
-                d_j, i_j = carry[2 * j], carry[2 * j + 1]
-                take = sd < d_j
-                nd = jnp.where(take, sd, d_j)
-                ni = jnp.where(take, si, i_j)
-                sd = jnp.where(take, d_j, sd)
-                si = jnp.where(take, i_j, si)
-                carry[2 * j], carry[2 * j + 1] = nd, ni
-            return tuple(carry)
-
-        sinit = []
-        for _ in range(m):
-            sinit.append(jnp.full_like(l_p, big))
-            sinit.append(jnp.zeros(l_p.shape, jnp.int32))
-        chunk = min(PRUNE_CHUNK, kp)
-        n_full = kp // chunk
-
-        def chunk_body(c, carry):
-            base = c * chunk
-            for j in range(chunk):
-                carry = sbody(base + j, carry)
-            return carry
-
-        scarry = jax.lax.fori_loop(0, n_full, chunk_body, tuple(sinit))
-        for k in range(n_full * chunk, kp):  # kp % chunk tail
-            scarry = sbody(k, scarry)
+        cand_d, cand_i = _prune_screen(
+            screen_k, k_active, l_p, kp,
+            lambda body, init: _chunked_k_loop(body, init, kp, PRUNE_CHUNK),
+        )
 
         # Pass 2: exact CIEDE2000 on the m survivors only (VMEM gather of
         # their Lab channels); winner by exact distance, tie-break by
         # screening rank (strict <) like the quantize tier.
         for j in range(m):
-            idx = scarry[2 * j + 1]
+            idx = cand_i[j]
             cl = _table_gather(ctab_ref, idx, h_rows, 0)
             ca = _table_gather(ctab_ref, idx, h_rows, h_rows)
             cb = _table_gather(ctab_ref, idx, h_rows, 2 * h_rows)
             d = dist(cl, ca, cb)
-            d = jnp.where(scarry[2 * j] < big_half, d, big)
+            d = jnp.where(cand_d[j] < big_half, d, big)
             take = d < best_d
             best_d = jnp.where(take, d, best_d)
             best_k = jnp.where(take, idx, best_k)

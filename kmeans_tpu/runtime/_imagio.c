@@ -1114,7 +1114,6 @@ imagio_unpack_rgb24(PyObject *self, PyObject *args)
         return NULL;
 
     PyObject *result = NULL;
-    unsigned char *out = NULL;
     const size_t hw = (size_t)h * w;
     const unsigned int blk = tile_rows / 4;
     if (tile_rows == 0 || lanes == 0 || blk * 4 != tile_rows ||
@@ -1130,11 +1129,14 @@ imagio_unpack_rgb24(PyObject *self, PyObject *args)
             PyErr_SetString(PyExc_ValueError, "words too short for h * w");
             goto done;
         }
-        out = (unsigned char *)malloc(hw * 4);
-        if (!out) {
-            PyErr_NoMemory();
+        /* Write straight into a bytearray: the caller wraps it with
+         * np.frombuffer, so the result is WRITABLE (parity with the
+         * numpy fancy-indexing fallback) and there is no final
+         * PyBytes copy of the hw*4 output. */
+        result = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)(hw * 4));
+        if (!result)
             goto done;
-        }
+        unsigned char *out = (unsigned char *)PyByteArray_AS_STRING(result);
         const unsigned char *wb = (const unsigned char *)words.buf;
         for (size_t t = 0; t < n_tiles; t++) {
             const size_t tile_px0 = t * tile_rows * lanes;
@@ -1198,12 +1200,9 @@ imagio_unpack_rgb24(PyObject *self, PyObject *args)
                 }
             }
         }
-        result = PyBytes_FromStringAndSize((const char *)out,
-                                           (Py_ssize_t)(hw * 4));
     }
 
 done:
-    free(out);
     PyBuffer_Release(&words);
     return result;
 }
@@ -1218,7 +1217,6 @@ imagio_unpack_indices_gather(PyObject *self, PyObject *args)
         return NULL;
 
     PyObject *result = NULL;
-    unsigned char *out = NULL;
     const size_t hw = (size_t)h * w;
     if (bits != 2 && bits != 4 && bits != 8 && bits != 16) {
         PyErr_SetString(PyExc_ValueError, "bits must be 2/4/8/16");
@@ -1243,11 +1241,12 @@ imagio_unpack_indices_gather(PyObject *self, PyObject *args)
             PyErr_SetString(PyExc_ValueError, "words too short for h * w");
             goto done;
         }
-        out = (unsigned char *)malloc(hw * 4);
-        if (!out) {
-            PyErr_NoMemory();
+        /* bytearray output: writable through np.frombuffer, no final
+         * PyBytes copy (see unpack_rgb24). */
+        result = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)(hw * 4));
+        if (!result)
             goto done;
-        }
+        unsigned char *out = (unsigned char *)PyByteArray_AS_STRING(result);
         const uint32_t *wk = (const uint32_t *)words.buf;
         const unsigned char *pal = (const unsigned char *)palette.buf;
         /* Palettes are <= 512 RGBA rows: validate indices against a tiny
@@ -1287,8 +1286,7 @@ imagio_unpack_indices_gather(PyObject *self, PyObject *args)
                         if (px >= hw)
                             continue;
                         if (idx >= k) {
-                            free(out);
-                            out = NULL;
+                            Py_CLEAR(result);
                             PyErr_Format(PyExc_ValueError,
                                          "index %u out of range for %u-color"
                                          " palette",
@@ -1300,12 +1298,9 @@ imagio_unpack_indices_gather(PyObject *self, PyObject *args)
                 }
             }
         }
-        result = PyBytes_FromStringAndSize((const char *)out,
-                                           (Py_ssize_t)(hw * 4));
     }
 
 done:
-    free(out);
     PyBuffer_Release(&words);
     PyBuffer_Release(&palette);
     return result;
@@ -1352,12 +1347,13 @@ static PyMethodDef imagio_methods[] = {
     {"decode_gif", imagio_decode_gif, METH_VARARGS,
      "decode_gif(data) -> (width, height, [rgba_bytes, ...], [delay_cs, ...])"},
     {"unpack_rgb24", imagio_unpack_rgb24, METH_VARARGS,
-     "unpack_rgb24(words_i32_bytes, h, w, tile_rows, lanes) -> rgba_bytes"
-     " (inverse of the fused meld kernel's in-kernel RGB byte pack)"},
+     "unpack_rgb24(words_i32_buffer, h, w, tile_rows, lanes) ->"
+     " rgba_bytearray (inverse of the fused meld kernel's in-kernel RGB"
+     " byte pack; accepts any C-contiguous buffer)"},
     {"unpack_indices_gather", imagio_unpack_indices_gather, METH_VARARGS,
-     "unpack_indices_gather(words_i32_bytes, h, w, bits, tile_rows, lanes,"
-     " palette_rgba_bytes) -> rgba_bytes (inverse of the in-kernel index"
-     " pack, fused with the palette gather)"},
+     "unpack_indices_gather(words_i32_buffer, h, w, bits, tile_rows, lanes,"
+     " palette_rgba_buffer) -> rgba_bytearray (inverse of the in-kernel"
+     " index pack, fused with the palette gather)"},
     {"set_max_decode_pixels", imagio_set_max_decode_pixels, METH_VARARGS,
      "set_max_decode_pixels(n) -> previous limit (total decoded pixels per"
      " call; default 512 Mpix)"},

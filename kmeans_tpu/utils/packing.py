@@ -121,9 +121,11 @@ def unpack_tile_words_gather(
         )
     if _native is not None and hasattr(_native, "unpack_indices_gather"):
         pal = np.ascontiguousarray(palette_rgba, dtype=np.uint8)
+        # zero-copy handoff: y* accepts the arrays' C buffers directly,
+        # and the returned bytearray backs a WRITABLE np.frombuffer view
+        # (parity with the numpy fancy-indexing fallback)
         raw = _native.unpack_indices_gather(
-            np.ascontiguousarray(words).view(np.int32).tobytes(),
-            h, w, bits, tile_rows, lanes, pal.tobytes(),
+            np.ascontiguousarray(words), h, w, bits, tile_rows, lanes, pal,
         )
         return np.frombuffer(raw, np.uint8).reshape(h, w, 4)
     idx = unpack_tile_words(words, h, w, bits, tile_rows, lanes)
@@ -151,8 +153,7 @@ def unpack_rgb24_tile_words(
     fallback (tests pin C == numpy)."""
     if _native is not None and hasattr(_native, "unpack_rgb24"):
         raw = _native.unpack_rgb24(
-            np.ascontiguousarray(words).view(np.int32).tobytes(),
-            h, w, tile_rows, lanes,
+            np.ascontiguousarray(words), h, w, tile_rows, lanes,
         )
         return np.frombuffer(raw, np.uint8).reshape(h, w, 4)
     return _unpack_rgb24_np(words, h, w, tile_rows, lanes)

@@ -146,7 +146,7 @@ def test_cli_train_flags_end_to_end(sample_png):
         )
         == 0
     )
-    with pytest.raises(ValueError, match="bucketing"):
+    with pytest.raises(SystemExit, match="bucketing"):
         cli.main(
             ["--train-dtype", "bfloat16", "--bucketing",
              "reduce", "-i", sample_png, "-c", "3"]

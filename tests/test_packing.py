@@ -81,3 +81,23 @@ def test_unpack_rgb24_rejects_bad_length():
         packing.unpack_rgb24_tile_words(
             np.zeros((7, 128), np.int32), 10, 10, 256
         )
+
+
+def test_native_unpack_results_are_writable():
+    """The native paths back their results with a bytearray so the
+    np.frombuffer views are WRITABLE — `Image.pixels` from the fused
+    readbacks must support in-place post-processing, exactly like the
+    numpy fancy-indexing fallback (round-3 review regression)."""
+    tile_rows, lanes = 256, 128
+    words = np.zeros((3 * (tile_rows // 4), lanes), np.int32)
+    out = packing.unpack_rgb24_tile_words(words, 10, 10, tile_rows)
+    assert out.flags.writeable
+    out[..., 3] = 128  # must not raise
+
+    blk = tile_rows // (32 // 8)
+    pal = np.zeros((4, 4), np.uint8)
+    got = packing.unpack_tile_words_gather(
+        np.zeros((blk, lanes), np.int32), 10, 10, 8, pal, tile_rows=tile_rows
+    )
+    assert got.flags.writeable
+    got[..., 3] = 128
