@@ -8,7 +8,14 @@ Run on the TPU host for the docs/serving.md numbers; runs fine on CPU too
 for a local run).
 
     python tools/load_serve.py [clients=8] [requests_per_client=4] \
-        [window_ms=25] [endpoint=reduce|find|palette]
+        [window_ms=25] [endpoint=reduce|find|palette] [size=320x240] \
+        [train=256|full]
+
+`train=full` serves with `train_max_size=None` (full-resolution training):
+combined with a frame size above 1024x1024 pixels the bucket routes to
+the Pallas-accumulator trainer, exercising the HEAVY micro-batch
+executables (`_reduce_many_bucketed_heavy_jit` — sequential per-frame
+trainings via `lax.map` in ONE launch) instead of the vmapped ones.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _png_body():
+def _png_body(width: int = 320, height: int = 240):
     import numpy as np
 
     from kmeans_tpu.image import Image
@@ -31,19 +38,19 @@ def _png_body():
 
     rng = np.random.default_rng(7)
     base = np.array([[220, 50, 40], [40, 200, 70], [60, 70, 220]], np.int32)
-    idx = rng.integers(0, 3, (240, 320))
-    rgb = np.clip(base[idx] + rng.integers(-8, 9, (240, 320, 3)), 0, 255)
+    idx = rng.integers(0, 3, (height, width))
+    rgb = np.clip(base[idx] + rng.integers(-8, 9, (height, width, 3)), 0, 255)
     rgba = np.concatenate(
-        [rgb.astype(np.uint8), np.full((240, 320, 1), 255, np.uint8)], -1
+        [rgb.astype(np.uint8), np.full((height, width, 1), 255, np.uint8)], -1
     )
-    return encode_png_bytes(Image((320, 240), rgba))
+    return encode_png_bytes(Image((width, height), rgba))
 
 
 FIND_COLORS = "dc3228,28c846,3c46dc,f0f0f0,101010,c8a028,28b4b4,9632c8"
 
 
 def _run(window_s: float, body: bytes, clients: int, per_client: int,
-         endpoint: str = "reduce"):
+         endpoint: str = "reduce", train_max_size="default"):
     from kmeans_tpu.serve import create_server
 
     path = {
@@ -51,7 +58,14 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         "find": f"/find?colors={FIND_COLORS}",
         "palette": "/palette?k=8",
     }[endpoint]
-    srv = create_server(port=0, batch_window_s=window_s)
+    processor = None
+    if train_max_size != "default":
+        from kmeans_tpu.api import ImageProcessor
+
+        processor = ImageProcessor(
+            bucketing=True, train_max_size=train_max_size
+        )
+    srv = create_server(port=0, processor=processor, batch_window_s=window_s)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     addr = srv.server_address
@@ -130,17 +144,28 @@ def main() -> None:
     window_ms = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
     endpoint = sys.argv[4] if len(sys.argv) > 4 else "reduce"
     assert endpoint in ("reduce", "find", "palette"), endpoint
+    size = sys.argv[5] if len(sys.argv) > 5 else "320x240"
+    w, _, h = size.lower().partition("x")
+    train = sys.argv[6] if len(sys.argv) > 6 else "default"
+    train_max_size = (
+        "default" if train == "default"
+        else None if train == "full" else int(train)
+    )
 
-    body = _png_body()
-    serial = _run(0.0, body, clients, per_client, endpoint)
+    body = _png_body(int(w), int(h))
+    serial = _run(0.0, body, clients, per_client, endpoint, train_max_size)
     print(f"serialized: {serial}", file=sys.stderr)
-    batched = _run(window_ms / 1e3, body, clients, per_client, endpoint)
+    batched = _run(
+        window_ms / 1e3, body, clients, per_client, endpoint, train_max_size
+    )
     print(f"batched:    {batched}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "endpoint": endpoint,
                 "clients": clients,
+                "size": size,
+                "train": train,
                 "serialized_rps": serial["rps"],
                 "batched_rps": batched["rps"],
                 "speedup": round(batched["rps"] / serial["rps"], 2),
