@@ -54,8 +54,10 @@ class _MicroBatcher:
     Round 1 serialized every request behind the device lock — correct, but
     N concurrent clients paid N sequential launches. Here the first thread
     to arrive for a key becomes the batch leader: it sleeps a short
-    collection window (a few ms — noise next to device work), drains
-    everything that arrived for the key, and runs the whole batch through
+    collection window (a few ms — noise next to device work), queues on
+    the device lock, and only once the device is its — so everything that
+    arrived while an earlier launch was in flight has joined the still-open
+    batch (continuous batching) — drains the batch and runs it through
     the matching batched entry point (`ImageProcessor.reduce_many` /
     `find_many` / `palette_many`), which coalesces same-bucket frames
     (any sizes) into one executable. Followers wait on an event and PNG-encode their own
@@ -129,22 +131,33 @@ class _MicroBatcher:
                 del self._pending[key]  # close: next arrival starts fresh
         if leader:
             time.sleep(self.window_s)
+            # Close the batch only once the device is OURS: while an
+            # earlier launch holds the device lock, later arrivals keep
+            # joining this still-open batch, so one launch drains
+            # everything that queued behind the in-flight one
+            # (continuous batching). Closing before queueing on the
+            # device — the original shape — fragmented arrivals during a
+            # long launch into many single-entry batches (measured on
+            # the heavy full-res buckets: 24 requests -> 19 launches).
+            # The window now only gates the idle-device case.
+            self.service._lock.acquire()
             with self._lock:
                 if self._pending.get(key) is batch:
                     del self._pending[key]
                 items = list(batch)  # append-safe: key is gone from dict
             try:
-                with self.service._lock:
-                    outs = batch_fn([e["image"] for e in items])
+                outs = batch_fn([e["image"] for e in items])
+            except Exception as ex:
+                for e in items:
+                    e["error"] = ex
+            else:
                 for e, o in zip(items, outs):
                     e["result"] = o
                 with self._lock:  # leaders of other keys race these
                     self.batches += 1
                     self.batched_requests += len(items)
-            except Exception as ex:
-                for e in items:
-                    e["error"] = ex
             finally:
+                self.service._lock.release()
                 for e in items:
                     e["event"].set()
         if not entry["event"].wait(timeout=600):
