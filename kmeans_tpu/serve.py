@@ -72,9 +72,13 @@ class _MicroBatcher:
         self.max_batch = max_batch
         self._lock = threading.Lock()
         self._pending: dict[tuple, list] = {}
-        # Telemetry for the load test / stats: launches vs requests.
+        # Telemetry for the load test / stats: launches vs requests, and
+        # how large the launches actually were (a histogram of mostly-1s
+        # under concurrency means the batcher is fragmenting — the shape
+        # that exposed the pre-continuous-batching bug).
         self.batches = 0
         self.batched_requests = 0
+        self.batch_sizes: dict[int, int] = {}
 
     def reduce(self, image, k: int, mode):
         from kmeans_tpu.api import Algorithm
@@ -156,6 +160,9 @@ class _MicroBatcher:
                 with self._lock:  # leaders of other keys race these
                     self.batches += 1
                     self.batched_requests += len(items)
+                    self.batch_sizes[len(items)] = (
+                        self.batch_sizes.get(len(items), 0) + 1
+                    )
             finally:
                 self.service._lock.release()
                 for e in items:
@@ -215,6 +222,10 @@ class QuantizeService:
                  "window_ms": self.batcher.window_s * 1e3,
                  "launches": self.batcher.batches,
                  "requests_batched": self.batcher.batched_requests,
+                 "batch_size_hist": {
+                     str(size): n
+                     for size, n in sorted(self.batcher.batch_sizes.items())
+                 },
              }},
             indent=2,
         ).encode()

@@ -363,6 +363,10 @@ def test_micro_batcher_accumulates_while_device_busy():
         t.join(10)
     # One solo first launch, then ONE batch holding all six laggards.
     assert svc.processor.calls == [1, 6]
+    assert svc.batcher.batch_sizes == {1: 1, 6: 1}
+    assert json.loads(svc.stats())["batching"]["batch_size_hist"] == {
+        "1": 1, "6": 1,
+    }
 
 
 def test_micro_batcher_find_coalesces_unit():
