@@ -3,9 +3,11 @@
 Measures end-to-end requests/sec twice — micro-batching disabled
 (window=0, the round-1 serialize-behind-one-lock behavior) and enabled —
 and prints one JSON line with both, plus the batcher's launch counters.
-Run on the TPU host for the docs/serving.md numbers; runs fine on CPU too
-(conftest-style forcing is NOT applied here — wrap with JAX_PLATFORMS=cpu
-for a local run).
+Run on the TPU host for the docs/serving.md numbers; for a CPU run set
+JAX_PLATFORMS=cpu — honored HERE via jax.config.update, because this
+environment's sitecustomize registers a hardware backend and overrides
+the env var from inside register() (a bare env wrap silently runs on
+the hardware backend).
 
     python tools/load_serve.py [clients=8] [requests_per_client=4] \
         [window_ms=25] [endpoint=reduce|find|palette] [size=320x240] \
@@ -28,6 +30,11 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _png_body(width: int = 320, height: int = 240):
@@ -123,6 +130,7 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
             "rps": round(n / elapsed, 2),
             "device_launches": b.batches if window_s > 0 else n,
             "requests_batched": b.batched_requests,
+            "batch_size_hist": dict(sorted(b.batch_sizes.items())),
         }
     finally:
         srv.shutdown()
