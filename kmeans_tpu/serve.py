@@ -645,6 +645,21 @@ def main(argv=None) -> int:
         )
         log.info("warmup done: %d executable(s)", n)
 
+    if args.batch_window_ms > 0:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # Measured (docs/serving.md): micro-batching amortizes the
+            # per-launch transport cost, which a local CPU backend does
+            # not have — it is neutral for /reduce and a slowdown for
+            # /palette there (batch padding + collection latency, with
+            # nothing to amortize).
+            log.warning(
+                "micro-batching is enabled on a CPU backend; it only "
+                "pays where device launches are expensive — consider "
+                "--batch-window-ms 0 (see docs/serving.md)"
+            )
+
     server = create_server(
         args.host, args.port, processor,
         batch_window_s=args.batch_window_ms / 1e3,
