@@ -145,11 +145,12 @@ class _MicroBatcher:
             # the heavy full-res buckets: 24 requests -> 19 launches).
             # The window now only gates the idle-device case.
             self.service._lock.acquire()
-            with self._lock:
-                if self._pending.get(key) is batch:
-                    del self._pending[key]
-                items = list(batch)  # append-safe: key is gone from dict
+            items = batch  # wake everyone even if the close below raises
             try:
+                with self._lock:
+                    if self._pending.get(key) is batch:
+                        del self._pending[key]
+                    items = list(batch)  # append-safe: key is gone
                 outs = batch_fn([e["image"] for e in items])
             except Exception as ex:
                 for e in items:
