@@ -46,6 +46,15 @@ MAX_BODY = 256 * 1024 * 1024  # 256 MB: a 8192x8192 RGBA PNG fits comfortably
 POST_ENDPOINTS = ("/reduce", "/palette", "/find", "/reduce-gif", "/find-gif")
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by the batcher when `max_pending` requests are already
+    queued — mapped to HTTP 503 + Retry-After by the handler (bounded
+    backpressure beats unbounded queue growth under sustained
+    overload)."""
+
+    retry_after_s = 2
+
+
 class _MicroBatcher:
     """Coalesce concurrent same-parameter kmeans /reduce (same k, mode),
     /find (same palette, mode), and /palette (same k, algo) requests into
@@ -66,10 +75,22 @@ class _MicroBatcher:
     Batches are closed at `max_batch` to bound the batched executable
     size (frame-count bucketing pads the rest)."""
 
-    def __init__(self, service, window_s: float = 0.005, max_batch: int = 16):
+    def __init__(
+        self, service, window_s: float = 0.005, max_batch: int = 16,
+        max_pending: int = 64,
+    ):
         self.service = service
         self.window_s = window_s
         self.max_batch = max_batch
+        # Backpressure (round 4): continuous batching queues arrivals
+        # behind the in-flight launch without bound — a sustained
+        # overload would grow device-side batch sizes and client
+        # latencies indefinitely. Past `max_pending` registered-but-
+        # unfinished requests, _submit raises ServiceOverloaded (mapped
+        # to HTTP 503 + Retry-After) instead of joining. 0 = unlimited.
+        self.max_pending = max_pending
+        self._in_flight = 0
+        self.overload_rejections = 0
         self._lock = threading.Lock()
         self._pending: dict[tuple, list] = {}
         # Telemetry for the load test / stats: launches vs requests, and
@@ -125,6 +146,12 @@ class _MicroBatcher:
             "error": None,
         }
         with self._lock:
+            if self.max_pending and self._in_flight >= self.max_pending:
+                self.overload_rejections += 1
+                raise ServiceOverloaded(
+                    f"{self._in_flight} requests already pending"
+                )
+            self._in_flight += 1
             batch = self._pending.get(key)
             leader = batch is None
             if leader:
@@ -133,6 +160,16 @@ class _MicroBatcher:
             batch.append(entry)
             if len(batch) >= self.max_batch and self._pending.get(key) is batch:
                 del self._pending[key]  # close: next arrival starts fresh
+        try:
+            return self._run(key, entry, batch, leader, batch_fn)
+        finally:
+            # Exactly-once per entry, in its own submitter's thread —
+            # leaders and followers alike, on success, error, or timeout
+            # (the backpressure count must never leak).
+            with self._lock:
+                self._in_flight -= 1
+
+    def _run(self, key, entry, batch, leader, batch_fn):
         if leader:
             time.sleep(self.window_s)
             # Close the batch only once the device is OURS: while an
@@ -153,6 +190,18 @@ class _MicroBatcher:
                     items = list(batch)  # append-safe: key is gone
                 outs = batch_fn([e["image"] for e in items])
             except Exception as ex:
+                # A failure BEFORE the close above completed (e.g. an
+                # interrupt while acquiring self._lock) would leave the
+                # key pointing at this now-leaderless batch: current
+                # waiters wake with the error below, but later arrivals
+                # would join the zombie and hang until the 600 s timeout.
+                # Re-attempt the close so the key never outlives its
+                # leader, and re-snapshot so any entry that joined in the
+                # gap is woken with the error too.
+                with self._lock:
+                    if self._pending.get(key) is batch:
+                        del self._pending[key]
+                    items = list(batch)
                 for e in items:
                     e["error"] = ex
             else:
@@ -178,14 +227,19 @@ class _MicroBatcher:
 class QuantizeService:
     """Protocol-independent request handlers around one ImageProcessor."""
 
-    def __init__(self, processor=None, batch_window_s: float = 0.005):
+    def __init__(
+        self, processor=None, batch_window_s: float = 0.005,
+        max_pending: int = 64,
+    ):
         if processor is None:
             from kmeans_tpu.api import ImageProcessor
 
             processor = ImageProcessor(bucketing=True)
         self.processor = processor
         self._lock = threading.Lock()
-        self.batcher = _MicroBatcher(self, window_s=batch_window_s)
+        self.batcher = _MicroBatcher(
+            self, window_s=batch_window_s, max_pending=max_pending
+        )
         # Per-endpoint request counters + latency accumulators (observed
         # under _stats_lock; exposed at GET /stats).
         self._stats_lock = threading.Lock()
@@ -227,6 +281,9 @@ class QuantizeService:
                      str(size): n
                      for size, n in sorted(self.batcher.batch_sizes.items())
                  },
+                 "max_pending": self.batcher.max_pending,
+                 "pending": self.batcher._in_flight,
+                 "overload_rejections": self.batcher.overload_rejections,
              }},
             indent=2,
         ).encode()
@@ -394,11 +451,19 @@ def _make_handler(service: QuantizeService):
             self.end_headers()
             self.wfile.write(body)
 
-        def _error(self, code: int, msg: str):
+        def _error(self, code: int, msg: str, headers: dict | None = None):
             # Error paths may leave the request body unread; closing the
             # connection keeps HTTP/1.1 keep-alive streams in sync.
             self.close_connection = True
-            self._reply(code, (msg + "\n").encode(), "text/plain")
+            body = (msg + "\n").encode()
+            self._last_code = code
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -478,6 +543,13 @@ def _make_handler(service: QuantizeService):
                 return self._error(404, "unknown endpoint")
             except ValueError as e:
                 return self._error(400, str(e))
+            except ServiceOverloaded as e:
+                # Bounded backpressure: shed load with an honest signal
+                # instead of queueing unboundedly behind the device.
+                return self._error(
+                    503, f"overloaded: {e}",
+                    headers={"Retry-After": str(e.retry_after_s)},
+                )
             except Exception as e:  # keep the server alive on device errors
                 log.exception("request failed")
                 return self._error(500, f"internal error: {e}")
@@ -507,11 +579,14 @@ def create_server(
     port: int = 8080,
     processor=None,
     batch_window_s: float = 0.005,
+    max_pending: int = 64,
 ):
     """Build (but don't start) the HTTP server; `server.server_address[1]`
     holds the bound port (use port=0 for ephemeral). `server.service`
     exposes the QuantizeService (stats, batcher)."""
-    service = QuantizeService(processor, batch_window_s=batch_window_s)
+    service = QuantizeService(
+        processor, batch_window_s=batch_window_s, max_pending=max_pending
+    )
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     server.service = service
     return server
@@ -596,6 +671,14 @@ def main(argv=None) -> int:
         "with micro-batching on, also warms the coalesced find_many "
         "executables",
     )
+    parser.add_argument(
+        "--max-pending",
+        type=int,
+        default=64,
+        help="bounded backpressure: past this many queued-but-unfinished "
+        "batched requests, new ones get 503 + Retry-After instead of "
+        "queueing unboundedly (0 = unlimited)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -664,6 +747,7 @@ def main(argv=None) -> int:
     server = create_server(
         args.host, args.port, processor,
         batch_window_s=args.batch_window_ms / 1e3,
+        max_pending=args.max_pending,
     )
     log.info("serving on %s:%d", *server.server_address)
 

@@ -369,6 +369,109 @@ def test_micro_batcher_accumulates_while_device_busy():
     }
 
 
+def test_micro_batcher_backpressure_rejects_past_max_pending():
+    """Bounded backpressure (round 4): with max_pending queued-but-
+    unfinished requests, the next submit raises ServiceOverloaded
+    (mapped to HTTP 503 + Retry-After) instead of joining; once the
+    queue drains, submits succeed again and the pending count returns
+    to zero (no leaked slots)."""
+    from kmeans_tpu.api import ReduceMode
+    from kmeans_tpu.serve import QuantizeService, ServiceOverloaded
+
+    release = threading.Event()
+    first_started = threading.Event()
+
+    class SlowProcessor:
+        def reduce_many(self, images, k, mode):
+            first_started.set()
+            assert release.wait(10)
+            return ["out"] * len(images)
+
+    svc = QuantizeService(
+        processor=SlowProcessor(), batch_window_s=0.02, max_pending=2
+    )
+    results = []
+
+    def submit():
+        results.append(svc.batcher.reduce(object(), 3, ReduceMode.REPLACE))
+
+    threads = [threading.Thread(target=submit) for _ in range(2)]
+    for t in threads:
+        t.start()
+    assert first_started.wait(10)  # device held; both entries pending
+    time.sleep(0.1)
+    with pytest.raises(ServiceOverloaded):
+        svc.batcher.reduce(object(), 3, ReduceMode.REPLACE)
+    assert svc.batcher.overload_rejections == 1
+    release.set()
+    for t in threads:
+        t.join(10)
+    assert results == ["out", "out"]
+    assert svc.batcher._in_flight == 0  # every slot returned
+    # drained queue accepts again
+    assert svc.batcher.reduce(object(), 3, ReduceMode.REPLACE) == "out"
+    assert json.loads(svc.stats())["batching"]["overload_rejections"] == 1
+    assert json.loads(svc.stats())["batching"]["max_pending"] == 2
+
+
+def test_micro_batcher_failed_close_never_leaves_zombie_batch():
+    """If the leader's close raises BEFORE the key is removed from
+    _pending (simulated: the close's lock acquire raises), the except
+    path must still unregister the batch — otherwise later arrivals for
+    the key join a leaderless zombie and hang until the 600 s timeout
+    (round-3 ADVICE finding). The leader's own waiter gets the injected
+    error; the NEXT submit must start a fresh batch and complete."""
+    from kmeans_tpu.api import ReduceMode
+    from kmeans_tpu.serve import QuantizeService
+
+    class FakeProcessor:
+        def reduce_many(self, images, k, mode):
+            return ["out"] * len(images)
+
+    svc = QuantizeService(processor=FakeProcessor(), batch_window_s=0.01)
+
+    class FlakyLock:
+        """Raises on exactly one acquire (the leader's close), passing
+        every other acquisition through to the real lock."""
+
+        def __init__(self, inner, fail_at):
+            self.inner, self.fail_at, self.n = inner, fail_at, 0
+            self._count_lock = threading.Lock()
+
+        def __enter__(self):
+            with self._count_lock:
+                self.n += 1
+                inject = self.n == self.fail_at
+            if inject:
+                raise RuntimeError("injected close failure")
+            return self.inner.__enter__()
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    # Acquire #1 is the submit-side join; #2 is the close inside the
+    # try block — the window the ADVICE finding targets.
+    svc.batcher._lock = FlakyLock(svc.batcher._lock, fail_at=2)
+
+    with pytest.raises(RuntimeError, match="injected"):
+        svc.batcher.reduce(object(), 3, ReduceMode.REPLACE)
+    # The key must NOT still point at the dead leader's batch.
+    assert svc.batcher._pending == {}
+
+    # A follow-up request for the same key must complete promptly (a
+    # zombie join would block on the 600 s event wait).
+    out = {}
+
+    def follow_up():
+        out["v"] = svc.batcher.reduce(object(), 3, ReduceMode.REPLACE)
+
+    t = threading.Thread(target=follow_up, daemon=True)
+    t.start()
+    t.join(10)
+    assert not t.is_alive(), "follow-up request hung on a zombie batch"
+    assert out["v"] == "out"
+
+
 def test_micro_batcher_find_coalesces_unit():
     """_MicroBatcher.find: concurrent same-(palette, mode) submits produce
     one find_many launch; different palettes stay in separate batches."""
