@@ -317,7 +317,17 @@ def main() -> None:
     try:
         from benchmarks.run_configs import collect_configs
 
-        configs = collect_configs(reps=3)
+        # Pass the session wire rates so every config row carries its
+        # byte-derived transport floor (x_floor separates kernel
+        # regressions from tunnel weather — VERDICT round-3 #6).
+        configs = collect_configs(
+            reps=3,
+            wire={
+                "up_mb_s": wire_up,
+                "down_mb_s": wire_down,
+                "call_latency_s": call_latency,
+            },
+        )
     except Exception as e:  # keep the headline metric alive regardless
         configs = {"error": str(e)}
 

@@ -37,14 +37,27 @@ def _timed(fn, reps=3):
     return min(times)
 
 
-def collect_configs(gfx: str = "/root/reference/gfx", reps: int = 3) -> dict:
+def collect_configs(
+    gfx: str = "/root/reference/gfx", reps: int = 3, wire: dict | None = None
+) -> dict:
     """Time the five BASELINE.json configs; returns the per-config dict
     (seconds + Mpix/s each). Failures are recorded per-config so one bad
-    asset/path cannot sink the whole matrix."""
+    asset/path cannot sink the whole matrix.
+
+    `wire` (optional): `{"up_mb_s", "down_mb_s", "call_latency_s"}` —
+    the session transport rates measured in-run by `bench.py`. When
+    present, every config row also carries its byte-derived transport
+    floor (`floor_ms`: upload + packed readback at the session's wire
+    rates + one call latency — device compute excluded, it is sub-ms at
+    tokyo scale) and `x_floor = seconds / floor`. This is the round-4
+    honesty upgrade (VERDICT #6): a 20-35% transport swing between
+    rounds shows up as a stable `x_floor` with a shifted floor, while a
+    genuine kernel regression moves `x_floor` itself."""
     from kmeans_tpu.api import Algorithm, ImageProcessor, ReduceMode
     from kmeans_tpu.cli import parse_colors, parse_palette_image, render_swatch
     from kmeans_tpu.utils import imageio
     from kmeans_tpu.utils.cache import enable_compilation_cache
+    from kmeans_tpu.utils.packing import pack_bits
 
     enable_compilation_cache()
 
@@ -56,31 +69,73 @@ def collect_configs(gfx: str = "/root/reference/gfx", reps: int = 3) -> dict:
 
     configs: dict[str, dict] = {}
 
-    def record(name, fn, pixels_m=mpix):
+    def floor_s(up_bytes: float, down_bytes: float) -> float | None:
+        if not wire:
+            return None
+        return (
+            up_bytes / (wire["up_mb_s"] * 1e6)
+            + down_bytes / (wire["down_mb_s"] * 1e6)
+            + wire["call_latency_s"]
+        )
+
+    def record(name, fn, pixels_m=mpix, up_bytes=None, down_bytes=None):
         try:
             t = _timed(fn, reps)
         except Exception as e:  # record, don't sink the matrix
             configs[name] = {"error": str(e)}
             print(f"{name:40s} ERROR {e}", file=sys.stderr)
             return
-        configs[name] = {
+        row = {
             "seconds": round(t, 4),
             "mpix_s": round(pixels_m / t, 2),
         }
+        fl = (
+            floor_s(up_bytes, down_bytes)
+            if up_bytes is not None
+            else None
+        )
+        if fl is not None:
+            row["floor_ms"] = round(fl * 1e3, 1)
+            row["x_floor"] = round(t / fl, 2)
+        configs[name] = row
+        extra = (
+            f"  floor {fl*1e3:7.1f} ms  x{t/fl:.2f}" if fl is not None else ""
+        )
         print(
-            f"{name:40s} {t*1e3:8.1f} ms  {pixels_m/t:8.2f} Mpix/s",
+            f"{name:40s} {t*1e3:8.1f} ms  {pixels_m/t:8.2f} Mpix/s{extra}",
             file=sys.stderr,
         )
 
-    record("reduce c8 replace", lambda: p.reduce(8, tokyo))
+    # Bytes moved by each config's flagship path: RGB-only upload
+    # (3 B/px) and the bit-packed index readback (pack_bits(k)/8 B/px).
+    px = w * h
+    record(
+        "reduce c8 replace", lambda: p.reduce(8, tokyo),
+        up_bytes=px * 3, down_bytes=px * pack_bits(8) // 8,
+    )
     record(
         "reduce c8 dither",
         lambda: p.reduce(8, tokyo, Algorithm.KMEANS, ReduceMode.DITHER),
+        up_bytes=px * 3, down_bytes=px * pack_bits(8) // 8,
     )
-    record("palette c8 + swatch", lambda: render_swatch(p.palette(8, tokyo), 40))
-    record("find 3 colors replace", lambda: p.find(tokyo, hex3))
+    # palette uploads the host-shrunk pipeline strip (<= train cap per
+    # side), reads back 8 RGBA rows — both tiny; the floor is ~1 RTT.
+    from kmeans_tpu.ops.resize import shrunk_dimensions
+
+    sw, sh = shrunk_dimensions(w, h, p.train_max_size)
     record(
-        "find 3 colors dither", lambda: p.find(tokyo, hex3, ReduceMode.DITHER)
+        "palette c8 + swatch",
+        lambda: render_swatch(p.palette(8, tokyo), 40),
+        up_bytes=sw * sh * 3, down_bytes=8 * 8,
+    )
+    record(
+        "find 3 colors replace", lambda: p.find(tokyo, hex3),
+        up_bytes=px * 3, down_bytes=px * pack_bits(3) // 8,
+    )
+    record(
+        "find 3 colors dither",
+        lambda: p.find(tokyo, hex3, ReduceMode.DITHER),
+        up_bytes=px * 3, down_bytes=px * pack_bits(3) // 8,
     )
 
     gif_path = os.path.join(gfx, "turtles.gif")
@@ -88,11 +143,20 @@ def collect_configs(gfx: str = "/root/reference/gfx", reps: int = 3) -> dict:
         apollo = parse_palette_image(os.path.join(gfx, "apollo-1x.png"))
         frames = imageio.load_gif(gif_path)
         fw, fh = frames[0].dimensions
+        n_px = len(frames) * fw * fh
         record(
             "find apollo over 14 gif frames",
             lambda: p.find_batch(frames, apollo, ReduceMode.DITHER),
-            pixels_m=len(frames) * fw * fh / 1e6,
+            pixels_m=n_px / 1e6,
+            up_bytes=n_px * 3,
+            down_bytes=n_px * pack_bits(len(apollo)) // 8,
         )
+    if wire:
+        configs["_wire"] = {
+            "up_mb_s": round(wire["up_mb_s"], 1),
+            "down_mb_s": round(wire["down_mb_s"], 1),
+            "call_latency_ms": round(wire["call_latency_s"] * 1e3, 1),
+        }
     return configs
 
 
