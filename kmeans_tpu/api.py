@@ -220,18 +220,19 @@ def _fit_auto(
         # protocol, so this kicks in ONLY where the bit-exact path was
         # never viable — smaller trainings keep the unchunked protocol.
         # The Pallas tile accumulator covers k <= ACCUM_MAX_K (512) and
-        # beats the row-chunked XLA trainer 1.5-5.2x/iter on hardware
-        # (4K k=128: 8.9 vs 46.4 ms/iter — tools/exp_accum2.py,
-        # docs/perf.md). CIE94 above 64 always; CIEDE2000 above 64 only
-        # under fast=True (round 3): the pruned two-pass tier screens
-        # with factorized CIE94 and runs the exact trig chain on PRUNE_M
-        # survivors, compiling in seconds — the EXACT fully-unrolled
-        # CIEDE2000 accumulator measured 130/351 s remote compiles at
-        # k=128/256 (a deploy-hostile first-request stall), so exact
-        # cie2000 k>64 keeps the row-chunked XLA trainer, which also
-        # serves CPU and k > ACCUM_MAX_K.
-        if pallas_ok and k <= ACCUM_MAX_K and (
-            metric == "cie94" or (fast and metric == "cie2000")
+        # beats the row-chunked XLA trainer 1.3-5.2x/iter on hardware
+        # (tools/exp_accum2.py, docs/perf.md). CIE94 above 64 always;
+        # CIEDE2000 above 64 in both tiers since round 4: fast=True
+        # rides the pruned two-pass tier (factorized-CIE94 screen, exact
+        # trig on PRUNE_M survivors — 4.4x/iter at k=128) and fast=False
+        # the chunked-loop EXACT form (fori over rolled trig bodies +
+        # dynamic-store reduction, 1.3x/iter over the row-chunked XLA
+        # trainer at k=128/256 with 5.1/7.6 s compiles vs the 130/351 s
+        # fully-unrolled program round 2 rejected —
+        # tools/exp_accum_2000.py). The row-chunked XLA trainer remains
+        # the CPU and k > ACCUM_MAX_K fallback.
+        if pallas_ok and k <= ACCUM_MAX_K and metric in (
+            "cie94", "cie2000"
         ):
             return fit_pallas()
         return kmeans_model.fit_chunked(
@@ -275,7 +276,8 @@ def _sharded_trainer_route(
     pixels at `kp` (padded) clusters — the sharded mirror of `_fit_auto`'s
     branches, so multi-chip honors the same large-N/metric routing as
     single-chip (VERDICT round-2 task 6): full-res sharded -> the per-shard
-    Pallas accumulator (psum of [K, 4] totals), cie2000 k > 64 or
+    Pallas accumulator (psum of [K, 4] totals; since round 4 this covers
+    EXACT cie2000 k > 64 too via the chunked-loop accumulator form),
     k > ACCUM_MAX_K past the element budget -> the row-chunked psum
     trainer, small (shrunk) trainings -> the bit-compatible one-hot
     protocol. Keep in sync with `_fit_auto`."""
@@ -283,8 +285,8 @@ def _sharded_trainer_route(
 
     pallas_ok = use_pallas and metric in PALLAS_METRICS
     if kp > 64 and n_px * kp > _CHUNKED_TRAIN_ELEMS:
-        if pallas_ok and kp <= ACCUM_MAX_K and (
-            metric == "cie94" or (fast and metric == "cie2000")
+        if pallas_ok and kp <= ACCUM_MAX_K and metric in (
+            "cie94", "cie2000"
         ):
             return "pallas"
         return "chunked"
@@ -2113,6 +2115,108 @@ class ImageProcessor:
                 )
             )
         return Image(image.dimensions, out)
+
+    @_on_device
+    def reduce_images_sharded(
+        self,
+        images,
+        color_count: int,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        mesh=None,
+    ) -> list[Image]:
+        """Multi-chip `reduce_images`: B same-sized frames each train
+        their own palette in ONE DP x SP executable — frames sharded over
+        the mesh's data axis, pixels over its pixel axis
+        (`fit_sharded_batch`, SURVEY §2.3's DP x SP row) — then each
+        frame runs the sharded output pass. Training honors the same
+        `_fit_auto`-parity routing as every other sharded entry point
+        (`_sharded_trainer_route`: full-res frames run the sequential
+        per-frame Pallas/chunked protocols inside the shard_map, never
+        the `[N_local, K]` one-hot), plus `restarts`/`fast`/`train_dtype`.
+
+        The frame batch pads to the data-axis size by repeating frame 0
+        (padded outputs dropped); with `bucketing=True` frames pad to
+        their shape bucket and k to its bucket, like `reduce_sharded`."""
+        from kmeans_tpu.parallel.distributed import fit_sharded_batch
+        from kmeans_tpu.parallel.mesh import DATA_AXIS, PIXEL_AXIS, make_mesh
+        from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
+
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
+        _validate_k(color_count)
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        w, h = dims
+        n_frames = len(frames)
+        pad_b = (-n_frames) % mesh.shape[DATA_AXIS]
+        rgb_list = [_host_rgb(f.pixels) for f in frames]
+        rgb_list += [rgb_list[0]] * pad_b
+
+        if self.bucketing:
+            rgb_list = [pad_to_bucket(rgb)[0] for rgb in rgb_list]
+            bh, bw = rgb_list[0].shape[:2]
+            canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
+            ch, cw = canvas
+            kp = bucket_k(color_count)
+            works, wvecs = [], []
+            for prgb in rgb_list:
+                canvas_u8, wt = resize_to_canvas(
+                    jnp.asarray(prgb)[..., :3], ch, cw, h, w, sh, sw
+                )
+                works.append(srgb8_to_lab(canvas_u8.reshape(-1, 3)))
+                wvecs.append(wt.reshape(-1))
+        else:
+            sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+            first = kmeans_model.reference_seed_index(sw, sh)
+            kp = color_count
+            works, wvecs = [], []
+            for prgb in rgb_list:
+                px = jnp.asarray(prgb)
+                tr = (
+                    resize_uint8(px, sh, sw) if (sw, sh) != (w, h) else px
+                )
+                work1 = srgb8_to_lab(tr[..., :3].reshape(-1, 3))
+                works.append(work1)
+                wvecs.append(jnp.ones(work1.shape[0], jnp.float32))
+        n = works[0].shape[0]
+        p = mesh.shape[PIXEL_AXIS]
+        n_pad = (n + p - 1) // p * p
+        if n_pad != n:
+            works = [jnp.pad(wk, ((0, n_pad - n), (0, 0))) for wk in works]
+            wvecs = [jnp.pad(wv, (0, n_pad - n)) for wv in wvecs]
+        k_actives = jnp.full((len(rgb_list),), color_count, jnp.int32)
+        cents = fit_sharded_batch(
+            mesh, jnp.stack(works), jnp.stack(wvecs), kp, first, k_actives,
+            convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
+            restarts=self.restarts,
+            **self._sharded_fit_kwargs(n, kp, mesh),
+        )
+        outs = []
+        for i in range(n_frames):
+            c = cents[i]
+            rgb = rgb_list[i]
+            if reduce_mode is ReduceMode.MELD:
+                out = self._meld_sharded(
+                    mesh, rgb, c, k_active=color_count
+                )
+            elif color_count <= 512:
+                out = self._quantize_indexed_sharded(
+                    mesh, rgb, c, reduce_mode, k_active=color_count
+                )
+            else:
+                out = np.asarray(
+                    quantize_image_sharded(
+                        mesh, rgb, c, mode=reduce_mode.value,
+                        k_active=color_count, metric=self.delta_e,
+                    )
+                )
+            outs.append(Image(dims, out[:h, :w]))
+        return outs
 
     @_on_device
     def reduce_streamed(

@@ -634,32 +634,126 @@ def fit_sharded_batch(
     k_actives: jnp.ndarray,
     convergence: float = LAB_CONVERGENCE,
     metric: str = "cie94",
+    restarts: int = 1,
+    trainer: str = "onehot",
+    fast: bool = False,
+    plane_dtype=None,
+    interpret: bool = False,
 ):
     """Batched fit: `pixels[B, N, 3]` with batch over the data axis (DP)
-    and pixels over the pixel axis (SP). `k_actives[B]` masks per-item k.
+    and pixels over the pixel axis (SP; SURVEY §2.3's DP x SP row).
+    `k_actives[B]` masks per-item k.
+
+    `trainer`/`restarts`/`fast`/`plane_dtype` carry `fit_sharded`'s full
+    trainer surface (round-4): `"onehot"` vmaps the bit-compatible MXU
+    protocol over the local batch (shrunk trainings); `"pallas"` /
+    `"chunked"` run SEQUENTIAL per-frame large-N trainings inside the
+    shard_map — vmap of pallas_call cannot lower on Mosaic, and B x the
+    chunked state would defeat its memory bound, so a batch of full-res
+    frames keeps per-frame kernel memory behavior (the same design as
+    `_fit_local_pallas_restarts` / the single-chip `lax.map` heavy
+    buckets). With `restarts > 1`, each frame derives its own pad-aware
+    seeds (`derive_restart_seeds` on its weight row) and its
+    lowest-inertia run wins, exactly like `fit_sharded`. `first_index`
+    may be a scalar or a `[B]` array (per-frame reference seeds — each
+    frame of an image batch has its own `reference_seed_index`).
 
     Returns `centroids[B, k, 3]` (replicated over the pixel axis).
     """
+    if trainer not in ("onehot", "pallas", "chunked"):
+        raise ValueError(f"unknown trainer {trainer!r}")
+    B = pixels.shape[0]
+    firsts = jnp.broadcast_to(
+        jnp.asarray(first_index, jnp.int32).reshape(-1), (B,)
+    )
+    need_seeds = restarts > 1
+    if need_seeds:
+        # Per-frame pad-aware seeds [B, R], derived OUTSIDE the shard_map
+        # on the (tiny, shrunk) training inputs like `fit_sharded`.
+        seeds = jax.vmap(
+            lambda w, f: derive_restart_seeds(
+                pixels.shape[1], f, restarts, w
+            )
+        )(weight, firsts)
 
-    def local(px, wt, ka):
-        # px: [B_local, N_local, 3]; vmap the pixel-sharded fit over the
-        # local batch. Collectives inside vmap broadcast over the batch.
-        fit1 = partial(
-            _fit_local,
-            k=k,
-            first_index=first_index,
-            convergence=convergence,
-            axis_name=PIXEL_AXIS,
-            metric=metric,
-        )
-        cents, _ = jax.vmap(lambda p, w, a: fit1(p, w, k_active=a))(px, wt, ka)
-        return cents
+    def local(px, wt, ka, fi, *maybe_seeds):
+        # px: [B_local, N_local, 3].
+        if trainer == "onehot":
+            # vmap the pixel-sharded fit over the local batch; collectives
+            # inside vmap broadcast over the batch.
+            if need_seeds:
+                (sd,) = maybe_seeds
+                fitr = partial(
+                    _fit_local_restarts,
+                    k=k,
+                    convergence=convergence,
+                    axis_name=PIXEL_AXIS,
+                    metric=metric,
+                )
+                cents, _ = jax.vmap(
+                    lambda p, w, s, a: fitr(p, w, s, k_active=a)
+                )(px, wt, sd, ka)
+            else:
+                fit1 = partial(
+                    _fit_local,
+                    k=k,
+                    convergence=convergence,
+                    axis_name=PIXEL_AXIS,
+                    metric=metric,
+                )
+                cents, _ = jax.vmap(
+                    lambda p, w, a, f: fit1(p, w, first_index=f, k_active=a)
+                )(px, wt, ka, fi)
+            return cents
+        outs = []
+        for b in range(px.shape[0]):  # sequential per-frame (see docstring)
+            if trainer == "pallas":
+                if need_seeds:
+                    (sd,) = maybe_seeds
+                    c, _ = _fit_local_pallas_restarts(
+                        px[b], wt[b], sd[b], k=k, convergence=convergence,
+                        k_active=ka[b], axis_name=PIXEL_AXIS, metric=metric,
+                        fast=fast, plane_dtype=plane_dtype,
+                        interpret=interpret,
+                    )
+                else:
+                    c, _ = _fit_local_pallas(
+                        px[b], wt[b], k=k, first_index=fi[b],
+                        convergence=convergence, k_active=ka[b],
+                        axis_name=PIXEL_AXIS, metric=metric, fast=fast,
+                        plane_dtype=plane_dtype, interpret=interpret,
+                    )
+            else:
+                if need_seeds:
+                    (sd,) = maybe_seeds
+                    c, _ = _fit_local_chunked_restarts(
+                        px[b], wt[b], sd[b], k=k, convergence=convergence,
+                        k_active=ka[b], axis_name=PIXEL_AXIS, metric=metric,
+                    )
+                else:
+                    c, _ = _fit_local_chunked(
+                        px[b], wt[b], k=k, first_index=fi[b],
+                        convergence=convergence, k_active=ka[b],
+                        axis_name=PIXEL_AXIS, metric=metric,
+                    )
+            outs.append(c)
+        return jnp.stack(outs)
 
+    in_specs = [
+        P(DATA_AXIS, PIXEL_AXIS, None),
+        P(DATA_AXIS, PIXEL_AXIS),
+        P(DATA_AXIS),
+        P(DATA_AXIS),
+    ]
+    operands = [pixels, weight, k_actives, firsts]
+    if need_seeds:
+        in_specs.append(P(DATA_AXIS, None))
+        operands.append(seeds)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, PIXEL_AXIS, None), P(DATA_AXIS, PIXEL_AXIS), P(DATA_AXIS)),
+        in_specs=tuple(in_specs),
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,
     )
-    return fn(pixels, weight, k_actives)
+    return fn(*operands)

@@ -63,6 +63,86 @@ def test_fit_sharded_batch_dp_sp():
     )
 
 
+@pytest.mark.parametrize(
+    "trainer,kw",
+    [
+        ("onehot", {}),
+        ("pallas", {"interpret": True}),
+        ("chunked", {}),
+    ],
+)
+def test_fit_sharded_batch_trainer_surface(trainer, kw):
+    """Round-4 (VERDICT #3): `fit_sharded_batch` carries `fit_sharded`'s
+    full trainer surface. Each trainer's DP x SP batched result must
+    match the per-image `fit_sharded` result frame by frame — the
+    per-frame protocol (sequential pallas/chunked bodies, vmapped
+    onehot) sees the same local pixels over the same 4-wide pixel axis,
+    so the fits are numerically identical modulo vmap/stack layout."""
+    pts = _blob_pixels()
+    batch = jnp.stack([pts, pts[::-1]])
+    weight = jnp.ones(batch.shape[:2], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    mesh1 = make_mesh(jax.devices()[:4], data=1)  # same 4-wide pixel axis
+    k_actives = jnp.asarray([3, 4], jnp.int32)
+
+    cents = fit_sharded_batch(
+        mesh, batch, weight, 4, 0, k_actives, trainer=trainer, **kw
+    )
+    assert cents.shape == (2, 4, 3)
+    for b in range(2):
+        ref, _ = fit_sharded(
+            mesh1, batch[b], weight[b], 4, 0,
+            k_active=int(k_actives[b]), trainer=trainer, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(cents)[b], np.asarray(ref), atol=1e-5,
+            err_msg=f"{trainer} frame {b}",
+        )
+
+
+@pytest.mark.parametrize(
+    "trainer,kw",
+    [
+        ("onehot", {}),
+        ("pallas", {"interpret": True}),
+        ("chunked", {}),
+    ],
+)
+def test_fit_sharded_batch_restarts(trainer, kw):
+    """Batched multi-restart sharded fit: each frame derives its own
+    pad-aware seeds and picks its lowest-inertia run — must match the
+    per-image `fit_sharded(restarts=R)` winner frame by frame."""
+    pts = _blob_pixels(seed=5)
+    batch = jnp.stack([pts, pts[::-1]])
+    weight = jnp.ones(batch.shape[:2], jnp.float32)
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    mesh1 = make_mesh(jax.devices()[:4], data=1)
+    k_actives = jnp.asarray([3, 3], jnp.int32)
+
+    cents = fit_sharded_batch(
+        mesh, batch, weight, 3, 0, k_actives, restarts=2, trainer=trainer,
+        **kw,
+    )
+    for b in range(2):
+        ref, _ = fit_sharded(
+            mesh1, batch[b], weight[b], 3, 0, restarts=2, trainer=trainer,
+            **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cents)[b], np.asarray(ref), atol=1e-5,
+            err_msg=f"{trainer} frame {b}",
+        )
+
+
+def test_fit_sharded_batch_rejects_unknown_trainer():
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    with pytest.raises(ValueError, match="unknown trainer"):
+        fit_sharded_batch(
+            mesh, jnp.zeros((2, 64, 3)), jnp.ones((2, 64)), 3, 0,
+            jnp.asarray([3, 3], jnp.int32), trainer="nope",
+        )
+
+
 def test_fit_sharded_restarts_selects_min_inertia_run():
     """fit_sharded(restarts=R) returns bit-for-bit the lowest-inertia run
     among individually-run sharded fits seeded by derive_restart_seeds —
@@ -261,14 +341,17 @@ def test_sharded_trainer_route_mirrors_fit_auto():
     assert route(n_large, 64, True, "cie2000") == "pallas"
     assert route(n_large, 128, True, "cie94") == "pallas"
     assert route(n_large, 512, True, "cie94") == "pallas"
-    # the accumulator's documented exclusions -> chunked
-    assert route(n_large, 128, True, "cie2000") == "chunked"
+    # the accumulator's one remaining exclusion -> chunked
     assert route(n_large, 1024, True, "cie94") == "chunked"
-    # fast cie2000 k>64 rides the pruned accumulator tier (round 3);
-    # exact cie2000 k>64 stays chunked (the 130/351 s compile class)
+    # cie2000 k>64 rides the accumulator in BOTH tiers: pruned under
+    # fast=True (round 3), the chunked-loop EXACT form otherwise
+    # (round 4 — tools/exp_accum_2000.py)
+    assert route(n_large, 128, True, "cie2000") == "pallas"
+    assert route(n_large, 512, True, "cie2000") == "pallas"
     assert route(n_large, 128, True, "cie2000", fast=True) == "pallas"
     assert route(n_large, 512, True, "cie2000", fast=True) == "pallas"
     assert route(n_large, 1024, True, "cie2000", fast=True) == "chunked"
+    assert route(n_large, 1024, True, "cie2000") == "chunked"
     # CPU meshes never route pallas
     assert route(n_large, 8, False, "cie94") == "onehot"
     assert route(n_large, 128, False, "cie94") == "chunked"
@@ -306,6 +389,64 @@ def test_reduce_sharded_full_res_training_routes_and_matches(monkeypatch):
     assert routes == ["chunked"]
     single = p.reduce(65, rgba)
     frac = (single.pixels == sharded.pixels).all(axis=-1).mean()
+    assert frac > 0.99
+
+
+def _blob_rgba(seed, shape=(64, 96)):
+    base = np.array([[230, 40, 40], [40, 220, 60], [60, 60, 230]], np.int32)
+    r = np.random.default_rng(seed)
+    idx = r.integers(0, 3, size=shape)
+    rgb = np.clip(base[idx] + r.integers(-10, 11, idx.shape + (3,)), 0, 255)
+    return np.concatenate(
+        [rgb.astype(np.uint8), np.full(shape + (1,), 255, np.uint8)], -1
+    )
+
+
+def test_reduce_images_sharded_matches_per_image():
+    """Round-4 (VERDICT #3): the batched DP x SP entry point. Each frame
+    of `reduce_images_sharded` must match the per-image `reduce_sharded`
+    output (same 4-wide pixel axis -> same training), and the DP padding
+    frame (3 frames on a data=2 mesh) must be dropped."""
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+    imgs = [_blob_rgba(1), _blob_rgba(2), _blob_rgba(3)]
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    mesh1 = make_mesh(jax.devices()[:4], data=1)
+    p = ImageProcessor()
+    outs = p.reduce_images_sharded(imgs, 4, ReduceMode.DITHER, mesh=mesh)
+    assert len(outs) == 3
+    for i, (im, out) in enumerate(zip(imgs, outs)):
+        ref = p.reduce_sharded(4, im, ReduceMode.DITHER, mesh=mesh1)
+        frac = (out.pixels == ref.pixels).all(axis=-1).mean()
+        assert frac > 0.99, f"frame {i}: {frac}"
+
+
+def test_reduce_images_sharded_routes_like_fit_auto(monkeypatch):
+    """The batched sharded fit must honor `_sharded_trainer_route` — a
+    full-res-class batch (budget monkeypatched down) routes the
+    sequential per-frame chunked trainer, not the one-hot protocol."""
+    import kmeans_tpu.api as api_mod
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+    monkeypatch.setattr(api_mod, "_CHUNKED_TRAIN_ELEMS", 1)
+    routes = []
+    real_route = api_mod._sharded_trainer_route
+
+    def spy(n_px, kp, use_pallas, metric, fast=False):
+        r = real_route(n_px, kp, use_pallas, metric, fast=fast)
+        routes.append(r)
+        return r
+
+    monkeypatch.setattr(api_mod, "_sharded_trainer_route", spy)
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    p = ImageProcessor(train_max_size=None)
+    outs = p.reduce_images_sharded(
+        [_blob_rgba(4), _blob_rgba(5)], 65, ReduceMode.REPLACE, mesh=mesh
+    )
+    assert routes == ["chunked"]
+    assert len(outs) == 2
+    ref = p.reduce(65, _blob_rgba(4))
+    frac = (outs[0].pixels == ref.pixels).all(axis=-1).mean()
     assert frac > 0.99
 
 
