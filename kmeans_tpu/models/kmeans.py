@@ -261,9 +261,11 @@ def lloyd_pallas(
     `fast=True` engages, for LARGE palettes only (k > 16 — same policy as
     the fused quantize kernels), the factorized CIE94 score or, under
     CIEDE2000, the pruned two-pass tier (factorized-CIE94 screen keeps
-    PRUNE_M candidates, exact trig only on survivors — the form that
-    makes cie2000 k > 64 full-res training compile in seconds instead of
-    the exact unrolled accumulator's 130/351 s at k=128/256). Small-k
+    PRUNE_M candidates, exact trig only on survivors — 4.4x/iter over
+    the exact tiers at k=128). fast=False cie2000 above
+    ACCUM_UNROLL_2000 runs the round-4 chunked-loop EXACT form (seconds
+    compiles vs the unrolled accumulator's 130/351 s at k=128/256;
+    tools/exp_accum_2000.py). Small-k
     training stays bit-exact even under fast (measured 1.23x/iter at 4K
     k=64 for cie94, no gain at k=8; docs/perf.md). Knife-edge
     assignments may flip / a screened-out true nearest is lost, like

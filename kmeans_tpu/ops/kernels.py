@@ -105,6 +105,15 @@ UNROLL_CHUNK_2000 = 1
 # (tools/exp_prune.py); mismatch vs exact measured and documented in
 # docs/perf.md. Like every fast mode: opt-in, never a default.
 PRUNE_M = 8
+# kp-dependent M (round 4): at kp >= 256 the top-8 screen sits exactly
+# on the 1e-3 mismatch bar while M=16 is still 3.6x at 9.4e-5 mismatch
+# (docs/perf.md) — a strictly better trade for large palettes, so the
+# tier widens its candidate set above PRUNE_M_GATE clusters.
+# `prune_m_for` is the one gate; all three knobs flow through
+# `set_loop_knobs` (the gate knob exists so tests can exercise the
+# large branch at interpret-friendly kp).
+PRUNE_M_LARGE = 16
+PRUNE_M_GATE = 128
 # Loop form of the pruned screening pass: CHUNKED, never fully unrolled.
 # The screen carries 2*M live [tile, 128] buffers through the insertion
 # chain; a fully-unrolled kp-trip straight-line form on top of that blew
@@ -118,11 +127,34 @@ PRUNE_CHUNK = 32
 # so this bounds kernel program size; swept on hardware
 # (tools/exp_accum2.py, docs/perf.md).
 ACCUM_MAX_K = 512
+# Loop form of the EXACT CIEDE2000 accumulator above this kp: the
+# distance loop runs as a fori over ACCUM_CHUNK_2000-trip fully-unrolled
+# chunks and the per-cluster mask-reduction loop as a fori over
+# ACCUM_MASK_CHUNK-trip chunks with `pl.ds` dynamic stores, instead of
+# the full kp unroll — the fully-unrolled exact cie2000 program measured
+# 130/351 s remote compiles at k=128/256 (deploy-hostile), which kept
+# exact cie2000 k > 64 full-res training on the row-chunked XLA fallback
+# through round 3 (_fit_auto). Below the cutoff the round-2 unrolled
+# program is byte-identical (cache entries stay warm). Swept on hardware
+# (tools/exp_accum_2000.py, docs/perf.md).
+ACCUM_UNROLL_2000 = 64
+ACCUM_CHUNK_2000 = 1
+ACCUM_MASK_CHUNK = 32
+
+
+def prune_m_for(kp: int) -> int:
+    """Candidate count of the pruned CIEDE2000 tier for a `kp`-cluster
+    palette: PRUNE_M (8) up to PRUNE_M_GATE (128) clusters,
+    PRUNE_M_LARGE (16) above — measured strictly better on the quality
+    axis at kp >= 256 (3.6x at 9.4e-5 mismatch vs 7.6x at the 1.0e-3
+    bar; docs/perf.md round 3, landed round 4)."""
+    return PRUNE_M if kp <= PRUNE_M_GATE else PRUNE_M_LARGE
 
 
 def set_loop_knobs(
     kp_max=None, chunk=None, kp_max_2000=None, chunk_2000=None, prune_m=None,
-    prune_chunk=None,
+    prune_chunk=None, accum_kp_2000=None, accum_chunk_2000=None,
+    accum_mask_chunk=None, prune_m_large=None, prune_m_gate=None,
 ):
     """Set the loop-form knobs AND clear the jit caches in one step.
 
@@ -131,12 +163,16 @@ def set_loop_knobs(
     from already-traced executables. Every sweeper (tools/exp_*.py,
     tests/conftest.py) must go through this helper. Returns the previous
     values `(kp_max, chunk, kp_max_2000, chunk_2000, prune_m,
-    prune_chunk)`."""
+    prune_chunk, accum_kp_2000, accum_chunk_2000, accum_mask_chunk,
+    prune_m_large, prune_m_gate)`."""
     global UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000
-    global PRUNE_M, PRUNE_CHUNK
+    global PRUNE_M, PRUNE_CHUNK, PRUNE_M_LARGE, PRUNE_M_GATE
+    global ACCUM_UNROLL_2000, ACCUM_CHUNK_2000, ACCUM_MASK_CHUNK
     prev = (
         UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000,
         PRUNE_M, PRUNE_CHUNK,
+        ACCUM_UNROLL_2000, ACCUM_CHUNK_2000, ACCUM_MASK_CHUNK,
+        PRUNE_M_LARGE, PRUNE_M_GATE,
     )
     if kp_max is not None:
         UNROLL_KP_MAX = kp_max
@@ -150,6 +186,16 @@ def set_loop_knobs(
         PRUNE_M = prune_m
     if prune_chunk is not None:
         PRUNE_CHUNK = prune_chunk
+    if accum_kp_2000 is not None:
+        ACCUM_UNROLL_2000 = accum_kp_2000
+    if accum_chunk_2000 is not None:
+        ACCUM_CHUNK_2000 = accum_chunk_2000
+    if accum_mask_chunk is not None:
+        ACCUM_MASK_CHUNK = accum_mask_chunk
+    if prune_m_large is not None:
+        PRUNE_M_LARGE = prune_m_large
+    if prune_m_gate is not None:
+        PRUNE_M_GATE = prune_m_gate
     jax.clear_caches()
     return prev
 ACCUM_TILE_ROWS = 128
@@ -556,7 +602,7 @@ def _prune_screen(screen_k, k_active, l_p, kp: int, k_loop):
     full unroll on top of the insertion carries blew the 16 MB
     scoped-VMEM stack at 4K k=64 on hardware. Returns the m (rank,
     index) plane pairs as two lists."""
-    m = min(PRUNE_M, kp)
+    m = min(prune_m_for(kp), kp)
     big = jnp.float32(3.4e38)
 
     def sbody(k, carry):
@@ -815,7 +861,7 @@ def _quantize_kernel(
         # + m x trig. Opt-in (`fast=True`): the winner is chosen by exact
         # distances, but a true nearest centroid screened out of the
         # top-m is lost — mismatch rate measured in docs/perf.md.
-        m = min(PRUNE_M, kp)
+        m = min(prune_m_for(kp), kp)
         h_rows = prune_rows(kp)
         big_half = jnp.float32(1.7e38)  # validity test: below any screen
         cand_d, cand_i = _prune_screen(screen_k, k_active, l_p, kp, k_loop)
@@ -1295,7 +1341,7 @@ def _lloyd_acc_kernel(
         # Pass 1: chunked screen keeps the m nearest candidates by the
         # cheap rank (2m live carries — the same scoped-VMEM pressure that
         # forced PRUNE_CHUNK on the quantize screen applies here).
-        m = min(PRUNE_M, kp)
+        m = min(prune_m_for(kp), kp)
         h_rows = prune_rows(kp)
         big_half = jnp.float32(1.7e38)
         cand_d, cand_i = _prune_screen(
@@ -1316,6 +1362,24 @@ def _lloyd_acc_kernel(
             take = d < best_d
             best_d = jnp.where(take, d, best_d)
             best_k = jnp.where(take, idx, best_k)
+    elif metric == "cie2000" and kp > ACCUM_UNROLL_2000:
+        # EXACT CIEDE2000 at large kp: the full kp unroll of the trig
+        # chain measured 130/351 s remote compiles at k=128/256, so the
+        # loop rolls into ACCUM_CHUNK_2000-trip fully-unrolled chunks
+        # (the quantize kernel's exact-cie2000 form — trip order and
+        # per-trip arithmetic identical to the unrolled program). This is
+        # what moves exact cie2000 k > 64 full-res training off the
+        # row-chunked XLA fallback (_fit_auto; tools/exp_accum_2000.py).
+        def kbody(k, carry):
+            bd, bk = carry
+            d = dist(cents_ref[k, 0], cents_ref[k, 1], cents_ref[k, 2])
+            d = jnp.where(k < k_active, d, big)
+            take = d < bd
+            return jnp.where(take, d, bd), jnp.where(take, k, bk)
+
+        best_d, best_k = _chunked_k_loop(
+            kbody, (best_d, best_k), kp, ACCUM_CHUNK_2000
+        )
     else:
         # kp is small and static: unroll (VPU-friendly, no loop-carried
         # VMEM).
@@ -1329,17 +1393,44 @@ def _lloyd_acc_kernel(
             best_d = jnp.where(take, d, best_d)
             best_k = jnp.where(take, k, best_k)
 
-    for k in range(kp):
-        mask = jnp.logical_and(best_k == k, valid)
-        maskf = mask.astype(jnp.float32)
-        if weighted:
-            maskf = maskf * w_ref[:]
-        out_ref[0, k, 0, :] = jnp.sum(l_p * maskf, axis=0)
-        out_ref[0, k, 1, :] = jnp.sum(a_p * maskf, axis=0)
-        out_ref[0, k, 2, :] = jnp.sum(b_p * maskf, axis=0)
-        out_ref[0, k, 3, :] = jnp.sum(maskf, axis=0)
-        if emit_inertia:
-            out_ref[0, k, 4, :] = jnp.sum(best_d * maskf, axis=0)
+    if metric == "cie2000" and not prune and kp > ACCUM_UNROLL_2000:
+        # Chunked per-cluster reduction twin of the chunked distance loop
+        # above: dynamic `pl.ds` stores into the untiled cluster dim keep
+        # the program bounded at one ACCUM_MASK_CHUNK-trip chunk. Same
+        # per-cluster arithmetic as the unrolled loop below, one store per
+        # stat row (the store ordering differs — totals are per-row
+        # independent, so values cannot).
+        def mbody(k, carry):
+            mask = jnp.logical_and(best_k == k, valid)
+            maskf = mask.astype(jnp.float32)
+            if weighted:
+                maskf = maskf * w_ref[:]
+            out_ref[0, pl.ds(k, 1), 0, :] = jnp.sum(l_p * maskf, axis=0)[None]
+            out_ref[0, pl.ds(k, 1), 1, :] = jnp.sum(a_p * maskf, axis=0)[None]
+            out_ref[0, pl.ds(k, 1), 2, :] = jnp.sum(b_p * maskf, axis=0)[None]
+            out_ref[0, pl.ds(k, 1), 3, :] = jnp.sum(maskf, axis=0)[None]
+            if emit_inertia:
+                out_ref[0, pl.ds(k, 1), 4, :] = jnp.sum(
+                    best_d * maskf, axis=0
+                )[None]
+            return carry
+
+        _chunked_k_loop(mbody, jnp.int32(0), kp, ACCUM_MASK_CHUNK)
+    else:
+        # Static store loop — kept VERBATIM from round 2 so every default
+        # path's jaxpr (and therefore its compile-cache entry) is
+        # untouched by the round-4 chunked form above.
+        for k in range(kp):
+            mask = jnp.logical_and(best_k == k, valid)
+            maskf = mask.astype(jnp.float32)
+            if weighted:
+                maskf = maskf * w_ref[:]
+            out_ref[0, k, 0, :] = jnp.sum(l_p * maskf, axis=0)
+            out_ref[0, k, 1, :] = jnp.sum(a_p * maskf, axis=0)
+            out_ref[0, k, 2, :] = jnp.sum(b_p * maskf, axis=0)
+            out_ref[0, k, 3, :] = jnp.sum(maskf, axis=0)
+            if emit_inertia:
+                out_ref[0, k, 4, :] = jnp.sum(best_d * maskf, axis=0)
 
 
 def lloyd_accumulate(

@@ -149,15 +149,16 @@ def test_lloyd_accumulate_gate_and_large_k_routing(monkeypatch):
     api._fit_auto(work, 128, 0, 1.0, use_pallas=True, restarts=3)
     api._fit_auto(work, 128, 0, 1.0, use_pallas=False)  # CPU fallback
     api._fit_auto(work, 600, 0, 1.0, use_pallas=True)  # beyond ACCUM_MAX_K
-    # EXACT cie2000 k>64 stays chunked: its unrolled accumulator measured
-    # 130/351 s remote compiles at k=128/256 (docs/perf.md). Under
-    # fast=True it rides the pruned accumulator tier (round 3).
+    # cie2000 k>64 routes to the accumulator in BOTH tiers: fast=True
+    # rides the pruned tier (round 3); exact rides the chunked-loop form
+    # (round 4 — 5.1/7.6 s compiles vs the 130/351 s unrolled program,
+    # 1.3x/iter over fit_chunked; tools/exp_accum_2000.py, docs/perf.md).
     api._fit_auto(work, 128, 0, 1.0, use_pallas=True, metric="cie2000")
     api._fit_auto(
         work, 128, 0, 1.0, use_pallas=True, metric="cie2000", fast=True
     )
     assert calls == [
-        "pallas", "pallas_restarts", "chunked", "chunked", "chunked",
+        "pallas", "pallas_restarts", "chunked", "chunked", "pallas",
         "pallas",
     ]
 
@@ -218,6 +219,129 @@ def test_lloyd_accumulate_prune_full_m_matches_exact():
                 )
     finally:
         k_mod.set_loop_knobs(prune_m=prev[4])
+
+
+def test_lloyd_accumulate_cie2000_chunked_matches_unrolled():
+    """The round-4 chunked EXACT-CIEDE2000 accumulator form (fori over
+    ACCUM_CHUNK_2000-trip chunks + dynamic-store reduction loop, engaged
+    at kp > ACCUM_UNROLL_2000 so full-res exact cie2000 k > 64 training
+    compiles in seconds — tools/exp_accum_2000.py) must produce the SAME
+    ASSIGNMENTS as the fully-unrolled round-2 form: sums and counts
+    bit-equal, inertia within ~1 ulp (the two forms contract the distance
+    chain's FMAs differently — the STATUS.md loop-form lesson; counts
+    equal proves no assignment flipped on this data). Knobs lowered so
+    the test runs at interpret-friendly kp; covers weighted, inertia,
+    k_active masking, and a chunk size that does not divide kp."""
+    from kmeans_tpu.ops import kernels as k_mod
+    from kmeans_tpu.ops.kernels import (
+        lloyd_accumulate,
+        pack_lab_planes,
+        pack_plane,
+    )
+
+    rng = np.random.default_rng(13)
+    pix = jnp.asarray(rng.uniform(0, 100, (800, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.uniform(0, 100, (24, 3)).astype(np.float32))
+    wplanes = pack_plane(
+        jnp.asarray(rng.uniform(0, 2, (800,)).astype(np.float32))
+    )
+    planes, n = pack_lab_planes(pix)
+    cases = (
+        {},
+        {"emit_inertia": True},
+        {"weight_planes": wplanes, "emit_inertia": True},
+        {"k_active": 19},
+    )
+    want = [
+        np.asarray(
+            lloyd_accumulate(
+                planes, cents, n, interpret=True, metric="cie2000", **kw
+            )
+        )
+        for kw in cases
+    ]  # kp=24 <= ACCUM_UNROLL_2000: the unrolled round-2 program
+    prev = k_mod.set_loop_knobs(
+        accum_kp_2000=8, accum_chunk_2000=5, accum_mask_chunk=7
+    )
+    try:
+        for kw, w in zip(cases, want):
+            got = np.asarray(
+                lloyd_accumulate(
+                    planes, cents, n, interpret=True, metric="cie2000", **kw
+                )
+            )
+            np.testing.assert_array_equal(
+                got[:, :4], w[:, :4], err_msg=str(kw)
+            )
+            if got.shape[1] == 5:
+                np.testing.assert_allclose(
+                    got[:, 4], w[:, 4], rtol=1e-6, err_msg=str(kw)
+                )
+    finally:
+        k_mod.set_loop_knobs(
+            accum_kp_2000=prev[6], accum_chunk_2000=prev[7],
+            accum_mask_chunk=prev[8],
+        )
+
+
+def test_prune_m_kp_dependent_default():
+    """Round-4: the pruned tier's candidate count is kp-dependent —
+    PRUNE_M (8) up to 128 clusters, PRUNE_M_LARGE (16) above (measured
+    strictly better at kp >= 256: 3.6x at 9.4e-5 mismatch vs 7.6x at
+    the 1.0e-3 bar, docs/perf.md). Both knobs flow through
+    set_loop_knobs."""
+    from kmeans_tpu.ops import kernels as k_mod
+
+    assert k_mod.prune_m_for(16) == k_mod.PRUNE_M
+    assert k_mod.prune_m_for(128) == k_mod.PRUNE_M
+    assert k_mod.prune_m_for(129) == k_mod.PRUNE_M_LARGE
+    assert k_mod.prune_m_for(512) == k_mod.PRUNE_M_LARGE
+    assert (k_mod.PRUNE_M, k_mod.PRUNE_M_LARGE) == (8, 16)
+    prev = k_mod.set_loop_knobs(prune_m_large=32)
+    try:
+        assert k_mod.prune_m_for(256) == 32
+        assert k_mod.prune_m_for(64) == k_mod.PRUNE_M
+    finally:
+        k_mod.set_loop_knobs(prune_m_large=prev[9])
+
+
+def test_prune_m_large_reaches_kernel():
+    """The kp > PRUNE_M_GATE branch of `prune_m_for` must actually steer
+    the accumulator's pruned screen: with the gate lowered to 16 and
+    (prune_m=1, prune_m_large=3), a kp=20 pruned run must be bit-equal
+    to a uniform m=3 reference (had the small knob leaked through, it
+    would equal the distinguishable uniform m=1 reference instead). The
+    gate knob exists precisely so this runs at interpret-friendly kp —
+    at the production gate the same check needs kp=132 compiles
+    (~6 min on the CPU interpreter)."""
+    from kmeans_tpu.ops import kernels as k_mod
+    from kmeans_tpu.ops.kernels import lloyd_accumulate, pack_lab_planes
+
+    rng = np.random.default_rng(3)
+    pix = jnp.asarray(rng.uniform(0, 100, (300, 3)).astype(np.float32))
+    cents = jnp.asarray(rng.uniform(0, 100, (20, 3)).astype(np.float32))
+    planes, n = pack_lab_planes(pix)
+
+    def run():
+        return np.asarray(
+            lloyd_accumulate(
+                planes, cents, n, interpret=True, metric="cie2000",
+                fast=True,
+            )
+        )
+
+    prev = k_mod.set_loop_knobs(prune_m=3, prune_m_large=3, prune_m_gate=16)
+    try:
+        ref3 = run()
+        k_mod.set_loop_knobs(prune_m=1, prune_m_large=1)
+        ref1 = run()
+        assert not np.array_equal(ref1, ref3)  # m=1 vs m=3 distinguishable
+        k_mod.set_loop_knobs(prune_m=1, prune_m_large=3)
+        np.testing.assert_array_equal(run(), ref3)
+    finally:
+        k_mod.set_loop_knobs(
+            prune_m=prev[4], prune_m_large=prev[9], prune_m_gate=prev[10]
+        )
 
 
 def test_lloyd_accumulate_prune_default_m_quality():
