@@ -10,8 +10,13 @@ the env var from inside register() (a bare env wrap silently runs on
 the hardware backend).
 
     python tools/load_serve.py [clients=8] [requests_per_client=4] \
-        [window_ms=25] [endpoint=reduce|find|palette] [size=320x240] \
-        [train=256|full]
+        [window_ms=25] [endpoint=reduce|find|palette|mixed] [size=320x240] \
+        [train=256|full] [k=8]
+
+`mixed` assigns each client one of the three endpoints round-robin
+(concurrent different-key traffic). Every run now also measures and
+embeds the session wire rates (up/down MB/s + call latency), so rps
+rows carry their transport context.
 
 `train=full` serves with `train_max_size=None` (full-resolution training):
 combined with a frame size above 1024x1024 pixels the bucket routes to
@@ -56,15 +61,24 @@ def _png_body(width: int = 320, height: int = 240):
 FIND_COLORS = "dc3228,28c846,3c46dc,f0f0f0,101010,c8a028,28b4b4,9632c8"
 
 
+def _paths(endpoint: str, k: int) -> list[str]:
+    """Request path(s) for an endpoint selector; `mixed` round-robins
+    all three (distinct batcher keys — the mixed-key concurrency row)."""
+    table = {
+        "reduce": f"/reduce?k={k}",
+        "find": f"/find?colors={FIND_COLORS}",
+        "palette": f"/palette?k={k}",
+    }
+    if endpoint == "mixed":
+        return [table["reduce"], table["palette"], table["find"]]
+    return [table[endpoint]]
+
+
 def _run(window_s: float, body: bytes, clients: int, per_client: int,
-         endpoint: str = "reduce", train_max_size="default"):
+         endpoint: str = "reduce", train_max_size="default", k: int = 8):
     from kmeans_tpu.serve import create_server
 
-    path = {
-        "reduce": "/reduce?k=8",
-        "find": f"/find?colors={FIND_COLORS}",
-        "palette": "/palette?k=8",
-    }[endpoint]
+    paths = _paths(endpoint, k)
     processor = None
     if train_max_size != "default":
         from kmeans_tpu.api import ImageProcessor
@@ -78,10 +92,11 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
     addr = srv.server_address
     try:
         # Warm every executable out of band so the measurement is
-        # steady-state serving, not compiles: the solo path plus every
+        # steady-state serving, not compiles: the solo path(s) plus every
         # frame-count bucket the batcher can hit (batch sizes vary run to
         # run; each frame bucket is its own executable).
-        _post(addr, body, path)
+        for path in paths:
+            _post(addr, body, path)
         import numpy as np
 
         from kmeans_tpu.api import ReduceMode
@@ -93,12 +108,16 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         buckets = sorted(
             {bucket_frames(n) for n in range(2, srv.service.batcher.max_batch + 1)}
         )
+        eps = (
+            ("reduce", "palette", "find") if endpoint == "mixed"
+            else (endpoint,)
+        )
         for fb in buckets:
-            if endpoint == "reduce":
-                proc.reduce_many([img] * fb, 8, ReduceMode.REPLACE)
-            elif endpoint == "palette":
-                proc.palette_many([img] * fb, 8)
-            else:
+            if "reduce" in eps:
+                proc.reduce_many([img] * fb, k, ReduceMode.REPLACE)
+            if "palette" in eps:
+                proc.palette_many([img] * fb, k)
+            if "find" in eps:
                 colors = np.asarray(
                     [[int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16), 255]
                      for c in FIND_COLORS.split(",")], np.uint8,
@@ -107,13 +126,19 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
 
         errors = []
 
-        def client():
+        def client(ci):
+            # mixed mode: each client sticks to one endpoint (concurrent
+            # DIFFERENT-key traffic), round-robined across clients.
+            path = paths[ci % len(paths)]
             for _ in range(per_client):
                 status = _post(addr, body, path)
                 if status != 200:
                     errors.append(status)
 
-        threads = [threading.Thread(target=client) for _ in range(clients)]
+        threads = [
+            threading.Thread(target=client, args=(ci,))
+            for ci in range(clients)
+        ]
         t0 = time.perf_counter()
         for t in threads:
             t.start()
@@ -151,7 +176,7 @@ def main() -> None:
     per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     window_ms = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
     endpoint = sys.argv[4] if len(sys.argv) > 4 else "reduce"
-    assert endpoint in ("reduce", "find", "palette"), endpoint
+    assert endpoint in ("reduce", "find", "palette", "mixed"), endpoint
     size = sys.argv[5] if len(sys.argv) > 5 else "320x240"
     w, _, h = size.lower().partition("x")
     train = sys.argv[6] if len(sys.argv) > 6 else "default"
@@ -159,12 +184,28 @@ def main() -> None:
         "default" if train == "default"
         else None if train == "full" else int(train)
     )
+    k = int(sys.argv[7]) if len(sys.argv) > 7 else 8
 
     body = _png_body(int(w), int(h))
-    serial = _run(0.0, body, clients, per_client, endpoint, train_max_size)
+    # Session wire context (round 4): rps rows are meaningless across
+    # sessions without the transport rates they were captured at — the
+    # r02/r03 heavy rows differed 5.4 vs 3.9 serialized rps on tunnel
+    # weather alone. Measured with bench.py's in-run probes.
+    import bench as _bench
+
+    call_latency = _bench._measure_call_latency()
+    wire_up, wire_down = _bench._measure_wire_rates(call_latency)
+    print(
+        f"wire: up {wire_up:.1f} MB/s down {wire_down:.1f} MB/s "
+        f"latency {call_latency*1e3:.1f} ms", file=sys.stderr,
+    )
+    serial = _run(
+        0.0, body, clients, per_client, endpoint, train_max_size, k
+    )
     print(f"serialized: {serial}", file=sys.stderr)
     batched = _run(
-        window_ms / 1e3, body, clients, per_client, endpoint, train_max_size
+        window_ms / 1e3, body, clients, per_client, endpoint,
+        train_max_size, k,
     )
     print(f"batched:    {batched}", file=sys.stderr)
     print(
@@ -174,6 +215,10 @@ def main() -> None:
                 "clients": clients,
                 "size": size,
                 "train": train,
+                "k": k,
+                "wire_up_mb_s": round(wire_up, 1),
+                "wire_down_mb_s": round(wire_down, 1),
+                "call_latency_ms": round(call_latency * 1e3, 1),
                 "serialized_rps": serial["rps"],
                 "batched_rps": batched["rps"],
                 "speedup": round(batched["rps"] / serial["rps"], 2),
