@@ -421,6 +421,26 @@ def test_reduce_images_sharded_matches_per_image():
         assert frac > 0.99, f"frame {i}: {frac}"
 
 
+def test_reduce_images_sharded_bucketed_matches_per_image():
+    """The bucketing branch of the batched sharded entry point: frames
+    pad to their shape bucket, k to its bucket with k_active masking —
+    outputs must match per-image `reduce_sharded` on a bucketed
+    processor frame by frame."""
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+    imgs = [_blob_rgba(11, (40, 52)), _blob_rgba(12, (40, 52))]
+    mesh = make_mesh(jax.devices(), data=2, pixel=4)
+    mesh1 = make_mesh(jax.devices()[:4], data=1)
+    p = ImageProcessor(bucketing=True)
+    outs = p.reduce_images_sharded(imgs, 3, ReduceMode.REPLACE, mesh=mesh)
+    assert len(outs) == 2
+    for i, (im, out) in enumerate(zip(imgs, outs)):
+        assert out.pixels.shape == im.shape
+        ref = p.reduce_sharded(3, im, ReduceMode.REPLACE, mesh=mesh1)
+        frac = (out.pixels == ref.pixels).all(axis=-1).mean()
+        assert frac > 0.99, f"frame {i}: {frac}"
+
+
 def test_reduce_images_sharded_routes_like_fit_auto(monkeypatch):
     """The batched sharded fit must honor `_sharded_trainer_route` — a
     full-res-class batch (budget monkeypatched down) routes the
