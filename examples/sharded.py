@@ -55,6 +55,23 @@ def main() -> None:
     save_image(Image((w, h), out), dst)
     print(f"wrote {dst}: {len(np.unique(out.reshape(-1, 4), axis=0))} colors")
 
+    # Batched DP x SP (round 4): several frames train their own palettes
+    # in ONE executable — frames over the mesh's data axis, pixels over
+    # its pixel axis — through the high-level entry point.
+    if len(devices) >= 4 and len(devices) % 2 == 0:
+        from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+        dpsp = make_mesh(devices, data=2)
+        frames = [image, Image((w, h), image.pixels[::-1].copy())]
+        outs = ImageProcessor().reduce_images_sharded(
+            frames, k, ReduceMode.REPLACE, mesh=dpsp
+        )
+        print(
+            f"reduce_images_sharded: {len(outs)} frames on a 2x"
+            f"{len(devices) // 2} mesh, "
+            f"{len(np.unique(outs[0].pixels.reshape(-1, 4), axis=0))} colors"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -1075,9 +1075,12 @@ class ImageProcessor:
         only the ~0.2 MB strip uploads instead of the full image
         (~25 MB at 4K). Identity when pipeline mode is off or the image
         is already within `train_max_size`. Deviation policy (why this
-        is opt-in): bit-equal to the device shrink on CPU; on TPU the
-        f32 resample can round isolated strip pixels one u8 step
-        differently (docs/perf.md)."""
+        is opt-in): within ONE u8 step of the device shrink — numpy
+        evaluates the same f32 expressions without XLA's FMA
+        contraction, so isolated x.5-boundary pixels round one step
+        apart (on CPU backends too, rarely; routinely on TPU), which can
+        in turn flip a boundary channel of a trained centroid by one
+        step (docs/perf.md; soaked in tools/soak.py)."""
         h, w = rgb_u8.shape[:2]
         sw, sh = self._pipeline_strip_dims(w, h)
         if (sw, sh) == (w, h):

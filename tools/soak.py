@@ -143,16 +143,21 @@ def main(trials: int = 60) -> int:
         if t % 10 == 0:
             print(f"  bucketing soak {t} ok", flush=True)
 
-    # pipeline=True (host-shrunk training strip + banded reduce): on CPU
-    # the host shrink mirrors the device sampler bit-exactly (verified
-    # inline below), so palette and reduce must equal the default paths
-    # up to ONE u8 rounding step per channel: the strip-input and
-    # fused-resize executables are DIFFERENT XLA programs, whose f32
-    # centroid-sum association can differ in the last ulp — when a
-    # centroid channel sits on the x.5 rounding boundary, its u8 value
-    # flips by 1 (observed at 270x228 k=5: one channel 94 vs 95; the
-    # vmap-reordering deviation class). Sizes straddle the 256px
-    # training shrink so both the strip-upload and no-shrink guards run.
+    # pipeline=True (host-shrunk training strip + banded reduce): the
+    # host strip mirrors the device shrink to within ONE u8 rounding
+    # step (resize_uint8_np's documented deviation — numpy evaluates the
+    # same f32 expressions without XLA's FMA contraction, so isolated
+    # x.5-boundary pixels round one step apart), and palette/reduce
+    # must match the default paths to the same one-step tolerance (a
+    # one-step training pixel or a last-ulp centroid-sum reorder flips a
+    # boundary centroid channel; observed 270x228 k=5: one channel 94 vs
+    # 95). Sizes straddle the 256px training shrink so both the
+    # strip-upload and no-shrink guards run. The shrink comparison only
+    # runs where a real shrink applies: the sampler follows the
+    # reference's no-+0.5 convention (resize.wgsl:15 — gid/out_dims into
+    # a bilinear sampler), under which a same-size resize is a
+    # half-texel blur, and the product guards same-size calls out on
+    # both paths.
     from kmeans_tpu.api import _host_rgb as _soak_host_rgb
     from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
 
@@ -165,13 +170,17 @@ def main(trials: int = 60) -> int:
             (w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
         )
         sw, sh = shrunk_dimensions(w, h, pipe_p.train_max_size)
-        strip = pipe_p._pipeline_strip(_soak_host_rgb(img.pixels))
-        dev = np.asarray(
-            resize_uint8(jnp.asarray(_soak_host_rgb(img.pixels)), sh, sw)
-        )
-        if not np.array_equal(strip, dev):
-            print(f"[FAIL] pipeline strip != device shrink trial={t} {h}x{w}")
-            failures += 1
+        if (sw, sh) != (w, h):
+            strip = pipe_p._pipeline_strip(_soak_host_rgb(img.pixels))
+            dev = np.asarray(
+                resize_uint8(jnp.asarray(_soak_host_rgb(img.pixels)), sh, sw)
+            )
+            if np.abs(strip.astype(int) - dev.astype(int)).max() > 1:
+                print(
+                    f"[FAIL] pipeline strip vs device shrink > 1 step "
+                    f"trial={t} {h}x{w}"
+                )
+                failures += 1
         pa = exact_p.palette(k, img)
         pb = pipe_p.palette(k, img)
         if np.abs(pa.astype(int) - pb.astype(int)).max() > 1:
