@@ -231,9 +231,7 @@ def _fit_auto(
         # fully-unrolled program round 2 rejected —
         # tools/exp_accum_2000.py). The row-chunked XLA trainer remains
         # the CPU and k > ACCUM_MAX_K fallback.
-        if pallas_ok and k <= ACCUM_MAX_K and metric in (
-            "cie94", "cie2000"
-        ):
+        if pallas_ok and k <= ACCUM_MAX_K:
             return fit_pallas()
         return kmeans_model.fit_chunked(
             work, k, first_index, restarts=restarts, convergence=convergence,
@@ -285,9 +283,7 @@ def _sharded_trainer_route(
 
     pallas_ok = use_pallas and metric in PALLAS_METRICS
     if kp > 64 and n_px * kp > _CHUNKED_TRAIN_ELEMS:
-        if pallas_ok and kp <= ACCUM_MAX_K and metric in (
-            "cie94", "cie2000"
-        ):
+        if pallas_ok and kp <= ACCUM_MAX_K:
             return "pallas"
         return "chunked"
     if pallas_ok and kp <= 64 and n_px > _LARGE_TRAIN_PIXELS:

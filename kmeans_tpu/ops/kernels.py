@@ -164,7 +164,12 @@ def set_loop_knobs(
     tests/conftest.py) must go through this helper. Returns the previous
     values `(kp_max, chunk, kp_max_2000, chunk_2000, prune_m,
     prune_chunk, accum_kp_2000, accum_chunk_2000, accum_mask_chunk,
-    prune_m_large, prune_m_gate)`."""
+    prune_m_large, prune_m_gate)`.
+
+    `prune_m` alone pins M at EVERY kp (it also sets the large tier);
+    pass `prune_m_large` in the same call to keep the tiers split —
+    restores must therefore pass BOTH (`prune_m=prev[4],
+    prune_m_large=prev[9]`)."""
     global UNROLL_KP_MAX, UNROLL_CHUNK, UNROLL_KP_MAX_2000, UNROLL_CHUNK_2000
     global PRUNE_M, PRUNE_CHUNK, PRUNE_M_LARGE, PRUNE_M_GATE
     global ACCUM_UNROLL_2000, ACCUM_CHUNK_2000, ACCUM_MASK_CHUNK
@@ -184,6 +189,13 @@ def set_loop_knobs(
         UNROLL_CHUNK_2000 = chunk_2000
     if prune_m is not None:
         PRUNE_M = prune_m
+        # A sweep that pins M means M at EVERY kp: without this, a
+        # `prune_m=4` sweep at kp > PRUNE_M_GATE would silently measure
+        # PRUNE_M_LARGE (the round-4 self-review caught exactly that in
+        # tools/exp_prune.py's k=256 rows). Pass prune_m_large in the
+        # same call to keep the tiers split.
+        if prune_m_large is None:
+            PRUNE_M_LARGE = prune_m
     if prune_chunk is not None:
         PRUNE_CHUNK = prune_chunk
     if accum_kp_2000 is not None:

@@ -27,6 +27,7 @@ Design notes:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import re
@@ -47,10 +48,13 @@ POST_ENDPOINTS = ("/reduce", "/palette", "/find", "/reduce-gif", "/find-gif")
 
 
 class ServiceOverloaded(RuntimeError):
-    """Raised by the batcher when `max_pending` requests are already
+    """Raised when `max_pending` device-bound requests are already
     queued — mapped to HTTP 503 + Retry-After by the handler (bounded
     backpressure beats unbounded queue growth under sustained
-    overload)."""
+    overload). Enforced at the SERVICE level (`_device_slot`), so it
+    covers every path that queues on the device lock: batched kmeans
+    traffic, the window=0 serialized paths, CPU-algorithm /reduce, and
+    the GIF endpoints alike."""
 
     retry_after_s = 2
 
@@ -77,20 +81,10 @@ class _MicroBatcher:
 
     def __init__(
         self, service, window_s: float = 0.005, max_batch: int = 16,
-        max_pending: int = 64,
     ):
         self.service = service
         self.window_s = window_s
         self.max_batch = max_batch
-        # Backpressure (round 4): continuous batching queues arrivals
-        # behind the in-flight launch without bound — a sustained
-        # overload would grow device-side batch sizes and client
-        # latencies indefinitely. Past `max_pending` registered-but-
-        # unfinished requests, _submit raises ServiceOverloaded (mapped
-        # to HTTP 503 + Retry-After) instead of joining. 0 = unlimited.
-        self.max_pending = max_pending
-        self._in_flight = 0
-        self.overload_rejections = 0
         self._lock = threading.Lock()
         self._pending: dict[tuple, list] = {}
         # Telemetry for the load test / stats: launches vs requests, and
@@ -105,7 +99,7 @@ class _MicroBatcher:
         from kmeans_tpu.api import Algorithm
 
         if self.window_s <= 0:
-            with self.service._lock:
+            with self.service._device_slot(), self.service._lock:
                 return self.service.processor.reduce(
                     k, image, Algorithm.KMEANS, mode
                 )
@@ -120,7 +114,7 @@ class _MicroBatcher:
         key for 'same palette' (concurrent clients recoloring with one
         brand palette is the expected shape of /find traffic)."""
         if self.window_s <= 0:
-            with self.service._lock:
+            with self.service._device_slot(), self.service._lock:
                 return self.service.processor.find(image, palette, mode)
         return self._submit(
             ("find", palette_key, mode.value),
@@ -130,7 +124,7 @@ class _MicroBatcher:
 
     def palette(self, image, k: int, algo):
         if self.window_s <= 0:
-            with self.service._lock:
+            with self.service._device_slot(), self.service._lock:
                 return self.service.processor.palette(k, image, algo)
         return self._submit(
             ("palette", int(k), algo.value),
@@ -145,29 +139,20 @@ class _MicroBatcher:
             "result": None,
             "error": None,
         }
-        with self._lock:
-            if self.max_pending and self._in_flight >= self.max_pending:
-                self.overload_rejections += 1
-                raise ServiceOverloaded(
-                    f"{self._in_flight} requests already pending"
-                )
-            self._in_flight += 1
-            batch = self._pending.get(key)
-            leader = batch is None
-            if leader:
-                batch = []
-                self._pending[key] = batch
-            batch.append(entry)
-            if len(batch) >= self.max_batch and self._pending.get(key) is batch:
-                del self._pending[key]  # close: next arrival starts fresh
-        try:
-            return self._run(key, entry, batch, leader, batch_fn)
-        finally:
-            # Exactly-once per entry, in its own submitter's thread —
-            # leaders and followers alike, on success, error, or timeout
-            # (the backpressure count must never leak).
+        # The slot is taken BEFORE the entry joins a batch and released
+        # in this submitter's own thread on success, error, or timeout
+        # (the service's backpressure count must never leak).
+        with self.service._device_slot():
             with self._lock:
-                self._in_flight -= 1
+                batch = self._pending.get(key)
+                leader = batch is None
+                if leader:
+                    batch = []
+                    self._pending[key] = batch
+                batch.append(entry)
+                if len(batch) >= self.max_batch and self._pending.get(key) is batch:
+                    del self._pending[key]  # close: next arrival starts fresh
+            return self._run(key, entry, batch, leader, batch_fn)
 
     def _run(self, key, entry, batch, leader, batch_fn):
         if leader:
@@ -237,14 +222,45 @@ class QuantizeService:
             processor = ImageProcessor(bucketing=True)
         self.processor = processor
         self._lock = threading.Lock()
-        self.batcher = _MicroBatcher(
-            self, window_s=batch_window_s, max_pending=max_pending
-        )
+        # Backpressure (round 4): continuous batching — and plain
+        # serialization behind the device lock — queue arrivals without
+        # bound; a sustained overload would grow every client's latency
+        # indefinitely. Past `max_pending` device-bound requests
+        # (batched kmeans, window=0 serialized, CPU-algorithm /reduce,
+        # and the GIF endpoints alike), `_device_slot` raises
+        # ServiceOverloaded (mapped to HTTP 503 + Retry-After) instead
+        # of queueing. 0 = unlimited.
+        self.max_pending = max_pending
+        self.overload_rejections = 0
+        self._pending_count = 0
+        self._pending_lock = threading.Lock()
+        self.batcher = _MicroBatcher(self, window_s=batch_window_s)
         # Per-endpoint request counters + latency accumulators (observed
         # under _stats_lock; exposed at GET /stats).
+        # (deep_health deliberately bypasses _device_slot: the health
+        # probe must keep answering while the service sheds load.)
         self._stats_lock = threading.Lock()
         self._stats: dict[str, dict] = {}
         self._started = time.time()
+
+    @contextlib.contextmanager
+    def _device_slot(self):
+        """Occupy one of the `max_pending` device-queue slots for the
+        duration of a device-bound request (including its wait on the
+        device lock); raise ServiceOverloaded when none is free. O(1)
+        under its own lock — rejection costs no device work."""
+        with self._pending_lock:
+            if self.max_pending and self._pending_count >= self.max_pending:
+                self.overload_rejections += 1
+                raise ServiceOverloaded(
+                    f"{self._pending_count} requests already pending"
+                )
+            self._pending_count += 1
+        try:
+            yield
+        finally:
+            with self._pending_lock:
+                self._pending_count -= 1
 
     def record(self, endpoint: str, seconds: float, ok: bool) -> None:
         with self._stats_lock:
@@ -281,9 +297,12 @@ class QuantizeService:
                      str(size): n
                      for size, n in sorted(self.batcher.batch_sizes.items())
                  },
-                 "max_pending": self.batcher.max_pending,
-                 "pending": self.batcher._in_flight,
-                 "overload_rejections": self.batcher.overload_rejections,
+             },
+             # Service-wide (covers batched AND direct device paths).
+             "backpressure": {
+                 "max_pending": self.max_pending,
+                 "pending": self._pending_count,
+                 "overload_rejections": self.overload_rejections,
              }},
             indent=2,
         ).encode()
@@ -301,7 +320,7 @@ class QuantizeService:
             # executable launch (any image sizes; see _MicroBatcher).
             out = self.batcher.reduce(image, k, ReduceMode(mode))
         else:
-            with self._lock:
+            with self._device_slot(), self._lock:
                 out = self.processor.reduce(
                     k, image, Algorithm(algo), ReduceMode(mode)
                 )
@@ -343,7 +362,7 @@ class QuantizeService:
         if k > 256:
             raise ValueError("GIF output requires k <= 256")
         frames, delays = _decode_gif(body)
-        with self._lock:
+        with self._device_slot(), self._lock:
             if palette_mode == "global":
                 palette = self.processor.palette_images(frames, k)
                 outs = self.processor.find_batch(frames, palette, ReduceMode(mode))
@@ -393,7 +412,7 @@ class QuantizeService:
         if palette.shape[0] > 256:
             raise ValueError("GIF output requires a palette of <= 256 colors")
         frames, delays = _decode_gif(body)
-        with self._lock:
+        with self._device_slot(), self._lock:
             outs = self.processor.find_batch(frames, palette, ReduceMode(mode))
         return encode_gif_bytes(outs, delays=delays)
 
@@ -443,11 +462,16 @@ def _make_handler(service: QuantizeService):
         def log_message(self, fmt, *args):  # route through logging, not stderr
             log.info("%s " + fmt, self.address_string(), *args)
 
-        def _reply(self, code: int, body: bytes, ctype: str):
+        def _reply(
+            self, code: int, body: bytes, ctype: str,
+            headers: dict | None = None,
+        ):
             self._last_code = code
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -455,15 +479,7 @@ def _make_handler(service: QuantizeService):
             # Error paths may leave the request body unread; closing the
             # connection keeps HTTP/1.1 keep-alive streams in sync.
             self.close_connection = True
-            body = (msg + "\n").encode()
-            self._last_code = code
-            self.send_response(code)
-            self.send_header("Content-Type", "text/plain")
-            self.send_header("Content-Length", str(len(body)))
-            for k, v in (headers or {}).items():
-                self.send_header(k, v)
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply(code, (msg + "\n").encode(), "text/plain", headers)
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -676,8 +692,9 @@ def main(argv=None) -> int:
         type=int,
         default=64,
         help="bounded backpressure: past this many queued-but-unfinished "
-        "batched requests, new ones get 503 + Retry-After instead of "
-        "queueing unboundedly (0 = unlimited)",
+        "device-bound requests (batched or not, GIF endpoints included), "
+        "new ones get 503 + Retry-After instead of queueing unboundedly "
+        "(0 = unlimited)",
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

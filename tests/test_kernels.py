@@ -218,7 +218,7 @@ def test_lloyd_accumulate_prune_full_m_matches_exact():
                     got[:, 4], want[:, 4], rtol=1e-6, err_msg=str(kwargs)
                 )
     finally:
-        k_mod.set_loop_knobs(prune_m=prev[4])
+        k_mod.set_loop_knobs(prune_m=prev[4], prune_m_large=prev[9])
 
 
 def test_lloyd_accumulate_cie2000_chunked_matches_unrolled():
@@ -301,8 +301,18 @@ def test_prune_m_kp_dependent_default():
     try:
         assert k_mod.prune_m_for(256) == 32
         assert k_mod.prune_m_for(64) == k_mod.PRUNE_M
+        # A sweep that pins prune_m ALONE means M at every kp — without
+        # this, an M sweep at kp > gate silently measures PRUNE_M_LARGE
+        # (round-4 review: exp_prune.py's k=256 rows did exactly that).
+        k_mod.set_loop_knobs(prune_m=4)
+        assert k_mod.prune_m_for(64) == 4
+        assert k_mod.prune_m_for(256) == 4
+        # ...while passing both keeps the tiers split.
+        k_mod.set_loop_knobs(prune_m=4, prune_m_large=24)
+        assert k_mod.prune_m_for(64) == 4
+        assert k_mod.prune_m_for(256) == 24
     finally:
-        k_mod.set_loop_knobs(prune_m_large=prev[9])
+        k_mod.set_loop_knobs(prune_m=prev[4], prune_m_large=prev[9])
 
 
 def test_prune_m_large_reaches_kernel():
@@ -1020,7 +1030,7 @@ def test_prune_full_m_matches_exact():
             )
             np.testing.assert_array_equal(got, want, err_msg=mode)
     finally:
-        k_mod.set_loop_knobs(prune_m=prev[4])
+        k_mod.set_loop_knobs(prune_m=prev[4], prune_m_large=prev[9])
 
 
 def test_prune_default_m_quality_and_k_active():

@@ -237,9 +237,10 @@ def test_main_flags_parsing(monkeypatch):
         def server_close(self):
             pass
 
-    def fake_create(host, port, processor, batch_window_s):
+    def fake_create(host, port, processor, batch_window_s, max_pending):
         captured["proc"] = processor
         captured["window"] = batch_window_s
+        captured["max_pending"] = max_pending
         return DummyServer()
 
     monkeypatch.setattr(serve_mod, "create_server", fake_create)
@@ -254,6 +255,7 @@ def test_main_flags_parsing(monkeypatch):
     assert p.delta_e == "cie2000" and p.restarts == 2
     assert p.train_max_size == 128 and p.bucketing is True
     assert captured["window"] == 0.0075
+    assert captured["max_pending"] == 64  # default reaches create_server
 
 
 def test_dimension_bomb_request_is_400(server):
@@ -402,16 +404,66 @@ def test_micro_batcher_backpressure_rejects_past_max_pending():
     time.sleep(0.1)
     with pytest.raises(ServiceOverloaded):
         svc.batcher.reduce(object(), 3, ReduceMode.REPLACE)
-    assert svc.batcher.overload_rejections == 1
+    assert svc.overload_rejections == 1
     release.set()
     for t in threads:
         t.join(10)
     assert results == ["out", "out"]
-    assert svc.batcher._in_flight == 0  # every slot returned
+    assert svc._pending_count == 0  # every slot returned
     # drained queue accepts again
     assert svc.batcher.reduce(object(), 3, ReduceMode.REPLACE) == "out"
-    assert json.loads(svc.stats())["batching"]["overload_rejections"] == 1
-    assert json.loads(svc.stats())["batching"]["max_pending"] == 2
+    assert json.loads(svc.stats())["backpressure"]["overload_rejections"] == 1
+    assert json.loads(svc.stats())["backpressure"]["max_pending"] == 2
+
+
+def test_backpressure_covers_direct_device_paths():
+    """The pending bound lives at the SERVICE level (round-4 review
+    finding): non-batched device paths — CPU-algorithm /reduce, the GIF
+    endpoints, and the window=0 serialized routes — must shed load with
+    ServiceOverloaded too, not queue unboundedly behind the device lock
+    while only batched kmeans traffic is protected."""
+    from kmeans_tpu.api import ReduceMode
+    from kmeans_tpu.serve import QuantizeService, ServiceOverloaded
+
+    release = threading.Event()
+    started = threading.Event()
+
+    class SlowProcessor:
+        def find_batch(self, frames, palette, mode):
+            started.set()
+            assert release.wait(10)
+            return frames
+
+    svc = QuantizeService(
+        processor=SlowProcessor(), batch_window_s=0.0, max_pending=1
+    )
+    # Occupy the single slot with a direct device-path request
+    # (find_gif goes straight to the device lock, no batcher).
+    palette = np.asarray([[255, 0, 0, 255]], np.uint8)
+    frames = ["f0"]
+    errors = []
+
+    def gif_request():
+        try:
+            with svc._device_slot(), svc._lock:
+                svc.processor.find_batch(frames, palette, ReduceMode.REPLACE)
+        except Exception as e:  # pragma: no cover - should not happen
+            errors.append(e)
+
+    t = threading.Thread(target=gif_request)
+    t.start()
+    assert started.wait(10)
+    # Slot taken: a batcher submit AND another direct request both shed.
+    with pytest.raises(ServiceOverloaded):
+        svc.batcher.reduce(object(), 3, ReduceMode.REPLACE)  # window=0 path
+    with pytest.raises(ServiceOverloaded):
+        with svc._device_slot():
+            pass
+    assert svc.overload_rejections == 2
+    release.set()
+    t.join(10)
+    assert not errors
+    assert svc._pending_count == 0
 
 
 def test_micro_batcher_failed_close_never_leaves_zombie_batch():

@@ -120,7 +120,7 @@ def main() -> None:
             }
             results.append(r)
             print(json.dumps(r), flush=True)
-        kernels.set_loop_knobs(prune_m=8)
+        kernels.set_loop_knobs(prune_m=8, prune_m_large=16)
 
     with open("/tmp/exp_prune.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -86,7 +86,13 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         processor = ImageProcessor(
             bucketing=True, train_max_size=train_max_size
         )
-    srv = create_server(port=0, processor=processor, batch_window_s=window_s)
+    # max_pending=0: this is a measurement tool — with the server's
+    # default backpressure cap (64), a >64-client run would count 503
+    # load-shedding as errors and silently measure the limiter instead
+    # of the batcher.
+    srv = create_server(
+        port=0, processor=processor, batch_window_s=window_s, max_pending=0
+    )
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     addr = srv.server_address

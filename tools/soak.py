@@ -147,17 +147,41 @@ def main(trials: int = 60) -> int:
     # host strip mirrors the device shrink to within ONE u8 rounding
     # step (resize_uint8_np's documented deviation — numpy evaluates the
     # same f32 expressions without XLA's FMA contraction, so isolated
-    # x.5-boundary pixels round one step apart), and palette/reduce
-    # must match the default paths to the same one-step tolerance (a
-    # one-step training pixel or a last-ulp centroid-sum reorder flips a
-    # boundary centroid channel; observed 270x228 k=5: one channel 94 vs
-    # 95). Sizes straddle the 256px training shrink so both the
-    # strip-upload and no-shrink guards run. The shrink comparison only
-    # runs where a real shrink applies: the sampler follows the
-    # reference's no-+0.5 convention (resize.wgsl:15 — gid/out_dims into
-    # a bilinear sampler), under which a same-size resize is a
-    # half-texel blur, and the product guards same-size calls out on
-    # both paths.
+    # x.5-boundary pixels round one step apart). Downstream, that one
+    # training-pixel step shifts the trained centroids a little — which
+    # can do more than move a channel one step (observed 270x228 k=5:
+    # 94 vs 95): two near-equal-L* centroids can SWAP sort order, and a
+    # knife-edge pixel can flip its argmin to a *different palette
+    # entry* (or flip a dither threshold decision). So the bars are
+    # deviation-mode-shaped, not elementwise (round-4 review finding):
+    # palettes match under order-free nearest pairing within a few
+    # steps, and reduce outputs may differ arbitrarily on a tiny
+    # knife-edge fraction of pixels while the rest stay within the
+    # centroid-drift bound. Sizes straddle the 256px training shrink so
+    # both the strip-upload and no-shrink guards run. The shrink
+    # comparison only runs where a real shrink applies: the sampler
+    # follows the reference's no-+0.5 convention (resize.wgsl:15 —
+    # gid/out_dims into a bilinear sampler), under which a same-size
+    # resize is a half-texel blur, and the product guards same-size
+    # calls out on both paths.
+    def _palettes_paired_close(pa, pb, tol=3):
+        """Order-free palette comparison: every entry of each palette
+        must have a distinct partner in the other within `tol` u8 steps
+        (greedy nearest pairing — sort-order swaps don't fail it)."""
+        a, b = pa.astype(int), pb.astype(int)
+        if a.shape != b.shape:
+            return False
+        used = [False] * len(b)
+        for row in a:
+            d = np.abs(b - row).max(axis=1)
+            j = min(
+                (jj for jj in range(len(b)) if not used[jj]),
+                key=lambda jj: d[jj],
+            )
+            if d[j] > tol:
+                return False
+            used[j] = True
+        return True
     from kmeans_tpu.api import _host_rgb as _soak_host_rgb
     from kmeans_tpu.ops.resize import resize_uint8, shrunk_dimensions
 
@@ -183,15 +207,19 @@ def main(trials: int = 60) -> int:
                 failures += 1
         pa = exact_p.palette(k, img)
         pb = pipe_p.palette(k, img)
-        if np.abs(pa.astype(int) - pb.astype(int)).max() > 1:
+        if not _palettes_paired_close(pa, pb):
             print(f"[FAIL] pipeline palette != default trial={t} {h}x{w} k={k}")
             failures += 1
         mode = ReduceMode(["replace", "dither"][t % 2])
         ra = exact_p.reduce(k, img, reduce_mode=mode)
         rb = pipe_p.reduce(k, img, reduce_mode=mode)
-        if np.abs(
+        px_diff = np.abs(
             ra.pixels.astype(int) - rb.pixels.astype(int)
-        ).max() > 1:
+        ).max(axis=-1)
+        # <=1% of pixels may flip to a different palette entry
+        # (knife-edge argmin/threshold under the strip's 1-step
+        # deviation); everything else stays within centroid drift.
+        if (px_diff > 3).mean() > 0.01:
             print(f"[FAIL] pipeline reduce != default trial={t} {h}x{w} k={k} {mode}")
             failures += 1
         if t % 5 == 0:
