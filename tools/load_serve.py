@@ -11,12 +11,23 @@ the hardware backend).
 
     python tools/load_serve.py [clients=8] [requests_per_client=4] \
         [window_ms=25] [endpoint=reduce|find|palette|mixed] [size=320x240] \
-        [train=256|full] [k=8]
+        [train=256|full] [k=8] [open_rate=0]
 
 `mixed` assigns each client one of the three endpoints round-robin
 (concurrent different-key traffic). Every run now also measures and
 embeds the session wire rates (up/down MB/s + call latency), so rps
 rows carry their transport context.
+
+`open_rate > 0` switches from the closed-loop generator (every client
+fires its next request the moment the previous returns — the worst
+case for heavy-bucket batching, since batch completion synchronizes
+all clients into lockstep and the device idles during their shared
+HTTP turnaround) to an OPEN generator: request start times are drawn
+from a Poisson process at `open_rate` total requests/sec, split across
+the clients, so arrivals stay independent of completions (a thread
+that falls behind its schedule fires immediately). Open runs report
+achieved rps AND latency percentiles — the metrics that matter for a
+rate-driven service.
 
 `train=full` serves with `train_max_size=None` (full-resolution training):
 combined with a frame size above 1024x1024 pixels the bucket routes to
@@ -75,7 +86,8 @@ def _paths(endpoint: str, k: int) -> list[str]:
 
 
 def _run(window_s: float, body: bytes, clients: int, per_client: int,
-         endpoint: str = "reduce", train_max_size="default", k: int = 8):
+         endpoint: str = "reduce", train_max_size="default", k: int = 8,
+         open_rate: float = 0.0):
     from kmeans_tpu.serve import create_server
 
     paths = _paths(endpoint, k)
@@ -131,13 +143,38 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
                 proc.find_many([img] * fb, colors, ReduceMode.REPLACE)
 
         errors = []
+        latencies: list[float] = []
+        lat_lock = threading.Lock()
+        # Open mode: one global Poisson schedule split across clients —
+        # arrival k+1 fires expovariate(open_rate) after arrival k,
+        # INDEPENDENT of when any response comes back. Each client owns
+        # every clients-th arrival; a client behind schedule fires
+        # immediately (the schedule, not the completions, drives load).
+        schedule = None
+        if open_rate > 0:
+            import random as _random
+
+            rand = _random.Random(417)
+            t = 0.0
+            schedule = []
+            for _ in range(clients * per_client):
+                t += rand.expovariate(open_rate)
+                schedule.append(t)
 
         def client(ci):
             # mixed mode: each client sticks to one endpoint (concurrent
             # DIFFERENT-key traffic), round-robined across clients.
             path = paths[ci % len(paths)]
-            for _ in range(per_client):
+            for ri in range(per_client):
+                if schedule is not None:
+                    due = t0 + schedule[ri * clients + ci]
+                    delay = due - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+                ts = time.perf_counter()
                 status = _post(addr, body, path)
+                with lat_lock:
+                    latencies.append(time.perf_counter() - ts)
                 if status != 200:
                     errors.append(status)
 
@@ -154,7 +191,8 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         assert not errors, errors
         n = clients * per_client
         b = srv.service.batcher
-        return {
+        lat = sorted(latencies)
+        result = {
             "window_ms": window_s * 1e3,
             "requests": n,
             "seconds": round(elapsed, 3),
@@ -162,7 +200,13 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
             "device_launches": b.batches if window_s > 0 else n,
             "requests_batched": b.batched_requests,
             "batch_size_hist": dict(sorted(b.batch_sizes.items())),
+            "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+            "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1),
+            "max_ms": round(lat[-1] * 1e3, 1),
         }
+        if open_rate > 0:
+            result["offered_rps"] = open_rate
+        return result
     finally:
         srv.shutdown()
         srv.server_close()
@@ -191,6 +235,7 @@ def main() -> None:
         else None if train == "full" else int(train)
     )
     k = int(sys.argv[7]) if len(sys.argv) > 7 else 8
+    open_rate = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
 
     body = _png_body(int(w), int(h))
     # Session wire context (round 4): rps rows are meaningless across
@@ -206,12 +251,13 @@ def main() -> None:
         f"latency {call_latency*1e3:.1f} ms", file=sys.stderr,
     )
     serial = _run(
-        0.0, body, clients, per_client, endpoint, train_max_size, k
+        0.0, body, clients, per_client, endpoint, train_max_size, k,
+        open_rate,
     )
     print(f"serialized: {serial}", file=sys.stderr)
     batched = _run(
         window_ms / 1e3, body, clients, per_client, endpoint,
-        train_max_size, k,
+        train_max_size, k, open_rate,
     )
     print(f"batched:    {batched}", file=sys.stderr)
     print(
@@ -222,6 +268,7 @@ def main() -> None:
                 "size": size,
                 "train": train,
                 "k": k,
+                "open_rate": open_rate,
                 "wire_up_mb_s": round(wire_up, 1),
                 "wire_down_mb_s": round(wire_down, 1),
                 "call_latency_ms": round(call_latency * 1e3, 1),
