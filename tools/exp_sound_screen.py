@@ -242,6 +242,57 @@ def survivors(rng, n_pix, k):
     }
 
 
+def survivors_trained(rng, k):
+    """Same survivor statistic with a REAL workload: tokyo's Lab pixels
+    against a Lloyd-trained k-palette of the same image (trained
+    palettes spread their centroids, so this is the realistic case; the
+    random-palette runs above are the pessimistic one)."""
+    import jax.numpy as jnp
+
+    from kmeans_tpu.models import kmeans as km
+    from kmeans_tpu.ops.colorspace import srgb_to_lab
+    from kmeans_tpu.ops.resize import resize_bilinear
+    from kmeans_tpu.utils.imageio import load_image
+
+    gfx = "/root/reference/gfx/tokyo.png"
+    if not os.path.exists(gfx):
+        return None
+    img = load_image(gfx)
+    rgb = jnp.asarray(img.pixels[..., :3], jnp.float32) / 255.0
+    lab = srgb_to_lab(rgb)
+    h, w = lab.shape[:2]
+    sh, sw = (256, max(1, round(w * 256 / h))) if h >= w else (
+        max(1, round(h * 256 / w)), 256,
+    )
+    shrunk = resize_bilinear(lab, sh, sw).reshape(-1, 3)
+    pal, _ = km.fit_restarts(
+        shrunk, k, km.reference_seed_index(sw, sh)
+    )
+    pal = np.asarray(pal)
+    pix = np.asarray(lab.reshape(-1, 3))
+    pix = pix[rng.choice(pix.shape[0], 20_000, replace=False)]
+    lb = np.empty((pix.shape[0], k))
+    ub = np.empty((pix.shape[0], k))
+    d = np.empty((pix.shape[0], k))
+    for j in range(k):
+        c = np.broadcast_to(pal[j].astype(np.float64), pix.shape)
+        lb[:, j], ub[:, j] = cie2000_sq_bounds(pix, c)
+        d[:, j] = cie2000_sq_ref(pix, c)
+    min_ub = ub.min(axis=1, keepdims=True)
+    surv = (lb <= min_ub).sum(axis=1)
+    arg = d.argmin(axis=1)
+    argmin_pruned = int((lb[np.arange(len(pix)), arg] > min_ub[:, 0]).sum())
+    return {
+        "k": k,
+        "workload": "tokyo + trained palette",
+        "survivors_mean": float(surv.mean()),
+        "survivors_p99": float(np.percentile(surv, 99)),
+        "survivors_p999": float(np.percentile(surv, 99.9)),
+        "survivors_max": int(surv.max()),
+        "argmin_pruned": argmin_pruned,
+    }
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     rng = np.random.default_rng(20260821)
@@ -250,6 +301,10 @@ def main():
     for k in (64, 128, 256):
         r = survivors(rng, 20_000, k)
         out[f"survivors_k{k}"] = r
+        print(json.dumps(r), flush=True)
+    r = survivors_trained(rng, 128)
+    if r is not None:
+        out["survivors_trained_k128"] = r
         print(json.dumps(r), flush=True)
     with open("/tmp/exp_sound_screen.json", "w") as f:
         json.dump(out, f, indent=1)
