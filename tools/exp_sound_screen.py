@@ -251,7 +251,7 @@ def survivors_trained(rng, k):
 
     from kmeans_tpu.models import kmeans as km
     from kmeans_tpu.ops.colorspace import srgb_to_lab
-    from kmeans_tpu.ops.resize import resize_bilinear
+    from kmeans_tpu.ops.resize import resize_bilinear, shrunk_dimensions
     from kmeans_tpu.utils.imageio import load_image
 
     gfx = "/root/reference/gfx/tokyo.png"
@@ -261,9 +261,10 @@ def survivors_trained(rng, k):
     rgb = jnp.asarray(img.pixels[..., :3], jnp.float32) / 255.0
     lab = srgb_to_lab(rgb)
     h, w = lab.shape[:2]
-    sh, sw = (256, max(1, round(w * 256 / h))) if h >= w else (
-        max(1, round(h * 256 / w)), 256,
-    )
+    # The REAL pipeline's shrink math (truncating, clamped) — an inline
+    # reimplementation here trained on dimensions the actual trainer
+    # never uses (round-4 review finding).
+    sw, sh = shrunk_dimensions(w, h, 256)
     shrunk = resize_bilinear(lab, sh, sw).reshape(-1, 3)
     pal, _ = km.fit_restarts(
         shrunk, k, km.reference_seed_index(sw, sh)

@@ -67,14 +67,11 @@ def main() -> None:
     src = srgb_to_lab(jnp.asarray(tokyo.pixels[..., :3], jnp.float32) / 255.0)
 
     def mean_err(img):
+        # Same metric as tests/test_golden.py: distance_cie94 already
+        # returns delta-E (not squared) — no extra sqrt (a sqrt here
+        # would compress regressions ~2x and loosen the 1.02 bar).
         q = srgb_to_lab(jnp.asarray(img.pixels[..., :3], jnp.float32) / 255.0)
-        return float(
-            jnp.sqrt(
-                jnp.maximum(
-                    distance_cie94(src.reshape(-1, 3), q.reshape(-1, 3)), 0.0
-                )
-            ).mean()
-        )
+        return float(distance_cie94(src.reshape(-1, 3), q.reshape(-1, 3)).mean())
 
     e_ours, e_gold = mean_err(ours), mean_err(golden)
     print(

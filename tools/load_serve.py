@@ -53,11 +53,13 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
-def _png_body(width: int = 320, height: int = 240):
+def test_image(width: int = 320, height: int = 240):
+    """The load-test workload image (3 noisy color blobs). Shared with
+    tools/exp_heavy_ab.py so the no-HTTP A/B measures the exact same
+    frames the server launches."""
     import numpy as np
 
     from kmeans_tpu.image import Image
-    from kmeans_tpu.utils.imageio import encode_png_bytes
 
     rng = np.random.default_rng(7)
     base = np.array([[220, 50, 40], [40, 200, 70], [60, 70, 220]], np.int32)
@@ -66,7 +68,13 @@ def _png_body(width: int = 320, height: int = 240):
     rgba = np.concatenate(
         [rgb.astype(np.uint8), np.full((height, width, 1), 255, np.uint8)], -1
     )
-    return encode_png_bytes(Image((width, height), rgba))
+    return Image((width, height), rgba)
+
+
+def _png_body(width: int = 320, height: int = 240):
+    from kmeans_tpu.utils.imageio import encode_png_bytes
+
+    return encode_png_bytes(test_image(width, height))
 
 
 FIND_COLORS = "dc3228,28c846,3c46dc,f0f0f0,101010,c8a028,28b4b4,9632c8"
@@ -171,7 +179,16 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
                     delay = due - time.perf_counter()
                     if delay > 0:
                         time.sleep(delay)
-                ts = time.perf_counter()
+                    # Open-loop latency counts from the SCHEDULED
+                    # arrival, not the actual fire time — a thread that
+                    # fell behind schedule fired late because the server
+                    # is slow, and that wait is part of the request's
+                    # latency (skipping it is the classic
+                    # coordinated-omission bug: percentiles look fine
+                    # exactly when the server saturates).
+                    ts = due
+                else:
+                    ts = time.perf_counter()
                 status = _post(addr, body, path)
                 with lat_lock:
                     latencies.append(time.perf_counter() - ts)
@@ -182,6 +199,14 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
             threading.Thread(target=client, args=(ci,))
             for ci in range(clients)
         ]
+        # Snapshot the batcher counters so the report covers ONLY the
+        # timed phase — the warmup posts above also go through the
+        # batcher, and cumulative counts would overstate launches and
+        # pad the histogram (round-4 review finding).
+        b = srv.service.batcher
+        base_batches = b.batches
+        base_batched = b.batched_requests
+        base_hist = dict(b.batch_sizes)
         t0 = time.perf_counter()
         for t in threads:
             t.start()
@@ -190,16 +215,22 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         elapsed = time.perf_counter() - t0
         assert not errors, errors
         n = clients * per_client
-        b = srv.service.batcher
         lat = sorted(latencies)
+        hist = {
+            size: cnt - base_hist.get(size, 0)
+            for size, cnt in sorted(b.batch_sizes.items())
+            if cnt - base_hist.get(size, 0) > 0
+        }
         result = {
             "window_ms": window_s * 1e3,
             "requests": n,
             "seconds": round(elapsed, 3),
             "rps": round(n / elapsed, 2),
-            "device_launches": b.batches if window_s > 0 else n,
-            "requests_batched": b.batched_requests,
-            "batch_size_hist": dict(sorted(b.batch_sizes.items())),
+            "device_launches": (
+                b.batches - base_batches if window_s > 0 else n
+            ),
+            "requests_batched": b.batched_requests - base_batched,
+            "batch_size_hist": hist,
             "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
             "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1),
             "max_ms": round(lat[-1] * 1e3, 1),
