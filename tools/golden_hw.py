@@ -9,10 +9,12 @@ is the hardware path, making this the per-round re-verification tool
 images).
 
 Round-4 capture (TPU v5e): find replace 0.999997 / dither 0.999995
-pixel-identical; reduce k=8 mean CIE94 2.2906 vs golden 2.2755
-(ratio 1.0066, bar <= 1.02 — reduce seeds are implementation-defined
+pixel-identical; reduce k=8 mean CIE94 5.9261 vs golden 5.8756
+(ratio 1.0086, bar <= 1.02 — reduce seeds are implementation-defined
 GPU f32, so quality, not bits, is the contract; see
-tests/test_golden.py's module docstring).
+tests/test_golden.py's module docstring). An earlier capture published
+2.29/2.28 — those were mean sqrt(delta-E) from the metric bug this
+tool's review fixed; the ratio conclusion was unchanged.
 
 Run on the TPU host: python tools/golden_hw.py
 """
