@@ -118,15 +118,20 @@ def collect_configs(
         lambda: p.reduce(8, tokyo, Algorithm.KMEANS, ReduceMode.DITHER),
         up_bytes=px * 3, down_bytes=px * pack_bits(8) // 8,
     )
-    # palette uploads the host-shrunk pipeline strip (<= train cap per
-    # side), reads back 8 RGBA rows — both tiny; the floor is ~1 RTT.
+    # palette floor bytes follow the PROCESSOR's mode: the default
+    # (pipeline=False) uploads the full RGB image and shrinks on
+    # device; only pipeline=True uploads the host-shrunk strip. The
+    # round-4 review caught the floor assuming the strip while the
+    # bench ran the default — overstating x_floor ~1.6x. Readback is 8
+    # RGBA rows either way.
     from kmeans_tpu.ops.resize import shrunk_dimensions
 
     sw, sh = shrunk_dimensions(w, h, p.train_max_size)
+    palette_up = sw * sh * 3 if p.pipeline else px * 3
     record(
         "palette c8 + swatch",
         lambda: render_swatch(p.palette(8, tokyo), 40),
-        up_bytes=sw * sh * 3, down_bytes=8 * 8,
+        up_bytes=palette_up, down_bytes=8 * 8,
     )
     record(
         "find 3 colors replace", lambda: p.find(tokyo, hex3),
