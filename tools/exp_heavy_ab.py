@@ -16,9 +16,9 @@ ratio many/solo = 0.95 (895 vs 849 ms, healthy wire), 1.21 (908 vs
 tripled (313 ms/frame solo) — i.e. PARITY within transport noise, and
 nowhere near the ~1.7x the closed-loop rps gap would require if the
 executable were the cause. The load-test loss is client-lockstep idle
-time, as docs/serving.md's arithmetic shows; the open-loop generator
-(tools/load_serve.py `open_rate`) confirms batching wins 1.53x under
-Poisson arrivals.
+time plus ambient wire, as docs/serving.md's multi-session ledger
+shows (heavy direction 0.59-1.53x across sessions and generators —
+transport weather, not the batcher).
 
 Run on the TPU host: python tools/exp_heavy_ab.py [reps=3]
 """
