@@ -225,6 +225,7 @@ def main(trials: int = 60) -> int:
         if t % 5 == 0:
             print(f"  pipeline soak {t} ok", flush=True)
 
+    print("  section: gif-batch", flush=True)
     # batched GIF-style paths under bucketing: random frame counts/sizes.
     for t in range(max(5, trials // 10)):
         h = int(rng.integers(4, 40))
@@ -257,6 +258,7 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] bucketed palette_images trial={t}")
             failures += 1
 
+    print("  section: delta-e-2000", flush=True)
     # delta-E 2000 processors: full reduce/find trials at random sizes
     # (XLA path; checks the metric plumbing end-to-end), plus fast-mode
     # fused kernels on random large palettes (k > 16 rolled loop).
@@ -283,6 +285,7 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] delta_e 2000 find trial={t}")
             failures += 1
 
+    print("  section: fast-mode", flush=True)
     for t in range(max(5, trials // 10)):
         h = int(rng.integers(4, 60))
         w = int(rng.integers(4, 60))
@@ -307,6 +310,7 @@ def main(trials: int = 60) -> int:
             print(f"[FAIL] fast-mode flips {flips:.2%} trial={t} k={k}/{ka}")
             failures += 1
 
+    print("  section: fused-cie2000", flush=True)
     # fused CIEDE2000 (interpret) vs XLA metric path: polynomial-atan2
     # knife-edge flips only, at random shapes/k.
     for t in range(max(5, trials // 12)):
@@ -335,6 +339,7 @@ def main(trials: int = 60) -> int:
                   f"{h}x{w} k={k}/{ka} {mode}")
             failures += 1
 
+    print("  section: streamed", flush=True)
     # streamed reduce vs whole-image reduce at random band splits (no
     # training shrink -> bit-equal, including dither band offsets).
     for t in range(max(5, trials // 12)):
@@ -353,6 +358,7 @@ def main(trials: int = 60) -> int:
             failures += 1
 
     # reduce_many (serving micro-batch executable): random mixed-size
+    print("  section: micro-batch", flush=True)
     # same-bucket batches must match per-image reduce (round 2).
     for t in range(max(4, trials // 15)):
         k = int(rng.integers(2, 6))
@@ -430,6 +436,7 @@ def main(trials: int = 60) -> int:
                 print(f"[FAIL] palette_many != palette trial={t} k={k}")
                 failures += 1
 
+    print("  section: pruned-cie2000", flush=True)
     # pruned CIEDE2000 fast tier (fast=True, k > 16 -> factorized screen
     # + exact trig on PRUNE_M survivors) vs exact, across random shapes,
     # palettes, and k_active masks. NOTE the data class: uniform-random
@@ -484,6 +491,7 @@ def main(trials: int = 60) -> int:
                   f"{excess:.3f} dE trial={t} {h}x{w} k={k}/{ka}")
             failures += 1
 
+    print("  section: heavy-bucket", flush=True)
     # heavy-bucket coalescing (the lax.map sequential executables): force
     # the heavy route on small canvases by collapsing the element budget
     # (k > 64 + budget 1 -> _plain_fit_route False, the
