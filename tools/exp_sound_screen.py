@@ -198,12 +198,27 @@ def soundness(rng, n):
     lb, ub = cie2000_sq_bounds(lab1, lab2)
     viol_lb = np.sum(lb > d * (1.0 + 1e-12) + 1e-9)
     viol_ub = np.sum(ub < d * (1.0 - 1e-12) - 1e-9)
+    # An in-kernel screen would evaluate the bound in f32: compare
+    # f32-computed bounds against the f64 truth with the relative
+    # margin a real implementation would carry (1e-4 covers the bound
+    # arithmetic's rounding; violations here = margin insufficient).
+    lb32, ub32 = cie2000_sq_bounds(
+        lab1.astype(np.float32).astype(np.float64),
+        lab2.astype(np.float32).astype(np.float64),
+    )
+    lb32 = lb32.astype(np.float32).astype(np.float64)
+    ub32 = ub32.astype(np.float32).astype(np.float64)
+    margin = 1e-4
+    viol_lb32 = np.sum(lb32 * (1.0 - margin) - 1e-6 > d)
+    viol_ub32 = np.sum(ub32 * (1.0 + margin) + 1e-6 < d)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(lb > 0, ub / lb, np.inf)
     return {
         "n": int(n),
         "lb_violations": int(viol_lb),
         "ub_violations": int(viol_ub),
+        "lb_violations_f32_margined": int(viol_lb32),
+        "ub_violations_f32_margined": int(viol_ub32),
         "ub_over_lb_p50": float(np.percentile(ratio[np.isfinite(ratio)], 50)),
         "ub_over_lb_p95": float(np.percentile(ratio[np.isfinite(ratio)], 95)),
         "ub_over_lb_p999": float(np.percentile(ratio[np.isfinite(ratio)], 99.9)),
