@@ -666,6 +666,7 @@ def _quantize_kernel(
     tile_rows: int = QUANT_TILE_ROWS,
     frame_tiles: int = 0,
     emit_rgb24: bool = False,
+    emit_distance: bool = False,
 ):
     """`frame_tiles > 0` selects per-frame-palette batch mode: the 1-D
     grid covers `B * frame_tiles` tiles (each frame padded to a whole
@@ -688,7 +689,15 @@ def _quantize_kernel(
         else None
     )
     lut_ref = refs.pop(0) if use_lut else None
-    in_ref, out_ref = refs
+    if emit_distance:
+        # Two-half k > 512 support (round 4): the packed-index tiers
+        # additionally write the winning distance plane, so an XLA
+        # combine can merge two <= 512-half launches into the global
+        # argmin (first-min semantics preserved: strict < in the halves,
+        # ties resolved to the lower-index half by the merger).
+        in_ref, out_ref, out_dist_ref = refs
+    else:
+        in_ref, out_ref = refs
     if frame_tiles:
         frame = pl.program_id(0) // frame_tiles
         # Per-frame k (scalars[2 + f]): each frame in the stacked batch
@@ -933,9 +942,11 @@ def _quantize_kernel(
                     jnp.where(take, sel, best_sel),
                 )
 
-            _, best_sel = k_loop(body, (jnp.full_like(l_p, big), sel0))
+            best_d, best_sel = k_loop(body, (jnp.full_like(l_p, big), sel0))
         best_k = best_packed = best_sel
         if emit_index:
+            if emit_distance:
+                out_dist_ref[:] = best_d
             if pack_bits_n:
                 # In-kernel sublane pack: fold 32/bits sublane blocks of
                 # the index tile into one i32 word each (static row
@@ -1112,7 +1123,7 @@ def fused_quantize(
 def _run_quantize_kernel(
     rgba_u8, centroids_lab, threshold, k_active, mode, interpret, emit_index,
     row_offset=0, fast=False, metric="cie94", use_lut=True, pack_bits_n=0,
-    emit_rgb24=False,
+    emit_rgb24=False, emit_distance=False,
 ):
     """Shared pad/tile/pallas_call plumbing for fused_quantize/fused_assign.
     The named_scope labels the pass in profiler traces, like the
@@ -1189,19 +1200,35 @@ def _run_quantize_kernel(
     elif emit_rgb24:
         out_rows = tile_rows * 3 // 4
         out_shape = (tiles.shape[0] * 3 // 4, LANES)
+    out_shapes = jax.ShapeDtypeStruct(out_shape, jnp.int32)
+    out_specs = pl.BlockSpec(
+        (out_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    if emit_distance:
+        # Second output: the winning distance plane in pixel-tile layout
+        # (f32, same shape as the input tiles) for the two-half merge.
+        assert emit_index and pack_bits_n and mode in ("replace", "dither")
+        out_shapes = [
+            out_shapes, jax.ShapeDtypeStruct(tiles.shape, jnp.float32)
+        ]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
     return pl.pallas_call(
         functools.partial(
             _quantize_kernel, kp=kp, mode=mode, width=w, emit_index=emit_index,
             fast=fast, metric=metric, use_lut=use_lut, pack_bits_n=pack_bits_n,
             tile_rows=tile_rows, emit_rgb24=emit_rgb24,
+            emit_distance=emit_distance,
         ),
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (out_rows, LANES), lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         interpret=interpret,
     )(*operands)
 
@@ -1604,7 +1631,10 @@ def fused_assign(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "fast", "metric", "use_lut")
+    jax.jit,
+    static_argnames=(
+        "mode", "interpret", "fast", "metric", "use_lut", "emit_distance"
+    ),
 )
 def fused_assign_packed(
     rgba_u8: jnp.ndarray,
@@ -1617,6 +1647,7 @@ def fused_assign_packed(
     fast: bool = False,
     metric: str = "cie94",
     use_lut: bool = True,
+    emit_distance: bool = False,
 ) -> jnp.ndarray:
     """`fused_assign` with the index map bit-packed INSIDE the kernel:
     32/bits sublane blocks of each tile fold into one i32 word (bits =
@@ -1626,7 +1657,11 @@ def fused_assign_packed(
     `utils.packing.unpack_tile_words(words, h, w, bits)` inverts on the
     host (which then gathers `palette[idx]`). Replace/dither; k <= 512
     (the reference's palette-image cap, `cli.rs` <=512 distinct colors —
-    257..512 take the 16-bit tier at 2 B/px, half the RGBA readback)."""
+    257..512 take the 16-bit tier at 2 B/px, half the RGBA readback).
+
+    `emit_distance=True` (round 4, the k > 512 two-half building block)
+    additionally returns the winning distance plane as `[n_tiles, 128]`
+    f32 in pixel-tile layout — `(words, dists)`."""
     from kmeans_tpu.utils.packing import pack_bits
 
     if mode not in ("replace", "dither"):
@@ -1639,7 +1674,111 @@ def fused_assign_packed(
     return _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,
         row_offset, fast, metric, use_lut, pack_bits_n=bits,
+        emit_distance=emit_distance,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "interpret", "fast", "metric", "use_lut"),
+)
+def fused_quantize_two_half(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    threshold: jnp.ndarray,
+    k_active=None,
+    mode: str = "replace",
+    interpret: bool = False,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+) -> jnp.ndarray:
+    """k > 512 fused quantize as TWO <= 512-half kernel launches + an
+    XLA argmin merge — replace/dither only (meld's 2-closest blend does
+    not decompose into per-half winners without a 4-way merge).
+
+    Why: the single rolled kernel is trip-bound at large kp (k=1024 at
+    4K measured 89.2 ms exact AND fast — tools/exp_k1024.py), while the
+    <= 512 halves run the chunked-unroll straight-line form (22.1 ms
+    exact / 13.7 ms fast each at 4K k=512), and the in-kernel
+    chunked-unroll at kp = 1024 crashes the remote Mosaic compiler. Each
+    half emits its packed u16 index words plus the winning distance
+    plane (`emit_distance`); the merge takes half B strictly-less so
+    ties resolve to half A — exactly the single loop's first-min
+    semantics. Distances are computed per candidate by the same
+    plane formulas in both forms, and replace/dither outputs measured
+    bit-equal across loop forms on hardware (docs/perf.md round 2), so
+    the merged output matches the rolled single-kernel path wherever
+    that equality holds (pinned in interpret tests; hardware checksum in
+    tools/exp_two_half.py). Everything (two pallas_calls + merge +
+    palette gather) traces into ONE executable — one tunnel dispatch.
+
+    Returns recolored `[H, W, 4]` u8 like `fused_quantize`. Requires
+    512 < kp <= 1024."""
+    from kmeans_tpu.utils.packing import pack_bits
+
+    if mode not in ("replace", "dither"):
+        raise ValueError("two-half quantize supports replace/dither only")
+    if metric not in PALLAS_METRICS:
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    kp = centroids_lab.shape[0]
+    if not 512 < kp <= 1024:
+        raise ValueError("two-half quantize requires 512 < k <= 1024")
+    h, w = rgba_u8.shape[0], rgba_u8.shape[1]
+    n = h * w
+    k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+
+    def half(cents, k_act_half):
+        bits = pack_bits(cents.shape[0])
+        words, dists = _run_quantize_kernel(
+            rgba_u8, cents, threshold, k_act_half, mode, interpret, True,
+            0, fast, metric, use_lut, pack_bits_n=bits, emit_distance=True,
+        )
+        # Device-side inverse of the kernel's in-tile sublane pack: word
+        # row r of a tile holds index rows {j * blk + r} at bit j * bits
+        # (see the pack in _quantize_kernel; utils.packing.
+        # unpack_tile_words is the host twin of this layout).
+        tile_rows = quant_tile_rows(cents.shape[0])
+        ppw = 32 // bits
+        blk = tile_rows // ppw
+        g = words.shape[0] // blk
+        w3 = words.reshape(g, blk, LANES)
+        mask = jnp.int32((1 << bits) - 1)
+        idx3 = jnp.concatenate(
+            [(w3 >> (bits * j)) & mask for j in range(ppw)], axis=1
+        )
+        return idx3.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+    # Half A: first 512 entries; half B: the rest, PADDED to 512 rows
+    # (pads masked via k_active). The pad keeps both halves in the SAME
+    # distance tier for every (fast, metric) combination — without it,
+    # fast=True at e.g. kp=516 would run half A factorized (kp=512 > 16)
+    # and half B exact (kp=4 <= 16), and the two emitted distance planes
+    # would be on different scales (the factorized score drops the
+    # pixel-only term), corrupting the merge. Uniform kp=512 also means
+    # one packed layout and the chunked-unroll form on both launches.
+    ka = jnp.minimum(k_act, 512)
+    kb = jnp.maximum(k_act - 512, 0)
+    cents_b = jnp.concatenate(
+        [
+            centroids_lab[512:],
+            jnp.broadcast_to(
+                centroids_lab[-1:], (1024 - kp, centroids_lab.shape[1])
+            ),
+        ]
+    ) if kp < 1024 else centroids_lab[512:]
+    idx_a, d_a = half(centroids_lab[:512], ka)
+    idx_b, d_b = half(cents_b, kb)
+    win_b = d_b < d_a  # strict: ties -> half A (lower indices), like
+    #                    the single loop's `d < best_d` update rule
+    idx = jnp.where(win_b, idx_b + 512, idx_a)
+    words = jnp.take(
+        _packed_palette(centroids_lab), idx, axis=0
+    )  # [n] packed RGBA
+    out = jax.lax.bitcast_convert_type(
+        words.reshape(h, w)[..., None], jnp.uint8
+    ).reshape(h, w, 4)
+    return out
 
 
 @functools.partial(

@@ -1277,3 +1277,146 @@ def test_fused_meld_frames_packed_matches_per_frame():
             np.asarray(solo), h, w, tile_rows=quant_tile_rows(kp)
         )
         np.testing.assert_array_equal(got, want, err_msg=f"frame {f}")
+
+
+def test_fused_assign_packed_emit_distance():
+    """`emit_distance=True` (the k > 512 two-half building block) must
+    return the winning distance plane alongside the packed words: the
+    words are unchanged from the plain call, and per pixel the distance
+    equals the masked minimum of the kernel's own plane distance formula
+    over active candidates."""
+    from kmeans_tpu.ops.kernels import (
+        _cie94_sq_planes,
+        fused_assign_packed,
+        gamma_lut_values,
+        quant_tile_rows,
+    )
+    from kmeans_tpu.utils.packing import pack_bits, unpack_tile_words
+
+    h, w, k, ka = 21, 37, 9, 7
+    img = _image(h, w, seed=3)
+    pal = _palette(k, seed=4)
+    plain = np.asarray(
+        fused_assign_packed(img, pal, 9.0, k_active=ka, interpret=True)
+    )
+    words, dists = fused_assign_packed(
+        img, pal, 9.0, k_active=ka, interpret=True, emit_distance=True
+    )
+    np.testing.assert_array_equal(np.asarray(words), plain)
+    idx = unpack_tile_words(
+        np.asarray(words), h, w, pack_bits(k), tile_rows=quant_tile_rows(k)
+    )
+    # Expected: min over ACTIVE candidates of the same plane formula on
+    # the same LUT-gamma Lab values the kernel uses.
+    lut = np.asarray(gamma_lut_values()).reshape(-1)[:256]
+    px = np.asarray(img).astype(np.int64)
+    rl, gl, bl = lut[px[..., 0]], lut[px[..., 1]], lut[px[..., 2]]
+    from kmeans_tpu.ops.kernels import _lab_from_linear_planes
+
+    l_p, a_p, b_p = (
+        np.asarray(x)
+        for x in _lab_from_linear_planes(
+            jnp.asarray(rl, jnp.float32),
+            jnp.asarray(gl, jnp.float32),
+            jnp.asarray(bl, jnp.float32),
+        )
+    )
+    pal_np = np.asarray(pal)
+    d_all = np.stack(
+        [
+            np.asarray(
+                _cie94_sq_planes(
+                    jnp.asarray(l_p), jnp.asarray(a_p), jnp.asarray(b_p),
+                    jnp.float32(pal_np[j, 0]), jnp.float32(pal_np[j, 1]),
+                    jnp.float32(pal_np[j, 2]),
+                )
+            )
+            for j in range(ka)
+        ]
+    )
+    d_flat = np.asarray(dists).reshape(-1)[: h * w].reshape(h, w)
+    # The kernel hoists the pixel-side CIE94 terms out of the loop
+    # (t = dcab/sc; t*t) while _cie94_sq_planes squares the quotient
+    # directly — same math, ~1e-5 relative rounding skew.
+    np.testing.assert_allclose(d_flat, d_all.min(0), rtol=1e-4, atol=1e-4)
+    # The emitted distance is the distance OF the emitted index.
+    d_sel = np.take_along_axis(d_all, idx[None].astype(np.int64), 0)[0]
+    np.testing.assert_allclose(d_flat, d_sel, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither"])
+@pytest.mark.parametrize("metric", ["cie94", "cie2000"])
+def test_two_half_quantize_matches_single_kernel(mode, metric):
+    """512 < k <= 1024 as two <= 512-half launches + XLA argmin merge
+    must reproduce the single rolled kernel bit-for-bit in interpret
+    mode on the EXACT tiers (per-candidate distances are the same
+    formulas; the merge's strict-less-on-B rule is the loop's first-min
+    semantics). Covers k_active straddling and inside half A."""
+    from kmeans_tpu.ops.kernels import fused_quantize_two_half
+
+    k = 516
+    img = _image(18, 30, seed=6)
+    pal = _palette(k, seed=7)
+    thr = dither_threshold(pal)
+    for ka in (k, 514, 300):
+        want = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True,
+                metric=metric,
+            )
+        )
+        got = np.asarray(
+            fused_quantize_two_half(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True,
+                metric=metric,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"k_active={ka}")
+
+
+@pytest.mark.parametrize("metric", ["cie94", "cie2000"])
+def test_two_half_quantize_fast_tier(metric):
+    """fast=True two-half runs BOTH halves in the fast tier (half B is
+    padded to 512 rows so the tiers can't mix — a factorized half and
+    an exact half would emit distances on different scales and corrupt
+    the merge). The single kernel above 512 silently ignores `fast`, so
+    the comparison bar is the fast tiers' documented one: every output
+    pixel is a palette color and knife-edge flips vs exact are rare."""
+    from kmeans_tpu.ops.colorspace import lab_to_srgb8
+    from kmeans_tpu.ops.kernels import fused_quantize_two_half
+
+    k = 516
+    img = _image(18, 30, seed=8)
+    pal = _palette(k, seed=9)
+    thr = dither_threshold(pal)
+    exact = np.asarray(
+        fused_quantize_two_half(
+            img, pal, thr, mode="replace", interpret=True, metric=metric
+        )
+    )
+    got = np.asarray(
+        fused_quantize_two_half(
+            img, pal, thr, mode="replace", interpret=True, fast=True,
+            metric=metric,
+        )
+    )
+    rgb8 = np.asarray(lab_to_srgb8(pal))
+    palette_rgba = {
+        (r, g, b, 255) for r, g, b in map(tuple, rgb8.tolist())
+    }
+    out_px = {tuple(p) for p in got.reshape(-1, 4).tolist()}
+    assert out_px <= palette_rgba  # every pixel is a palette color
+    flips = (exact != got).any(axis=-1).mean()
+    assert flips <= 2e-3, f"fast-tier flips {flips:.4%}"
+
+
+def test_two_half_quantize_validates():
+    from kmeans_tpu.ops.kernels import fused_quantize_two_half
+
+    img = _image(8, 8)
+    with pytest.raises(ValueError, match="512 < k <= 1024"):
+        fused_quantize_two_half(img, _palette(512), 9.0, interpret=True)
+    with pytest.raises(ValueError, match="replace/dither"):
+        fused_quantize_two_half(
+            img, _palette(513), 9.0, mode="meld", interpret=True
+        )
