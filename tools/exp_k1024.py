@@ -2,17 +2,22 @@
 
 The reference accepts any `-c >= 1` (`cli/src/args.rs` validate_k has no
 upper bound); this repo's indexed/unrolled tiers stop at 512, so k=1024
-routes to the ROLLED fused quantize kernel (full-RGBA readback) and the
+routes to the fused quantize kernel (full-RGBA readback) and the
 chunked XLA trainer. This measures, at 4K on the real TPU:
 
-    fused_quantize replace k=1024   exact + fast   (rolled loop)
-    chunked-unroll variants         (UNROLL_KP_MAX=1024, chunk 128)
+    fused_quantize replace k=1024   exact + fast, three loop forms:
+      production (kp_max=256 -> _chunked_k_loop(1024, 128)),
+      forced rolled (kp_max=16),
+      FULL 1024-trip unroll (kp_max=1024 — the compiler-crash case)
     fit_chunked k=1024              ms/iter (training fallback)
 
-to decide whether the chunked-unroll / accumulator gates should rise
-past 512 or the rolled tier is the right call (compile seconds are part
-of the decision — the 512-trip cie94 unroll already crashed the remote
-compiler once). Run ON TPU.
+LABEL CORRECTION (late round 4): the original capture named the
+kp_max=1024 case "chunk128" — but kp <= kp_max selects the FULL unroll,
+so that case was the (crashing) straight-line program and the
+PRODUCTION chunked form went unmeasured; its 89.2 ms "rolled" rows were
+published as the default's number. tools/exp_two_half.py measured the
+actual production form at 46.2 ms; this tool now sweeps it explicitly.
+Run ON TPU.
 """
 
 from __future__ import annotations
@@ -102,10 +107,12 @@ def main() -> None:
         return r
 
     results = [
-        quant_case("rolled-exact", False, 16, 1),
-        quant_case("rolled-fast", True, 16, 1),
-        quant_case("chunk128-exact", False, 1024, 128),
-        quant_case("chunk128-fast", True, 1024, 128),
+        quant_case("production-chunk128-exact", False, 256, 128),
+        quant_case("production-chunk128-fast", True, 256, 128),
+        quant_case("forced-rolled-exact", False, 16, 1),
+        quant_case("forced-rolled-fast", True, 16, 1),
+        quant_case("full-unroll-1024-exact", False, 1024, 128),
+        quant_case("full-unroll-1024-fast", True, 1024, 128),
     ]
     kernels.set_loop_knobs(kp_max=256, chunk=128)
 
