@@ -45,6 +45,7 @@ from kmeans_tpu.models.octree import extract_palette_octree
 from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import (
+    INDEXED_MAX_K,
     FRAMES_MAX_BK,
     fused_assign_frames_packed,
     fused_assign_packed,
@@ -365,7 +366,7 @@ def _reduce_indexed_jit(
 ):
     """Reduce with indexed readback: train, then return the per-pixel
     palette index map as in-kernel-packed i32 words (2/4/8/16 bits per
-    pixel by palette size — `utils.packing.pack_bits`; k <= 512) + the
+    pixel by palette size — `utils.packing.pack_bits`; k <= INDEXED_MAX_K = 1024) + the
     RGBA8 palette. The host unpacks and reconstructs `palette[idx]` —
     2-16x less device->host traffic than raw RGBA, exact for
     replace/dither (every output pixel IS a palette color). Accepts
@@ -1103,7 +1104,7 @@ class ImageProcessor:
         canvas, (sw, sh), first = self._bucket_train_args(w, h, bw, bh)
         conv = ColorSpace.LAB.convergence
         kp = bucket_k(k)
-        if self.fused and reduce_mode is not ReduceMode.MELD and k <= 512:
+        if self.fused and reduce_mode is not ReduceMode.MELD and k <= INDEXED_MAX_K:
             words, pal = _reduce_bucketed_indexed_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
                 reduce_mode.value, k, fast=self.fast, restarts=self.restarts,
@@ -1364,7 +1365,7 @@ class ImageProcessor:
             if (
                 self.fused
                 and reduce_mode is not ReduceMode.MELD
-                and color_count <= 512
+                and color_count <= INDEXED_MAX_K
             ):
                 if (
                     self.pipeline
@@ -1498,7 +1499,7 @@ class ImageProcessor:
             # enumerable by warmup.
             palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
-            if reduce_mode is not ReduceMode.MELD and k <= 512:
+            if reduce_mode is not ReduceMode.MELD and k <= INDEXED_MAX_K:
                 words = _assign_indexed_jit(
                     pixels_u8, palette_lab, reduce_mode.value, k_active,
                     fast=self.fast, metric=self.delta_e,
@@ -1566,7 +1567,7 @@ class ImageProcessor:
         else:
             stack = np.stack([_host_rgb(f.pixels) for f in frames])
         kp = palette_lab.shape[0]
-        if self.fused and reduce_mode is not ReduceMode.MELD and kp <= 512:
+        if self.fused and reduce_mode is not ReduceMode.MELD and kp <= INDEXED_MAX_K:
             # Fused-kernel batch: one tall packed assign over every frame
             # (see _find_batch_fused_jit — bit-equal to per-frame).
             words = _find_batch_fused_jit(
@@ -1632,7 +1633,7 @@ class ImageProcessor:
         if (
             not self.bucketing
             or not self.fused
-            or palette_rgba.shape[0] > 512
+            or palette_rgba.shape[0] > INDEXED_MAX_K
         ):
             return [self.find(f, palette_rgba, reduce_mode) for f in frames]
         from kmeans_tpu.utils.bucketing import bucket_shape
@@ -1762,7 +1763,7 @@ class ImageProcessor:
         `_frames_quantize_tail`)."""
         return (
             self.fused
-            and (reduce_mode is ReduceMode.MELD or kp <= 512)
+            and (reduce_mode is ReduceMode.MELD or kp <= INDEXED_MAX_K)
             and b * kp <= FRAMES_MAX_BK
         )
 
@@ -1866,7 +1867,7 @@ class ImageProcessor:
         """Multi-chip `find`: fixed-palette recolor with the image's rows
         sharded over the mesh's pixel axis (no collectives — the output
         pass is embarrassingly parallel). Transfer parity with the
-        single-chip path: RGB-only upload; replace/dither with k <= 512
+        single-chip path: RGB-only upload; replace/dither with k <= INDEXED_MAX_K
         read back an index map (2/4/8 bits per pixel width-packed for
         k <= 256, raw uint16 above) that the host expands via
         `palette[idx]`; meld on TPU meshes reads back in-kernel-packed
@@ -1884,7 +1885,7 @@ class ImageProcessor:
         rgb = _host_rgb(image.pixels)  # alpha is ignored
         if reduce_mode is ReduceMode.MELD:
             out = self._meld_sharded(mesh, rgb, palette_lab)
-        elif palette_lab.shape[0] <= 512:
+        elif palette_lab.shape[0] <= INDEXED_MAX_K:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, palette_lab, reduce_mode
             )
@@ -2086,7 +2087,7 @@ class ImageProcessor:
                 out = self._meld_sharded(
                     mesh, padded, centroids, k_active=color_count
                 )
-            elif color_count <= 512:
+            elif color_count <= INDEXED_MAX_K:
                 out = self._quantize_indexed_sharded(
                     mesh, padded, centroids, reduce_mode, k_active=color_count
                 )
@@ -2102,7 +2103,7 @@ class ImageProcessor:
         rgb = _host_rgb(image.pixels)
         if reduce_mode is ReduceMode.MELD:
             out = self._meld_sharded(mesh, rgb, centroids)
-        elif color_count <= 512:
+        elif color_count <= INDEXED_MAX_K:
             out = self._quantize_indexed_sharded(
                 mesh, rgb, centroids, reduce_mode
             )
@@ -2203,7 +2204,7 @@ class ImageProcessor:
                 out = self._meld_sharded(
                     mesh, rgb, c, k_active=color_count
                 )
-            elif color_count <= 512:
+            elif color_count <= INDEXED_MAX_K:
                 out = self._quantize_indexed_sharded(
                     mesh, rgb, c, reduce_mode, k_active=color_count
                 )
@@ -2342,7 +2343,7 @@ class ImageProcessor:
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and palette_lab.shape[0] <= 512
+            and palette_lab.shape[0] <= INDEXED_MAX_K
         )
         palette_rgba = (
             np.asarray(_lab_palette_to_u8(palette_lab)[0])
@@ -2431,7 +2432,7 @@ class ImageProcessor:
         use_indexed = (
             self.fused
             and reduce_mode is not ReduceMode.MELD
-            and color_count <= 512
+            and color_count <= INDEXED_MAX_K
         )
         WINDOW = 4  # bounded in-flight frames: overlap without HBM blowup
         pending = []
@@ -2703,7 +2704,7 @@ class ImageProcessor:
                 if (
                     self.fused
                     and reduce_mode is not ReduceMode.MELD
-                    and kp <= 512
+                    and kp <= INDEXED_MAX_K
                 ):
                     words_np, pals_np = _host_fetch(outs_dev, pals)
                     outs = np.stack([
@@ -3189,7 +3190,7 @@ def _reduce_many_bucketed_heavy_jit(
     (`_fit_auto` on the shared static canvas), but a single launch for
     the whole batch — so concurrent 4K-class or k > 64 requests stop
     paying one tunnel round trip each (VERDICT round-2 task 4). The
-    quantize tail mirrors solo `reduce`: fused packed-index (k <= 512) /
+    quantize tail mirrors solo `reduce`: fused packed-index (k <= INDEXED_MAX_K) /
     packed-RGB meld / full-RGBA kernels on TPU, the XLA quantizer
     elsewhere. Returns (per-frame outputs, per-frame RGBA8 palettes)."""
     frames_u8 = _ensure_rgba(frames_u8)
@@ -3219,7 +3220,7 @@ def _reduce_many_bucketed_heavy_jit(
                     if mode == "dither"
                     else jnp.float32(0.0)
                 )
-                if kp <= 512:
+                if kp <= INDEXED_MAX_K:
                     out = fused_assign_packed(
                         frame, centroids, threshold, k_active=k_active,
                         mode=mode, fast=fast, metric=metric,

@@ -226,6 +226,14 @@ def quant_tile_rows(kp: int) -> int:
 # every entry of ops.delta_e.METRICS has a kernel lowering.
 PALLAS_METRICS = ("cie94", "cie2000")
 
+# Packed-index readback cap. Round 2 set it to 512 (matching the
+# reference's palette-image rule); round 4's k=1024 tier work raised it
+# to 1024 — the 16-bit words hold indices to 65535, the chunked kernel
+# loop compiles and runs at kp=1024 (46 ms at 4K, docs/perf.md), and
+# the host/native unpack-gather bounds-check any k, so k in 513..1024
+# reduce/find now reads back 2 B/px instead of 4 B/px full RGBA.
+INDEXED_MAX_K = 1024
+
 _K1 = 0.045
 _K2 = 0.015
 
@@ -1668,8 +1676,10 @@ def fused_assign_packed(
         raise ValueError("fused_assign supports replace/dither only")
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
-    if centroids_lab.shape[0] > 512:
-        raise ValueError("packed indexed output requires k <= 512")
+    if centroids_lab.shape[0] > INDEXED_MAX_K:
+        raise ValueError(
+            f"packed indexed output requires k <= {INDEXED_MAX_K}"
+        )
     bits = pack_bits(centroids_lab.shape[0])
     return _run_quantize_kernel(
         rgba_u8, centroids_lab, threshold, k_active, mode, interpret, True,

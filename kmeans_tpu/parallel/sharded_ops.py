@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kmeans_tpu.ops.colorspace import srgb8_to_lab
+from kmeans_tpu.ops.kernels import INDEXED_MAX_K
 from kmeans_tpu.ops.quantize import assign_index, dither_threshold, quantize_image
 from kmeans_tpu.parallel.mesh import PIXEL_AXIS
 from kmeans_tpu.utils.packing import nibble_packed, pack_bits, pack_nibbles
@@ -105,8 +106,8 @@ def assign_indexed_sharded(
     gathers `palette[idx]`. Valid for replace/dither with k <= 512."""
     palette_lab = jnp.asarray(palette_lab)
     kp = palette_lab.shape[0]
-    if kp > 512:
-        raise ValueError("indexed readback requires k <= 512")
+    if kp > INDEXED_MAX_K:
+        raise ValueError(f"indexed readback requires k <= {INDEXED_MAX_K}")
     # 2/4 -> width-axis byte pack; 8 -> raw u8; 16 -> raw u16 (2 B/px,
     # still half the RGBA readback) — `assign_index` picks the dtype.
     bits = pack_bits(kp) if nibble_packed(kp) else (8 if kp <= 256 else 16)
@@ -145,8 +146,10 @@ def assign_fused_sharded(
     """
     palette_lab = jnp.asarray(palette_lab, jnp.float32)
     kp = palette_lab.shape[0]
-    if kp > 512:
-        raise ValueError("packed indexed readback requires k <= 512")
+    if kp > INDEXED_MAX_K:
+        raise ValueError(
+            f"packed indexed readback requires k <= {INDEXED_MAX_K}"
+        )
     if mode not in ("replace", "dither"):
         raise ValueError("assign_fused_sharded supports replace/dither only")
     sharded, h = _row_sharded(mesh, rgb_u8)

@@ -520,6 +520,7 @@ def test_assign_indexed_sharded_bit_equal_and_rgb_upload():
         (7, "dither"),
         (20, "replace"),
         (300, "replace"),
+        (600, "replace"),  # 512 < k <= INDEXED_MAX_K (round-4 extension)
     ):
         pal_u8 = rng.integers(0, 256, (k, 3), dtype=np.uint8)
         pal = srgb8_to_lab(jnp.asarray(pal_u8))

@@ -447,12 +447,14 @@ def test_fused_assign_packed_roundtrip(shape, k, mode):
     np.testing.assert_array_equal(got, idx)
 
 
-@pytest.mark.parametrize("k", [300, 512])
+@pytest.mark.parametrize("k", [300, 512, 1024])
 def test_fused_assign_packed_16bit_tier(k):
-    """256 < k <= 512 packs two 16-bit indices per i32 word (the
-    large-`find` tier; half the traffic of the RGBA readback it
-    replaces). The unpack must yield uint16 and invert the kernel's
-    layout exactly; indices must match the XLA argmin."""
+    """256 < k <= INDEXED_MAX_K (1024 since late round 4) packs two
+    16-bit indices per i32 word (the large-palette tier; half the
+    traffic of the RGBA readback it replaces — above 512 it replaces
+    the full-RGBA tier entirely). The unpack must yield uint16 and
+    invert the kernel's layout exactly; indices must match the XLA
+    argmin."""
     from kmeans_tpu.ops.kernels import (
         fused_assign_packed,
         quant_tile_rows,
@@ -1189,8 +1191,10 @@ def test_k1024_tier_routing_and_quantize():
     """The reference accepts any -c >= 1 (cli/src/args.rs validate_k has
     no upper bound); above 512 this repo routes training to the chunked
     XLA trainer (the accumulator raises past ACCUM_MAX_K) and quantize to
-    the chunk-unrolled kernel (no indexed tier — full RGBA). Pin the
-    routing and exercise the kernel at kp=1024 in interpret mode."""
+    the chunk-unrolled kernel — since late round 4 THROUGH the 16-bit
+    packed-index tier (INDEXED_MAX_K = 1024: 2 B/px readback instead of
+    full RGBA). Pin the routing and exercise the kernel at kp=1024 in
+    interpret mode."""
     import kmeans_tpu.api as api
     from kmeans_tpu.models import kmeans as km
     from kmeans_tpu.ops.kernels import ACCUM_MAX_K, lloyd_accumulate

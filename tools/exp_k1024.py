@@ -106,6 +106,64 @@ def main() -> None:
         print(json.dumps(r), flush=True)
         return r
 
+    # Indexed-tier extension (late round 4, INDEXED_MAX_K 512 -> 1024):
+    # e2e comparison of the 16-bit packed-index readback (2 B/px +
+    # native unpack-gather) vs the full-RGBA readback it replaces at
+    # k = 1024, plus pixel equality of the reconstructions. Run alone
+    # with `--only-indexed`.
+    def indexed_tier_case():
+        from kmeans_tpu.ops.colorspace import lab_to_srgb8
+        from kmeans_tpu.ops.kernels import quant_tile_rows
+        from kmeans_tpu.utils.packing import (
+            pack_bits as _pb,
+            unpack_tile_words_gather,
+        )
+
+        kernels.set_loop_knobs(kp_max=256, chunk=128)  # production form
+        thr = jnp.float32(0.0)
+        full = jax.jit(
+            lambda i, c: kernels.fused_quantize(i, c, thr, mode="replace")
+        )
+        packed = jax.jit(
+            lambda i, c: kernels.fused_assign_packed(
+                i, c, thr, mode="replace"
+            )
+        )
+        rgb8 = np.asarray(lab_to_srgb8(cents))
+        pal_rgba = np.concatenate(
+            [rgb8, np.full((k, 1), 255, np.uint8)], axis=1
+        )
+        np.asarray(full(img, cents))  # compiles
+        np.asarray(packed(img, cents))
+        t_full = min(
+            _timed(lambda: np.asarray(full(img, cents))) for _ in range(3)
+        )
+
+        def indexed_e2e():
+            words = np.asarray(packed(img, cents))
+            return unpack_tile_words_gather(
+                words, HEIGHT, WIDTH, _pb(k), pal_rgba,
+                tile_rows=quant_tile_rows(k),
+            )
+        got = indexed_e2e()
+        t_idx = min(_timed(indexed_e2e) for _ in range(3))
+        want = np.asarray(full(img, cents))
+        r = {
+            "case": "k1024-e2e-readback",
+            "full_rgba_ms": round(t_full * 1e3, 1),
+            "indexed16_ms": round(t_idx * 1e3, 1),
+            "speedup": round(t_full / t_idx, 2),
+            "mismatch_px": int((want != got).any(axis=-1).sum()),
+        }
+        print(json.dumps(r), flush=True)
+        return r
+
+    if "--only-indexed" in sys.argv:
+        results = [indexed_tier_case()]
+        with open("/tmp/exp_k1024_indexed.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
+
     results = [
         quant_case("production-chunk128-exact", False, 256, 128),
         quant_case("production-chunk128-fast", True, 256, 128),
@@ -114,6 +172,7 @@ def main() -> None:
         quant_case("full-unroll-1024-exact", False, 1024, 128),
         quant_case("full-unroll-1024-fast", True, 1024, 128),
     ]
+    results.append(indexed_tier_case())
     kernels.set_loop_knobs(kp_max=256, chunk=128)
 
     # Training fallback: fit_chunked ms/iter at k=1024 on a shrunk-training
