@@ -311,6 +311,24 @@ def main() -> None:
         f"over {len(times)} reps (floor {e2e_floor()*1e3:.0f} ms)"
     )
 
+    # Per-phase attribution of the headline e2e (VERDICT r04 task 1):
+    # one extra rep under the phase recorder. Boundaries force device
+    # completion, so sum(phases) exceeds the un-instrumented e2e by
+    # ~`_syncs` x call_latency; per-phase magnitudes are the signal.
+    try:
+        from kmeans_tpu.utils.profiling import collect_phases
+
+        ph: dict = {}
+        with collect_phases(ph):
+            one_e2e()
+        phases_ms = {
+            k: (v if k == "_syncs" else round(v * 1e3, 1))
+            for k, v in sorted(ph.items())
+        }
+        log(f"bench: e2e phases {phases_ms}")
+    except Exception as e:
+        phases_ms = {"error": str(e)}
+
     # The full BASELINE.json config matrix (reference workloads on
     # tokyo.png) — per-config failures are recorded, not fatal.
     log("bench: config matrix ...")
@@ -343,6 +361,7 @@ def main() -> None:
                 "e2e_ms": round(e2e * 1e3, 1),
                 "e2e_median_ms": round(e2e_median * 1e3, 1),
                 "e2e_floor_ms": round(e2e_floor() * 1e3, 1),
+                "e2e_phases_ms": phases_ms,
                 "e2e_reps": len(times),
                 "wire_up_mb_s": round(wire_up, 1),
                 "wire_down_mb_s": round(wire_down, 1),

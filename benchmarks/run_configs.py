@@ -89,6 +89,24 @@ def collect_configs(
             "seconds": round(t, 4),
             "mpix_s": round(pixels_m / t, 2),
         }
+        # One extra rep under the phase recorder: attributes the row's
+        # wall-clock to host_prep/upload/device/readback/unpack/... .
+        # Phase boundaries force device completion, so the vector's sum
+        # exceeds `seconds` by ~`_syncs` transport round trips (the
+        # session call latency is in `configs._wire`); per-phase
+        # magnitudes are the signal (VERDICT r04 task 1).
+        try:
+            from kmeans_tpu.utils.profiling import collect_phases
+
+            ph: dict = {}
+            with collect_phases(ph):
+                fn()
+            row["phases_ms"] = {
+                k: (v if k == "_syncs" else round(v * 1e3, 1))
+                for k, v in sorted(ph.items())
+            }
+        except Exception as e:
+            row["phases_ms"] = {"error": str(e)}
         fl = (
             floor_s(up_bytes, down_bytes)
             if up_bytes is not None
@@ -128,9 +146,16 @@ def collect_configs(
 
     sw, sh = shrunk_dimensions(w, h, p.train_max_size)
     palette_up = sw * sh * 3 if p.pipeline else px * 3
+    from kmeans_tpu.utils.profiling import phase
+
+    def _palette_swatch():
+        pal = p.palette(8, tokyo)
+        with phase("swatch"):
+            return render_swatch(pal, 40)
+
     record(
         "palette c8 + swatch",
-        lambda: render_swatch(p.palette(8, tokyo), 40),
+        _palette_swatch,
         up_bytes=palette_up, down_bytes=8 * 8,
     )
     record(

@@ -54,6 +54,8 @@ from kmeans_tpu.ops.kernels import (
     fused_quantize,
 )
 from kmeans_tpu.ops.quantize import dither_threshold, quantize_image
+from kmeans_tpu.utils.profiling import phase as _phase
+from kmeans_tpu.utils.profiling import phase_sync as _phase_sync
 from kmeans_tpu.ops.resize import (
     resize_to_canvas,
     resize_uint8,
@@ -771,10 +773,12 @@ def _palette_readback(centroids, k: int) -> np.ndarray:
     by the palette entry points. Trailing (bucket-padding) rows beyond
     `k` are dropped before the sort; conversion happens at the full
     (bounded) kp shape so executables stay keyed on the k bucket."""
-    rgba, lightness = _lab_palette_to_u8(centroids)
-    rgba, lightness = _host_fetch(rgba, lightness)
-    rgba, lightness = rgba[:k], lightness[:k]
-    return rgba[np.argsort(lightness, kind="stable")]
+    with _phase("readback"):
+        rgba, lightness = _lab_palette_to_u8(centroids)
+        rgba, lightness = _host_fetch(rgba, lightness)
+    with _phase("host_sort"):
+        rgba, lightness = rgba[:k], lightness[:k]
+        return rgba[np.argsort(lightness, kind="stable")]
 
 
 def _on_device(method):
@@ -999,20 +1003,26 @@ class ImageProcessor:
         w, h = image.dimensions
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        upload = jnp.asarray(self._pipeline_strip(_host_rgb(image.pixels)))
-        centroids, iters = _train_jit(
-            upload,
-            k,
-            (sh, sw),
-            first,
-            color_space.convergence,
-            lab=color_space is ColorSpace.LAB,
-            use_pallas=self.fused,
-            metric=self.delta_e,
-            restarts=self.restarts,
-            fast=self.fast,
-            train_dtype=self.train_dtype,
-        )
+        with _phase("host_prep"):
+            strip = self._pipeline_strip(_host_rgb(image.pixels))
+        with _phase("upload"):
+            upload = jnp.asarray(strip)
+            _phase_sync(upload)
+        with _phase("device"):
+            centroids, iters = _train_jit(
+                upload,
+                k,
+                (sh, sw),
+                first,
+                color_space.convergence,
+                lab=color_space is ColorSpace.LAB,
+                use_pallas=self.fused,
+                metric=self.delta_e,
+                restarts=self.restarts,
+                fast=self.fast,
+                train_dtype=self.train_dtype,
+            )
+            _phase_sync(centroids)
         if log.isEnabledFor(logging.DEBUG):
             # Debug centroid dump, like the reference's log-gated readback
             # (`core/src/modules.rs:842-870`, convergence log :829).
@@ -1334,13 +1344,17 @@ class ImageProcessor:
         palette_rgba = _colors_rgba(colors)
         if palette_rgba.shape[0] == 0:
             raise ValueError("palette must contain at least one color")
-        palette_lab = _colors_to_lab(palette_rgba)
-        rgb = _host_rgb(image.pixels)  # alpha is ignored
+        with _phase("host_prep"):
+            palette_lab = _colors_to_lab(palette_rgba)
+            rgb = _host_rgb(image.pixels)  # alpha is ignored
+            if self.bucketing:
+                rgb, h, w = pad_to_bucket(rgb)
+        with _phase("upload"):
+            dev = jnp.asarray(rgb)
+            _phase_sync(dev)
+        out = self._quantize(dev, palette_lab, reduce_mode)
         if self.bucketing:
-            padded, h, w = pad_to_bucket(rgb)
-            out = self._quantize(jnp.asarray(padded), palette_lab, reduce_mode)
             return Image(image.dimensions, np.asarray(out)[:h, :w])
-        out = self._quantize(jnp.asarray(rgb), palette_lab, reduce_mode)
         return Image(image.dimensions, np.asarray(out))
 
     @_on_device
@@ -1374,49 +1388,75 @@ class ImageProcessor:
                 ):
                     out = self._reduce_banded(image, color_count, reduce_mode)
                     return Image(image.dimensions, out)
-                words, palette_rgba = _reduce_indexed_jit(
-                    jnp.asarray(_host_rgb(image.pixels)),
-                    color_count,
-                    (sh, sw),
-                    first,
-                    ColorSpace.LAB.convergence,
-                    reduce_mode.value,
-                    fast=self.fast,
-                    restarts=self.restarts,
-                    metric=self.delta_e,
-                    train_dtype=self.train_dtype,
-                )
-                words_np, pal_np = _host_fetch(words, palette_rgba)
-                out = _unpack_gather(words_np, h, w, color_count, pal_np)
+                with _phase("host_prep"):
+                    rgb = _host_rgb(image.pixels)
+                with _phase("upload"):
+                    dev = jnp.asarray(rgb)
+                    _phase_sync(dev)
+                with _phase("device"):
+                    words, palette_rgba = _reduce_indexed_jit(
+                        dev,
+                        color_count,
+                        (sh, sw),
+                        first,
+                        ColorSpace.LAB.convergence,
+                        reduce_mode.value,
+                        fast=self.fast,
+                        restarts=self.restarts,
+                        metric=self.delta_e,
+                        train_dtype=self.train_dtype,
+                    )
+                    _phase_sync(words)
+                with _phase("readback"):
+                    words_np, pal_np = _host_fetch(words, palette_rgba)
+                with _phase("unpack"):
+                    out = _unpack_gather(words_np, h, w, color_count, pal_np)
             elif self.fused and reduce_mode is ReduceMode.MELD:
                 # Meld's compact tier: in-kernel RGB byte pack (3 B/px,
                 # bit-identical colors — meld has no index map).
-                words = _reduce_meld_packed_jit(
-                    jnp.asarray(_host_rgb(image.pixels)),
-                    color_count,
-                    (sh, sw),
-                    first,
-                    ColorSpace.LAB.convergence,
-                    fast=self.fast,
-                    restarts=self.restarts,
-                    metric=self.delta_e,
-                    train_dtype=self.train_dtype,
-                )
-                out = _unpack_meld(np.asarray(words), h, w, color_count)
+                with _phase("host_prep"):
+                    rgb = _host_rgb(image.pixels)
+                with _phase("upload"):
+                    dev = jnp.asarray(rgb)
+                    _phase_sync(dev)
+                with _phase("device"):
+                    words = _reduce_meld_packed_jit(
+                        dev,
+                        color_count,
+                        (sh, sw),
+                        first,
+                        ColorSpace.LAB.convergence,
+                        fast=self.fast,
+                        restarts=self.restarts,
+                        metric=self.delta_e,
+                        train_dtype=self.train_dtype,
+                    )
+                    _phase_sync(words)
+                with _phase("readback"):
+                    words_np = np.asarray(words)
+                with _phase("unpack"):
+                    out = _unpack_meld(words_np, h, w, color_count)
             else:
-                out, _ = _reduce_jit(
-                    jnp.asarray(_host_rgb(image.pixels)),
-                    color_count,
-                    (sh, sw),
-                    first,
-                    ColorSpace.LAB.convergence,
-                    reduce_mode.value,
-                    self.fused,
-                    fast=self.fast,
-                    metric=self.delta_e,
-                    restarts=self.restarts,
-                    train_dtype=self.train_dtype,
-                )
+                with _phase("host_prep"):
+                    rgb = _host_rgb(image.pixels)
+                with _phase("upload"):
+                    dev = jnp.asarray(rgb)
+                    _phase_sync(dev)
+                with _phase("device"):
+                    out, _ = _reduce_jit(
+                        dev,
+                        color_count,
+                        (sh, sw),
+                        first,
+                        ColorSpace.LAB.convergence,
+                        reduce_mode.value,
+                        self.fused,
+                        fast=self.fast,
+                        metric=self.delta_e,
+                        restarts=self.restarts,
+                        train_dtype=self.train_dtype,
+                    )
+                    _phase_sync(out)
         else:
             palette_u8 = self._cpu_palette_u8(image, color_count, algo)
             palette_lab = _colors_to_lab(palette_u8)
@@ -1500,17 +1540,21 @@ class ImageProcessor:
             palette_lab, k_active = pad_palette_k(palette_lab)
         if self.fused:
             if reduce_mode is not ReduceMode.MELD and k <= INDEXED_MAX_K:
-                words = _assign_indexed_jit(
-                    pixels_u8, palette_lab, reduce_mode.value, k_active,
-                    fast=self.fast, metric=self.delta_e,
-                )
-                words_np, pal_np = _host_fetch(
-                    words, _lab_palette_to_u8(palette_lab)[0]
-                )
-                return _unpack_gather(
-                    words_np, pixels_u8.shape[0], pixels_u8.shape[1],
-                    palette_lab.shape[0], pal_np,
-                )
+                with _phase("device"):
+                    words = _assign_indexed_jit(
+                        pixels_u8, palette_lab, reduce_mode.value, k_active,
+                        fast=self.fast, metric=self.delta_e,
+                    )
+                    _phase_sync(words)
+                with _phase("readback"):
+                    words_np, pal_np = _host_fetch(
+                        words, _lab_palette_to_u8(palette_lab)[0]
+                    )
+                with _phase("unpack"):
+                    return _unpack_gather(
+                        words_np, pixels_u8.shape[0], pixels_u8.shape[1],
+                        palette_lab.shape[0], pal_np,
+                    )
             if reduce_mode is ReduceMode.MELD:
                 words = _meld_packed_jit(
                     pixels_u8, palette_lab, k_active, fast=self.fast,
@@ -1561,27 +1605,40 @@ class ImageProcessor:
             # pad frames repeat frame 0 and are discarded — and in palette
             # size, masked by k_active), crop after — bit-equal.
             palette_lab, k_active = pad_palette_k(palette_lab)
-            padded = [pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames]
-            padded += [padded[0]] * (bucket_frames(len(padded)) - len(padded))
-            stack = np.stack(padded)
+            with _phase("host_prep"):
+                padded = [
+                    pad_to_bucket(_host_rgb(f.pixels))[0] for f in frames
+                ]
+                padded += (
+                    [padded[0]] * (bucket_frames(len(padded)) - len(padded))
+                )
+                stack = np.stack(padded)
         else:
-            stack = np.stack([_host_rgb(f.pixels) for f in frames])
+            with _phase("host_prep"):
+                stack = np.stack([_host_rgb(f.pixels) for f in frames])
         kp = palette_lab.shape[0]
         if self.fused and reduce_mode is not ReduceMode.MELD and kp <= INDEXED_MAX_K:
             # Fused-kernel batch: one tall packed assign over every frame
             # (see _find_batch_fused_jit — bit-equal to per-frame).
-            words = _find_batch_fused_jit(
-                jnp.asarray(stack), palette_lab, reduce_mode.value,
-                k_active, fast=self.fast, metric=self.delta_e,
-            )
+            with _phase("upload"):
+                dev = jnp.asarray(stack)
+                _phase_sync(dev)
+            with _phase("device"):
+                words = _find_batch_fused_jit(
+                    dev, palette_lab, reduce_mode.value,
+                    k_active, fast=self.fast, metric=self.delta_e,
+                )
+                _phase_sync(words)
             bsz, sh_, sw_ = stack.shape[:3]
             h4 = -(-sh_ // 4) * 4
-            words_np, pal_u8 = _host_fetch(
-                words, _lab_palette_to_u8(palette_lab)[0]
-            )
-            outs = _unpack_gather(words_np, bsz * h4, sw_, kp, pal_u8).reshape(
-                bsz, h4, sw_, 4
-            )[: len(frames), :h, :w]
+            with _phase("readback"):
+                words_np, pal_u8 = _host_fetch(
+                    words, _lab_palette_to_u8(palette_lab)[0]
+                )
+            with _phase("unpack"):
+                outs = _unpack_gather(
+                    words_np, bsz * h4, sw_, kp, pal_u8
+                ).reshape(bsz, h4, sw_, 4)[: len(frames), :h, :w]
         elif self.fused and reduce_mode is ReduceMode.MELD:
             # Meld's batch tier: one tall RGB24-packed meld launch,
             # bit-identical to per-frame (no dither phase to align).

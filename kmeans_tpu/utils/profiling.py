@@ -56,3 +56,82 @@ class Timer:
         if self.name:
             log.info("%s: %.3fs", self.name, self.elapsed)
         return False
+
+
+# --------------------------------------------------------------------- #
+# Per-phase wall-clock attribution (bench honesty: VERDICT r04 task 1)
+# --------------------------------------------------------------------- #
+#
+# The e2e numbers sit above their byte-derived transport floors; this
+# recorder decomposes an entry-point call into measured phases
+# (host_prep / upload / device / readback / unpack / ...) so the gap is
+# attributable instead of folklore. Recording is OFF by default and the
+# instrumentation sites in api.py cost one no-op context manager each
+# (~1 us) when off.
+#
+# In recording mode, phase boundaries FORCE device completion with a
+# tiny derived readback (`phase_sync`) — `block_until_ready` is
+# unreliable over this harness's tunnel (docs/STATUS.md), and without a
+# sync every async phase would bill to whichever phase blocks first.
+# Each forced sync adds ~one transport round trip that the
+# un-instrumented call does not pay; `phases["_syncs"]` counts them so
+# readers can discount (bench.py embeds the session call latency next
+# to the vector). The phase SUM therefore slightly exceeds the
+# un-instrumented e2e; per-phase magnitudes are the signal.
+
+_phase_acc: dict | None = None
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    """Accumulate wall-clock into `name` while recording is enabled."""
+    global _phase_acc
+    if _phase_acc is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if _phase_acc is not None:
+            _phase_acc[name] = (
+                _phase_acc.get(name, 0.0) + time.perf_counter() - t0
+            )
+
+
+def phase_sync(*arrays) -> None:
+    """Force completion of device arrays (recording mode only): read back
+    one element of a jitted slice of each. The probe executable is
+    cached per shape/dtype; the readback is the sync point."""
+    if _phase_acc is None:
+        return
+    import numpy as np
+
+    for a in arrays:
+        if hasattr(a, "addressable_shards"):
+            np.asarray(_probe1(a))
+            _phase_acc["_syncs"] = _phase_acc.get("_syncs", 0) + 1
+
+
+@jax.jit
+def _probe1(a):
+    return a.reshape(-1)[:1]
+
+
+@contextlib.contextmanager
+def collect_phases(out: dict):
+    """Enable phase recording into `out` for the duration of the block.
+
+    Not reentrant and not thread-safe (one global accumulator) — this is
+    a bench/diagnostic mode, not a production counter."""
+    global _phase_acc
+    prev = _phase_acc
+    _phase_acc = out
+    try:
+        yield out
+    finally:
+        _phase_acc = prev
+
+
+def recording() -> bool:
+    return _phase_acc is not None
