@@ -252,9 +252,26 @@ def main() -> None:
         return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
 
     onp.asarray(dev_loop(img_dev))
-    loop_t = min((_timed(lambda: onp.asarray(dev_loop(img_dev))) for _ in range(3)))
-    device_s = max((loop_t - call_latency) / LOOP, 1e-6)
-    log(f"bench: device {device_s*1e3:.2f} ms/reduce ({LOOP}-loop)")
+
+    def device_sample() -> float:
+        """One 20-loop in-jit device sample (seconds per reduce)."""
+        t = _timed(lambda: onp.asarray(dev_loop(img_dev)))
+        return max((t - call_latency) / LOOP, 1e-6)
+
+    # Degradation-proofing the device tier (VERDICT r04 task 3): the
+    # single min-of-3 sample published through round 4 could not
+    # distinguish a sub-1.5x kernel regression from ambient drift of the
+    # shared chip (0.55-0.88 ms observed across identical-code sessions).
+    # Sample N times HERE and N more after the config matrix (minutes
+    # later), publish min + median + the raw reps. Reading rule
+    # (BASELINE.md): moved median at stable wire rates = kernel
+    # regression; moved min only = ambient drift.
+    device_reps = [device_sample() for _ in range(4)]
+    device_s = min(device_reps)
+    log(
+        f"bench: device {device_s*1e3:.2f} ms/reduce ({LOOP}-loop), "
+        f"reps {[round(t*1e3, 2) for t in device_reps]}"
+    )
 
     # Transport projection: the same pipeline behind a locally-attached
     # accelerator (PCIe staging instead of the dev tunnel). Bytes moved by
@@ -349,6 +366,18 @@ def main() -> None:
     except Exception as e:  # keep the headline metric alive regardless
         configs = {"error": str(e)}
 
+    # Second half of the device spread capture (minutes after the first:
+    # a drifting chip/tunnel shows up as a moved tail, a healthy one as a
+    # tight band).
+    device_reps.extend(device_sample() for _ in range(3))
+    device_s = min(device_reps)
+    device_sorted = sorted(device_reps)
+    device_median = device_sorted[len(device_sorted) // 2]
+    log(
+        f"bench: device min {device_s*1e3:.2f} ms, median "
+        f"{device_median*1e3:.2f} ms over {len(device_reps)} reps"
+    )
+
     print(
         json.dumps(
             {
@@ -358,6 +387,8 @@ def main() -> None:
                 "vs_baseline": round(e2e_mpix_s / REFERENCE_BASELINE_MPIX_S, 3),
                 "device_mpix_s": round(mpix / device_s, 1),
                 "device_ms": round(device_s * 1e3, 2),
+                "device_ms_median": round(device_median * 1e3, 2),
+                "device_ms_reps": [round(t * 1e3, 2) for t in device_reps],
                 "e2e_ms": round(e2e * 1e3, 1),
                 "e2e_median_ms": round(e2e_median * 1e3, 1),
                 "e2e_floor_ms": round(e2e_floor() * 1e3, 1),

@@ -38,6 +38,11 @@ import numpy as np
 
 log = logging.getLogger("kmeans_tpu")
 
+try:  # native host fast paths (runtime/_imagio.c); numpy fallbacks below
+    from kmeans_tpu.runtime import _imagio as _native
+except ImportError:  # pragma: no cover - source tree without build_ext
+    _native = None
+
 from kmeans_tpu.image import Image
 from kmeans_tpu.models import kmeans as kmeans_model
 from kmeans_tpu.models.mediancut import extract_palette_mediancut
@@ -177,8 +182,23 @@ def _ensure_rgba(pixels_u8: jnp.ndarray) -> jnp.ndarray:
 
 def _host_rgb(pixels: np.ndarray) -> np.ndarray:
     """Host-side `[..., :3]` slice (contiguous) — the upload-side half of
-    the RGB-only transfer optimization (see `_ensure_rgba`)."""
-    return np.ascontiguousarray(np.asarray(pixels)[..., :3])
+    the RGB-only transfer optimization (see `_ensure_rgba`). Contiguous
+    RGBA8 input takes the native single-pass strip (`_imagio.strip_alpha`,
+    several GB/s); numpy's strided copy (~0.6 GB/s, 52 ms on a 4K frame —
+    the round-5 phase attribution's largest host_prep term) remains the
+    spec and the fallback. Byte-equal by construction (a pure byte strip);
+    pinned by tests/test_packing.py."""
+    arr = np.asarray(pixels)
+    if (
+        _native is not None
+        and arr.dtype == np.uint8
+        and arr.ndim >= 1
+        and arr.shape[-1] == 4
+        and arr.flags.c_contiguous
+    ):
+        out = _native.strip_alpha(arr)
+        return np.frombuffer(out, np.uint8).reshape(arr.shape[:-1] + (3,))
+    return np.ascontiguousarray(arr[..., :3])
 
 
 def _fit_auto(
@@ -2274,6 +2294,120 @@ class ImageProcessor:
                 )
             outs.append(Image(dims, out[:h, :w]))
         return outs
+
+    def palette_images_sharded(
+        self,
+        images,
+        color_count: int,
+        algo: Algorithm = Algorithm.KMEANS,
+        mesh=None,
+    ) -> np.ndarray:
+        """Multi-chip `palette_images`: ONE palette trained jointly over B
+        same-sized frames, with the concatenated shrunk training pixels
+        sharded over the mesh's pixel axis (round-5 surface symmetry —
+        the DP x SP family's training-only member). The joint training is
+        a single fit, so it rides `fit_sharded` over the concatenation
+        (frame 0 first, preserving the reference seed index) with
+        `_fit_auto`-parity trainer routing; CPU palette algorithms do not
+        train on device and fall back to `palette_images`. Returns
+        `[k, 4]` RGBA8 sorted by L* like `palette_images` (equal modulo
+        f32 psum reduction ordering)."""
+        from kmeans_tpu.parallel.distributed import fit_sharded
+        from kmeans_tpu.parallel.mesh import make_mesh
+
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
+        _validate_k(color_count)
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        if algo is not Algorithm.KMEANS:
+            return self.palette_images(frames, color_count, algo)
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        w, h = dims
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        works = []
+        for f in frames:
+            px = jnp.asarray(_host_rgb(f.pixels))
+            tr = resize_uint8(px, sh, sw) if (sw, sh) != (w, h) else px
+            works.append(srgb8_to_lab(tr[..., :3].reshape(-1, 3)))
+        work = jnp.concatenate(works)
+        n = work.shape[0]
+        d = mesh.devices.size
+        n_pad = (n + d - 1) // d * d
+        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
+        weight = jnp.concatenate(
+            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
+        )
+        centroids, _ = fit_sharded(
+            mesh, work, weight, color_count, first,
+            convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
+            restarts=self.restarts,
+            **self._sharded_fit_kwargs(n, color_count, mesh),
+        )
+        return _palette_readback(centroids, color_count)
+
+    def find_batch_sharded(
+        self,
+        images,
+        colors,
+        reduce_mode: ReduceMode = ReduceMode.REPLACE,
+        mesh=None,
+    ) -> list[Image]:
+        """Multi-chip `find_batch`: B same-sized frames recolored with one
+        fixed palette in ONE tall-stack sharded launch (round-5 surface
+        symmetry). Frames pad rows to a multiple of 4 and stack tall
+        exactly like the single-chip `_find_batch_fused_jit` (the Bayer
+        dither matrix is 4-periodic, so each frame keeps the per-frame
+        phase `find` uses); the tall image's rows then shard over the
+        mesh's pixel axis through the same epilogues as `find_sharded`
+        (fused Pallas kernel per shard on TPU meshes, packed indexed /
+        RGB24 meld readbacks, XLA executable on CPU meshes) — one launch
+        and one readback for the whole batch instead of B. Bit-equal to
+        per-frame `find_sharded` by construction (per-pixel op; phase
+        r%4 within every frame)."""
+        from kmeans_tpu.parallel.mesh import make_mesh
+        from kmeans_tpu.parallel.sharded_ops import quantize_image_sharded
+
+        frames = [_as_image(im) for im in images]
+        if not frames:
+            raise ValueError("need at least one frame")
+        dims = frames[0].dimensions
+        for f in frames:
+            if f.dimensions != dims:
+                raise ValueError("all frames must share dimensions")
+        palette_rgba = _colors_rgba(colors)
+        if palette_rgba.shape[0] == 0:
+            raise ValueError("palette must contain at least one color")
+        palette_lab = _colors_to_lab(palette_rgba)
+        kp = palette_lab.shape[0]
+        if mesh is None:
+            mesh = make_mesh(self.devices, data=1)
+        w, h = dims
+        h4 = -(-h // 4) * 4
+        stack = np.zeros((len(frames), h4, w, 3), np.uint8)
+        for i, f in enumerate(frames):
+            stack[i, :h] = _host_rgb(f.pixels)
+        tall = stack.reshape(len(frames) * h4, w, 3)
+        if reduce_mode is ReduceMode.MELD:
+            out = self._meld_sharded(mesh, tall, jnp.asarray(palette_lab))
+        elif kp <= INDEXED_MAX_K:
+            out = self._quantize_indexed_sharded(
+                mesh, tall, palette_lab, reduce_mode
+            )
+        else:
+            out = np.asarray(
+                quantize_image_sharded(
+                    mesh, tall, palette_lab, mode=reduce_mode.value,
+                    metric=self.delta_e,
+                )
+            )
+        out = out.reshape(len(frames), h4, w, 4)[:, :h]
+        return [Image(dims, out[i]) for i in range(len(frames))]
 
     @_on_device
     def reduce_streamed(

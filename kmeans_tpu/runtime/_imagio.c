@@ -1307,6 +1307,41 @@ done:
 }
 
 static PyObject *
+imagio_strip_alpha(PyObject *self, PyObject *args)
+{
+    /* RGBA8 -> RGB8: the upload-side alpha strip (`api._host_rgb`).
+     * numpy's strided `ascontiguousarray(px[..., :3])` runs ~0.6 GB/s
+     * (52 ms on a 4K frame — the largest host_prep term in the round-5
+     * phase attribution, tools/exp_phases.py); this single-pass byte
+     * walk autovectorizes to several GB/s. Returns a bytearray (the
+     * caller wraps with np.frombuffer: writable, no extra copy). */
+    Py_buffer rgba;
+    if (!PyArg_ParseTuple(args, "y*", &rgba))
+        return NULL;
+    PyObject *result = NULL;
+    if ((size_t)rgba.len % 4 != 0) {
+        PyErr_SetString(PyExc_ValueError, "buffer length must be 4 * n");
+        goto done;
+    }
+    {
+        const size_t n = (size_t)rgba.len / 4;
+        result = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)(n * 3));
+        if (!result)
+            goto done;
+        unsigned char *out = (unsigned char *)PyByteArray_AS_STRING(result);
+        const unsigned char *in = (const unsigned char *)rgba.buf;
+        for (size_t i = 0; i < n; i++) {
+            out[i * 3 + 0] = in[i * 4 + 0];
+            out[i * 3 + 1] = in[i * 4 + 1];
+            out[i * 3 + 2] = in[i * 4 + 2];
+        }
+    }
+done:
+    PyBuffer_Release(&rgba);
+    return result;
+}
+
+static PyObject *
 imagio_set_max_decode_pixels(PyObject *self, PyObject *args)
 {
     unsigned long long n;
@@ -1354,6 +1389,8 @@ static PyMethodDef imagio_methods[] = {
      "unpack_indices_gather(words_i32_buffer, h, w, bits, tile_rows, lanes,"
      " palette_rgba_buffer) -> rgba_bytearray (inverse of the in-kernel"
      " index pack, fused with the palette gather)"},
+    {"strip_alpha", imagio_strip_alpha, METH_VARARGS,
+     "strip_alpha(rgba_bytes) -> bytearray: RGBA8 -> RGB8 byte strip"},
     {"set_max_decode_pixels", imagio_set_max_decode_pixels, METH_VARARGS,
      "set_max_decode_pixels(n) -> previous limit (total decoded pixels per"
      " call; default 512 Mpix)"},

@@ -101,3 +101,25 @@ def test_native_unpack_results_are_writable():
     )
     assert got.flags.writeable
     got[..., 3] = 128
+
+
+def test_strip_alpha_native_matches_numpy():
+    """api._host_rgb's native RGBA->RGB strip must be byte-equal to the
+    numpy slice spec on contiguous input, fall back identically on
+    non-contiguous / RGB input, and stay writable."""
+    from kmeans_tpu.api import _host_rgb
+
+    rng = np.random.default_rng(7)
+    for shape in [(33, 17, 4), (4, 5, 6, 4), (1, 1, 4), (128, 128, 4)]:
+        rgba = rng.integers(0, 256, shape, np.uint8)
+        ref = np.ascontiguousarray(rgba[..., :3])
+        got = _host_rgb(rgba)
+        assert got.dtype == np.uint8 and got.flags.c_contiguous
+        assert np.array_equal(got, ref)
+        got[(0,) * (got.ndim - 1) + (0,)] = 9  # writable
+    # non-contiguous view + already-RGB input take the numpy path
+    rgba = rng.integers(0, 256, (40, 30, 4), np.uint8)
+    sub = rgba[3:29, 5:21]
+    assert np.array_equal(_host_rgb(sub), np.ascontiguousarray(sub[..., :3]))
+    rgb = np.ascontiguousarray(rgba[..., :3])
+    assert np.array_equal(_host_rgb(rgb), rgb)
