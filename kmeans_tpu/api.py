@@ -51,6 +51,7 @@ from kmeans_tpu.models.wu import extract_palette_wu
 from kmeans_tpu.ops.colorspace import lab_to_srgb8, srgb8_to_lab, srgb8_to_lab_np
 from kmeans_tpu.ops.kernels import (
     INDEXED_MAX_K,
+    QUANT_MAX_KP,
     FRAMES_MAX_BK,
     fused_assign_frames_packed,
     fused_assign_packed,
@@ -352,7 +353,11 @@ def _reduce_jit(
         work, k, first_index, convergence, use_pallas, metric=metric,
         restarts=restarts, fast=fast, plane_dtype=train_dtype,
     )
-    if use_pallas:
+    # Meld above QUANT_MAX_KP has no kernel program (the kp=2048 compile
+    # crashes Mosaic; replace/dither decompose into halves inside
+    # fused_quantize, meld's 2-closest blend does not) — its output pass
+    # takes the row-chunked XLA meld in the same executable.
+    if use_pallas and not (mode == "meld" and k > QUANT_MAX_KP):
         threshold = (
             dither_threshold(centroids, metric=metric)
             if mode == "dither"
@@ -720,7 +725,9 @@ def _reduce_bucketed_jit(
         convergence, k_active, use_pallas=use_pallas, metric=metric,
         restarts=restarts, fast=fast,
     )
-    if use_pallas:
+    # Meld above QUANT_MAX_KP: no kernel program — XLA chunked meld
+    # output pass (see _reduce_jit).
+    if use_pallas and not (mode == "meld" and kp > QUANT_MAX_KP):
         threshold = (
             dither_threshold(centroids, k_active=k_active, metric=metric)
             if mode == "dither"
@@ -1142,7 +1149,14 @@ class ImageProcessor:
             )
             words_np, pal_np = _host_fetch(words, pal)
             return _unpack_gather(words_np, bh, bw, kp, pal_np)[:h, :w]
-        if self.fused and reduce_mode is ReduceMode.MELD:
+        if (
+            self.fused
+            and reduce_mode is ReduceMode.MELD
+            and kp <= QUANT_MAX_KP
+        ):
+            # kp > QUANT_MAX_KP: no meld kernel program — the
+            # _reduce_bucketed_jit fallthrough routes its output pass to
+            # the row-chunked XLA meld.
             words = _reduce_bucketed_meld_jit(
                 jnp.asarray(padded), kp, canvas, first, h, w, sh, sw, conv,
                 k, fast=self.fast, restarts=self.restarts,
@@ -1431,9 +1445,16 @@ class ImageProcessor:
                     words_np, pal_np = _host_fetch(words, palette_rgba)
                 with _phase("unpack"):
                     out = _unpack_gather(words_np, h, w, color_count, pal_np)
-            elif self.fused and reduce_mode is ReduceMode.MELD:
+            elif (
+                self.fused
+                and reduce_mode is ReduceMode.MELD
+                and color_count <= QUANT_MAX_KP
+            ):
                 # Meld's compact tier: in-kernel RGB byte pack (3 B/px,
-                # bit-identical colors — meld has no index map).
+                # bit-identical colors — meld has no index map). Above
+                # QUANT_MAX_KP the meld kernel cannot compile; the else
+                # branch's _reduce_jit routes its output pass to the
+                # row-chunked XLA meld.
                 with _phase("host_prep"):
                     rgb = _host_rgb(image.pixels)
                 with _phase("upload"):
@@ -1576,6 +1597,13 @@ class ImageProcessor:
                         palette_lab.shape[0], pal_np,
                     )
             if reduce_mode is ReduceMode.MELD:
+                if palette_lab.shape[0] > QUANT_MAX_KP:
+                    # No meld kernel program above QUANT_MAX_KP (compile
+                    # crash class, tools/exp_k2048.py); row-chunked XLA.
+                    return quantize_image(
+                        pixels_u8, palette_lab, mode="meld",
+                        k_active=k_active, metric=self.delta_e,
+                    )
                 words = _meld_packed_jit(
                     pixels_u8, palette_lab, k_active, fast=self.fast,
                     metric=self.delta_e,
@@ -1659,9 +1687,14 @@ class ImageProcessor:
                 outs = _unpack_gather(
                     words_np, bsz * h4, sw_, kp, pal_u8
                 ).reshape(bsz, h4, sw_, 4)[: len(frames), :h, :w]
-        elif self.fused and reduce_mode is ReduceMode.MELD:
+        elif (
+            self.fused
+            and reduce_mode is ReduceMode.MELD
+            and kp <= QUANT_MAX_KP
+        ):
             # Meld's batch tier: one tall RGB24-packed meld launch,
             # bit-identical to per-frame (no dither phase to align).
+            # kp > QUANT_MAX_KP falls to the vmapped XLA batch below.
             words = _find_batch_meld_jit(
                 jnp.asarray(stack), palette_lab, k_active,
                 fast=self.fast, metric=self.delta_e,
@@ -1841,6 +1874,8 @@ class ImageProcessor:
         return (
             self.fused
             and (reduce_mode is ReduceMode.MELD or kp <= INDEXED_MAX_K)
+            and kp <= QUANT_MAX_KP  # b=1 edge: B*KP fits but the per-
+            #   frame kernel program itself cannot compile above the cap
             and b * kp <= FRAMES_MAX_BK
         )
 
@@ -2036,7 +2071,13 @@ class ImageProcessor:
         )
 
         palette_lab = jnp.asarray(palette_lab)
-        if self.fused and _pallas_available(mesh.devices.flat[0]):
+        if (
+            self.fused
+            and _pallas_available(mesh.devices.flat[0])
+            and palette_lab.shape[0] <= QUANT_MAX_KP
+        ):
+            # kp > QUANT_MAX_KP: no meld kernel program (compile crash
+            # class) — the XLA sharded meld below handles any k.
             words = meld_fused_sharded(
                 mesh, rgb, palette_lab, k_active=k_active,
                 metric=self.delta_e, fast=self.fast,
@@ -3400,10 +3441,18 @@ def _reduce_many_bucketed_heavy_jit(
         )
         if use_pallas:
             if mode == "meld":
-                out = fused_meld_packed(
-                    frame, centroids, k_active=k_active, fast=fast,
-                    metric=metric,
-                )
+                if kp > QUANT_MAX_KP:
+                    # No meld kernel program above QUANT_MAX_KP — the
+                    # row-chunked XLA meld (see _reduce_jit).
+                    out = quantize_image(
+                        frame, centroids, mode="meld", k_active=k_active,
+                        metric=metric,
+                    )
+                else:
+                    out = fused_meld_packed(
+                        frame, centroids, k_active=k_active, fast=fast,
+                        metric=metric,
+                    )
             else:
                 threshold = (
                     dither_threshold(centroids, k_active=k_active,

@@ -234,6 +234,16 @@ PALLAS_METRICS = ("cie94", "cie2000")
 # reduce/find now reads back 2 B/px instead of 4 B/px full RGBA.
 INDEXED_MAX_K = 1024
 
+# Largest palette a SINGLE fused kernel program may compile at: the
+# chunked centroid loop at kp=2048 deterministically crashes the remote
+# Mosaic compiler (tools/exp_k2048.py, round 5 — same failure class as
+# the kp>512 full unroll). Above it, replace/dither quantize decomposes
+# into <= QUANT_MAX_KP halves (`fused_quantize_halves` — each half the
+# measured production kernel) and meld routes to the row-chunked XLA
+# path; `fused_quantize`/`fused_meld_packed` enforce this so no caller
+# can reach the crashing compile.
+QUANT_MAX_KP = 1024
+
 _K1 = 0.045
 _K2 = 0.015
 
@@ -1116,6 +1126,22 @@ def fused_quantize(
         raise ValueError(f"unknown mode {mode!r}")
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    if centroids_lab.shape[0] > QUANT_MAX_KP:
+        # kp > 1024 cannot compile as one kernel program (QUANT_MAX_KP);
+        # replace/dither decompose into <= 1024-entry halves, meld's
+        # 2-closest blend does not (callers route the row-chunked XLA
+        # meld — `ops.quantize.quantize_image`).
+        if mode == "meld":
+            raise ValueError(
+                f"fused meld supports k <= {QUANT_MAX_KP} (the kp="
+                f"{centroids_lab.shape[0]} kernel program crashes the "
+                "Mosaic compiler); use ops.quantize.quantize_image"
+            )
+        return fused_quantize_halves(
+            rgba_u8, centroids_lab, threshold, k_active=k_active, mode=mode,
+            interpret=interpret, row_offset=row_offset, fast=fast,
+            metric=metric, use_lut=use_lut, half=QUANT_MAX_KP,
+        )
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     out = _run_quantize_kernel(
@@ -1725,24 +1751,91 @@ def fused_quantize_two_half(
 
     Returns recolored `[H, W, 4]` u8 like `fused_quantize`. Requires
     512 < kp <= 1024."""
-    from kmeans_tpu.utils.packing import pack_bits
-
     if mode not in ("replace", "dither"):
         raise ValueError("two-half quantize supports replace/dither only")
-    if metric not in PALLAS_METRICS:
-        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
     kp = centroids_lab.shape[0]
     if not 512 < kp <= 1024:
         raise ValueError("two-half quantize requires 512 < k <= 1024")
+    return fused_quantize_halves(
+        rgba_u8, centroids_lab, threshold, k_active=k_active, mode=mode,
+        interpret=interpret, fast=fast, metric=metric, use_lut=use_lut,
+        half=512,
+    )
+
+
+def fused_quantize_halves(
+    rgba_u8: jnp.ndarray,
+    centroids_lab: jnp.ndarray,
+    threshold: jnp.ndarray,
+    k_active=None,
+    mode: str = "replace",
+    interpret: bool = False,
+    row_offset=0,
+    fast: bool = False,
+    metric: str = "cie94",
+    use_lut: bool = True,
+    half: int = QUANT_MAX_KP,
+) -> jnp.ndarray:
+    """k > `half` fused quantize as ceil(kp / half) <= `half`-entry
+    kernel launches + an XLA argmin merge — the N-half generalization of
+    the round-4 two-half decomposition, and the ONLY kernel-class route
+    above QUANT_MAX_KP=1024 (the single kernel's chunked centroid loop
+    at kp=2048 crashes the remote Mosaic compiler — tools/exp_k2048.py;
+    round 4 rejected two-half ROUTING at k <= 1024 because the single
+    chunked kernel was 1.6-2x faster there, but above 1024 that kernel
+    does not exist). Replace/dither only (meld's 2-closest blend does
+    not decompose; callers route the row-chunked XLA meld).
+
+    Every half is PADDED to exactly `half` centroid rows (pads masked
+    via its k_active slice), so all launches share one kernel program
+    and one distance tier for every (fast, metric) combination — a
+    factorized half merged against an exact half would compare scores
+    on different scales. Each half emits its packed index words plus
+    the winning distance plane (`emit_distance`); the merge takes a
+    later half strictly-less, so ties resolve to the earliest half —
+    exactly the single loop's first-min `d < best_d` semantics (the
+    two-half interpret tests + tools/soak.py pin bit-equality to the
+    single kernel on the exact tiers wherever that kernel compiles).
+    Everything (N pallas_calls + merge + palette gather) traces into
+    ONE executable — one tunnel dispatch.
+
+    Returns recolored `[H, W, 4]` u8 like `fused_quantize`. Requires
+    kp > half (use the single kernel at or below it)."""
+    from kmeans_tpu.utils.packing import pack_bits
+
+    if mode not in ("replace", "dither"):
+        raise ValueError("halved quantize supports replace/dither only")
+    if metric not in PALLAS_METRICS:
+        raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    if half > QUANT_MAX_KP:
+        raise ValueError(f"half must be <= {QUANT_MAX_KP}")
+    kp = centroids_lab.shape[0]
+    if kp <= half:
+        raise ValueError(f"halved quantize requires k > {half}")
     h, w = rgba_u8.shape[0], rgba_u8.shape[1]
     n = h * w
     k_act = jnp.asarray(kp if k_active is None else k_active, jnp.int32)
+    n_halves = -(-kp // half)
+    kp_pad = n_halves * half
+    padded = (
+        jnp.concatenate(
+            [
+                centroids_lab,
+                jnp.broadcast_to(
+                    centroids_lab[-1:], (kp_pad - kp, centroids_lab.shape[1])
+                ),
+            ]
+        )
+        if kp_pad != kp
+        else centroids_lab
+    )
 
-    def half(cents, k_act_half):
+    def run_half(cents, k_act_half):
         bits = pack_bits(cents.shape[0])
         words, dists = _run_quantize_kernel(
             rgba_u8, cents, threshold, k_act_half, mode, interpret, True,
-            0, fast, metric, use_lut, pack_bits_n=bits, emit_distance=True,
+            row_offset, fast, metric, use_lut, pack_bits_n=bits,
+            emit_distance=True,
         )
         # Device-side inverse of the kernel's in-tile sublane pack: word
         # row r of a tile holds index rows {j * blk + r} at bit j * bits
@@ -1759,29 +1852,17 @@ def fused_quantize_two_half(
         )
         return idx3.reshape(-1)[:n], dists.reshape(-1)[:n]
 
-    # Half A: first 512 entries; half B: the rest, PADDED to 512 rows
-    # (pads masked via k_active). The pad keeps both halves in the SAME
-    # distance tier for every (fast, metric) combination — without it,
-    # fast=True at e.g. kp=516 would run half A factorized (kp=512 > 16)
-    # and half B exact (kp=4 <= 16), and the two emitted distance planes
-    # would be on different scales (the factorized score drops the
-    # pixel-only term), corrupting the merge. Uniform kp=512 also means
-    # one packed layout and the chunked-unroll form on both launches.
-    ka = jnp.minimum(k_act, 512)
-    kb = jnp.maximum(k_act - 512, 0)
-    cents_b = jnp.concatenate(
-        [
-            centroids_lab[512:],
-            jnp.broadcast_to(
-                centroids_lab[-1:], (1024 - kp, centroids_lab.shape[1])
-            ),
-        ]
-    ) if kp < 1024 else centroids_lab[512:]
-    idx_a, d_a = half(centroids_lab[:512], ka)
-    idx_b, d_b = half(cents_b, kb)
-    win_b = d_b < d_a  # strict: ties -> half A (lower indices), like
-    #                    the single loop's `d < best_d` update rule
-    idx = jnp.where(win_b, idx_b + 512, idx_a)
+    idx = d = None
+    for i in range(n_halves):
+        ka_i = jnp.clip(k_act - i * half, 0, half)
+        idx_i, d_i = run_half(padded[i * half : (i + 1) * half], ka_i)
+        if idx is None:
+            idx, d = idx_i, d_i
+        else:
+            win = d_i < d  # strict: ties -> earliest half (lower
+            #                indices), the single loop's update rule
+            idx = jnp.where(win, idx_i + i * half, idx)
+            d = jnp.where(win, d_i, d)
     words = jnp.take(
         _packed_palette(centroids_lab), idx, axis=0
     )  # [n] packed RGBA
@@ -1811,9 +1892,17 @@ def fused_meld_packed(
     replace/dither packed-index tiers). Returns
     `[ceil(n / LANES) * 3 // 4, LANES]` i32 words in the tile layout
     `utils.packing.unpack_rgb24_tile_words(words, h, w,
-    tile_rows=quant_tile_rows(kp))` inverts on the host. Any k."""
+    tile_rows=quant_tile_rows(kp))` inverts on the host. Any
+    k <= QUANT_MAX_KP (above it the kernel program cannot compile —
+    tools/exp_k2048.py — and meld does not decompose into halves;
+    callers route the row-chunked XLA meld)."""
     if metric not in PALLAS_METRICS:
         raise ValueError(f"unknown metric {metric!r} (cie94 or cie2000)")
+    if centroids_lab.shape[0] > QUANT_MAX_KP:
+        raise ValueError(
+            f"fused meld supports k <= {QUANT_MAX_KP}; use "
+            "ops.quantize.quantize_image for larger palettes"
+        )
     return _run_quantize_kernel(
         rgba_u8, centroids_lab, jnp.float32(0.0), k_active, "meld",
         interpret, False, 0, fast, metric, use_lut, emit_rgb24=True,

@@ -1424,3 +1424,70 @@ def test_two_half_quantize_validates():
         fused_quantize_two_half(
             img, _palette(513), 9.0, mode="meld", interpret=True
         )
+
+
+@pytest.mark.parametrize("mode", ["replace", "dither"])
+def test_halves_quantize_matches_xla_above_cap(mode):
+    """k > QUANT_MAX_KP routes `fused_quantize` through the N-half
+    decomposition (the single kernel program cannot compile there —
+    tools/exp_k2048.py); the exact tier must stay bit-equal to the XLA
+    quantizer, including k_active straddles of the 1024 boundary."""
+    from kmeans_tpu.ops.kernels import QUANT_MAX_KP
+    from kmeans_tpu.ops.quantize import quantize_image
+
+    k = QUANT_MAX_KP + 8
+    img = _image(10, 14, seed=11)
+    pal = _palette(k, seed=12)
+    thr = dither_threshold(pal)
+    for ka in (k, QUANT_MAX_KP + 1, 1000):
+        want = np.asarray(
+            quantize_image(img, pal, mode=mode, k_active=ka)
+        )
+        got = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"k_active={ka}")
+
+
+def test_fused_meld_rejects_above_cap():
+    """No meld kernel program exists above QUANT_MAX_KP (compile-crash
+    class); both entry points must reject with a clean error instead of
+    reaching the crashing compile."""
+    from kmeans_tpu.ops.kernels import QUANT_MAX_KP, fused_meld_packed
+
+    img = _image(8, 8)
+    pal = _palette(QUANT_MAX_KP + 1)
+    with pytest.raises(ValueError, match="fused meld supports k <="):
+        fused_meld_packed(img, pal, interpret=True)
+    with pytest.raises(ValueError, match="fused meld supports k <="):
+        fused_quantize(img, pal, 0.0, mode="meld", interpret=True)
+
+
+def test_halves_quantize_validates():
+    from kmeans_tpu.ops.kernels import QUANT_MAX_KP, fused_quantize_halves
+
+    img = _image(8, 8)
+    with pytest.raises(ValueError, match="requires k >"):
+        fused_quantize_halves(img, _palette(512), 0.0, half=512, interpret=True)
+    with pytest.raises(ValueError, match="half must be"):
+        fused_quantize_halves(
+            img, _palette(3000), 0.0, half=2048, interpret=True
+        )
+    with pytest.raises(ValueError, match="replace/dither"):
+        fused_quantize_halves(
+            img, _palette(1030), 0.0, mode="meld", interpret=True
+        )
+
+
+def test_frames_fused_gate_respects_quant_cap():
+    """b=1 frame batches at kp > QUANT_MAX_KP fit the B*KP SMEM budget
+    but the per-frame kernel program cannot compile — the fused-frames
+    gate must refuse them."""
+    from kmeans_tpu.api import ImageProcessor, ReduceMode
+
+    p = ImageProcessor.__new__(ImageProcessor)
+    p.fused = True
+    assert not p._frames_fused_ok(1, 2048, ReduceMode.MELD)
+    assert p._frames_fused_ok(2, 1024, ReduceMode.MELD)

@@ -95,7 +95,7 @@ def _paths(endpoint: str, k: int) -> list[str]:
 
 def _run(window_s: float, body: bytes, clients: int, per_client: int,
          endpoint: str = "reduce", train_max_size="default", k: int = 8,
-         open_rate: float = 0.0):
+         open_rate: float = 0.0, max_pending: int = 0):
     from kmeans_tpu.serve import create_server
 
     paths = _paths(endpoint, k)
@@ -106,12 +106,14 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         processor = ImageProcessor(
             bucketing=True, train_max_size=train_max_size
         )
-    # max_pending=0: this is a measurement tool — with the server's
-    # default backpressure cap (64), a >64-client run would count 503
-    # load-shedding as errors and silently measure the limiter instead
-    # of the batcher.
+    # max_pending=0 (default): measuring the BATCHER — the server's
+    # backpressure cap would count 503 load-shedding as errors and
+    # silently measure the limiter instead. max_pending>0 (round 5):
+    # measuring the LIMITER under deliberate overload — 503s become
+    # shed-accounting, not errors (VERDICT r04 task 4).
     srv = create_server(
-        port=0, processor=processor, batch_window_s=window_s, max_pending=0
+        port=0, processor=processor, batch_window_s=window_s,
+        max_pending=max_pending,
     )
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
@@ -152,6 +154,7 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
 
         errors = []
         latencies: list[float] = []
+        shed: list[float] = []
         lat_lock = threading.Lock()
         # Open mode: one global Poisson schedule split across clients —
         # arrival k+1 fires expovariate(open_rate) after arrival k,
@@ -191,9 +194,12 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
                     ts = time.perf_counter()
                 status = _post(addr, body, path)
                 with lat_lock:
-                    latencies.append(time.perf_counter() - ts)
-                if status != 200:
-                    errors.append(status)
+                    if status == 200:
+                        latencies.append(time.perf_counter() - ts)
+                    elif status == 503 and max_pending > 0:
+                        shed.append(time.perf_counter() - ts)
+                    else:
+                        errors.append(status)
 
         threads = [
             threading.Thread(target=client, args=(ci,))
@@ -216,6 +222,7 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
         assert not errors, errors
         n = clients * per_client
         lat = sorted(latencies)
+        assert lat, "every request was shed - nothing to report"
         hist = {
             size: cnt - base_hist.get(size, 0)
             for size, cnt in sorted(b.batch_sizes.items())
@@ -233,10 +240,22 @@ def _run(window_s: float, body: bytes, clients: int, per_client: int,
             "batch_size_hist": hist,
             "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
             "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1),
+            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 1),
             "max_ms": round(lat[-1] * 1e3, 1),
         }
         if open_rate > 0:
             result["offered_rps"] = open_rate
+        if max_pending > 0:
+            # Overload accounting: the latency percentiles above are
+            # ACCEPTED-only (from scheduled arrival in open mode — a
+            # shed request's fast 503 must not flatter the tail);
+            # goodput counts only the 200s.
+            result["max_pending"] = max_pending
+            result["accepted"] = len(lat)
+            result["shed_503"] = len(shed)
+            result["shed_fraction"] = round(len(shed) / n, 3)
+            result["goodput_rps"] = round(len(lat) / elapsed, 2)
+            result["rps"] = result["goodput_rps"]
         return result
     finally:
         srv.shutdown()
@@ -267,6 +286,7 @@ def main() -> None:
     )
     k = int(sys.argv[7]) if len(sys.argv) > 7 else 8
     open_rate = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
+    max_pending = int(sys.argv[9]) if len(sys.argv) > 9 else 0
 
     body = _png_body(int(w), int(h))
     # Session wire context (round 4): rps rows are meaningless across
@@ -283,12 +303,12 @@ def main() -> None:
     )
     serial = _run(
         0.0, body, clients, per_client, endpoint, train_max_size, k,
-        open_rate,
+        open_rate, max_pending,
     )
     print(f"serialized: {serial}", file=sys.stderr)
     batched = _run(
         window_ms / 1e3, body, clients, per_client, endpoint,
-        train_max_size, k, open_rate,
+        train_max_size, k, open_rate, max_pending,
     )
     print(f"batched:    {batched}", file=sys.stderr)
     print(

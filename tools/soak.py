@@ -529,6 +529,162 @@ def main(trials: int = 60) -> int:
     finally:
         _api_mod._CHUNKED_TRAIN_ELEMS = _orig_budget
 
+    print("  section: two-half quantize", flush=True)
+    # k > 512 two-half decomposition (kept opt-in primitive, round 4):
+    # exact-tier interpret bit-equality vs the single kernel across
+    # random k_active straddles of the 512 boundary. k stays near 513
+    # (interpret cost grows with k; the boundary is what matters).
+    from kmeans_tpu.ops.kernels import fused_quantize_two_half
+
+    # k and dims are jit-cache keys (a fresh k re-traces ~1.5k kernel
+    # trips in interpret mode); pin them and randomize what is FREE to
+    # randomize — pixel data and the traced k_active mask.
+    k = 516
+    h, w = 14, 22
+    for t in range(max(3, trials // 15)):
+        ka = int(
+            rng.choice([k, 513, 512 + int(rng.integers(1, k - 512 + 1)),
+                        int(rng.integers(1, 512))])
+        )
+        mode = ["replace", "dither"][t % 2]
+        img = jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+        pal = srgb8_to_lab(
+            jnp.asarray(rng.integers(0, 256, (k, 3), dtype=np.uint8))
+        )
+        thr = dither_threshold(pal, k_active=ka)
+        want = np.asarray(
+            fused_quantize(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True
+            )
+        )
+        got = np.asarray(
+            fused_quantize_two_half(
+                img, pal, thr, k_active=ka, mode=mode, interpret=True
+            )
+        )
+        if not np.array_equal(got, want):
+            bad = (got != want).any(axis=-1).sum()
+            print(f"[FAIL] two-half != single trial={t} {h}x{w} "
+                  f"k={k}/{ka} {mode}: {bad} px")
+            failures += 1
+
+    print("  section: sharded batch surface", flush=True)
+    # The DP x SP batch entry points vs their per-image twins on the
+    # available-device mesh: reduce_images_sharded (round 4),
+    # palette_images_sharded + find_batch_sharded (round 5). Random
+    # same-size frame batches; psum-rounding tolerance for trainings,
+    # bit-equality for the per-pixel find.
+    from kmeans_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices(), data=1)
+    plain_p = ImageProcessor()
+    # dims / frame count / k key the sharded executables (remote-free
+    # here, but a fresh trio per trial would compile every trial); pin
+    # them, randomize the frame DATA + mode.
+    h, w, n, k = 24, 30, 2, 4
+    for t in range(max(2, trials // 15)):
+        frames = [
+            Image((w, h), rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+            for _ in range(n)
+        ]
+        mode = ReduceMode(["replace", "dither"][t % 2])
+        outs = plain_p.reduce_images_sharded(frames, k, mode, mesh=mesh)
+        for i, (im, out) in enumerate(zip(frames, outs)):
+            ref = plain_p.reduce_sharded(k, im, mode, mesh=mesh)
+            frac = (out.pixels == ref.pixels).all(axis=-1).mean()
+            if frac < 0.99:
+                print(f"[FAIL] reduce_images_sharded frame {i} trial={t} "
+                      f"frac={frac:.5f}")
+                failures += 1
+        pal_j = plain_p.palette_images_sharded(frames, k, mesh=mesh)
+        pal_s = plain_p.palette_images(frames, k)
+        if np.abs(pal_j.astype(int) - pal_s.astype(int)).max() > 2:
+            print(f"[FAIL] palette_images_sharded != palette_images "
+                  f"trial={t}")
+            failures += 1
+        colors = np.concatenate(
+            [rng.integers(0, 256, (3, 3), dtype=np.uint8),
+             np.full((3, 1), 255, np.uint8)], axis=1
+        )
+        fouts = plain_p.find_batch_sharded(frames, colors, mode, mesh=mesh)
+        for i, (im, out) in enumerate(zip(frames, fouts)):
+            ref = plain_p.find_sharded(im, colors, mode, mesh=mesh)
+            if not np.array_equal(out.pixels, ref.pixels):
+                print(f"[FAIL] find_batch_sharded frame {i} trial={t}")
+                failures += 1
+
+    print("  section: serve backpressure", flush=True)
+    # Service-level bounded backpressure under concurrent overload:
+    # tiny max_pending + a batching window long enough that arrivals
+    # stack -> some clients shed with 503 + Retry-After, every client
+    # gets a terminal answer (no hangs), and the slot count returns to
+    # zero (the exactly-once release invariant under contention).
+    import http.client
+    import threading as _threading
+
+    from kmeans_tpu.serve import create_server
+    from kmeans_tpu.utils.imageio import encode_png_bytes
+
+    body = encode_png_bytes(
+        Image((24, 16), rng.integers(0, 256, (16, 24, 4), dtype=np.uint8))
+    )
+    srv = create_server(port=0, batch_window_s=0.15, max_pending=2)
+    thread = _threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+
+        def post(path):
+            conn = http.client.HTTPConnection(*addr, timeout=120)
+            conn.request("POST", path, body=body)
+            resp = conn.getresponse()
+            data = resp.read()
+            retry = resp.getheader("Retry-After")
+            conn.close()
+            return resp.status, retry, data
+
+        post("/reduce?k=3")  # warm the executables outside the burst
+        for t in range(max(2, trials // 30)):
+            results: dict[int, tuple] = {}
+
+            def client(i):
+                results[i] = post("/reduce?k=3")
+
+            threads = [
+                _threading.Thread(target=client, args=(i,))
+                for i in range(8)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=180)
+            if any(th.is_alive() for th in threads):
+                print(f"[FAIL] backpressure trial={t}: client hang")
+                failures += 1
+                break
+            statuses = sorted(s for s, _, _ in results.values())
+            if not all(s in (200, 503) for s in statuses):
+                print(f"[FAIL] backpressure trial={t}: statuses {statuses}")
+                failures += 1
+            if statuses.count(503) and not all(
+                r is not None for s, r, _ in results.values() if s == 503
+            ):
+                print(f"[FAIL] backpressure trial={t}: 503 without "
+                      f"Retry-After")
+                failures += 1
+            if srv.service._pending_count != 0:
+                print(f"[FAIL] backpressure trial={t}: slot count "
+                      f"{srv.service._pending_count} != 0 after drain")
+                failures += 1
+        # after shedding, the service still answers
+        s, _, _ = post("/reduce?k=3")
+        if s != 200:
+            print(f"[FAIL] backpressure: post-overload request got {s}")
+            failures += 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
     print(f"soak complete: {failures} failures")
     return 1 if failures else 0
 
