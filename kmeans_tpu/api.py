@@ -572,6 +572,30 @@ def _quantize_fused_jit(
     )
 
 
+@partial(jax.jit, static_argnames=("sh", "sw", "n_pad"))
+def _sharded_work_jit(frames_u8, sh: int, sw: int, n_pad: int):
+    """Assemble the pixel-sharded training store for B same-sized RGB
+    frames in ONE executable: per-frame corner-aligned shrink to
+    `[sh, sw]`, sRGB->Lab, flatten/concatenate (frame 0 first, preserving
+    the reference seed index), and 0-weight padding to the shard count —
+    so the sharded entry points pay one dispatch for the whole prep
+    instead of 3 eager device ops per frame (each a tunnel round trip on
+    the remote TPU backend). Returns `(work [n_pad, 3], weight [n_pad])`;
+    values identical to the former eager per-frame chain (same ops, same
+    order)."""
+    b, h, w = frames_u8.shape[:3]
+
+    def prep(px):
+        tr = resize_uint8(px, sh, sw) if (sw, sh) != (w, h) else px
+        return srgb8_to_lab(tr[..., :3].reshape(-1, 3))
+
+    work = jax.vmap(prep)(frames_u8).reshape(-1, 3)
+    n = work.shape[0]
+    work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
+    weight = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    return work, weight
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -2109,29 +2133,15 @@ class ImageProcessor:
             "plane_dtype": self.train_dtype if trainer == "pallas" else None,
         }
 
-    def _fit_sharded_centroids(self, image: Image, k: int, mesh):
-        """Shared trainer for the sharded entry points: shrink, convert,
-        pad to the shard count (0-weight padding), pixel-sharded fit with
-        `_fit_auto`-parity routing (full-res sharded trainings run the
-        per-shard Pallas accumulator, not the one-hot protocol)."""
+    def _fit_sharded_work(self, work, weight, k, first, mesh, n: int):
+        """Pixel-sharded fit over an assembled (already shard-padded) work
+        store — the shared tail of `_fit_sharded_centroids` and
+        `palette_images_sharded`, with `_fit_auto`-parity routing
+        (full-res sharded trainings run the per-shard Pallas accumulator,
+        not the one-hot protocol). `n` is the REAL (unpadded) pixel count
+        the trainer-route budget sees."""
         from kmeans_tpu.parallel.distributed import fit_sharded
 
-        w, h = image.dimensions
-        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
-        first = kmeans_model.reference_seed_index(sw, sh)
-        # RGB-only upload (alpha never participates) — single-chip parity.
-        pixels_u8 = jnp.asarray(_host_rgb(image.pixels))
-        train_u8 = (
-            resize_uint8(pixels_u8, sh, sw) if (sw, sh) != (w, h) else pixels_u8
-        )
-        work = srgb8_to_lab(train_u8[..., :3].reshape(-1, 3))
-        n = work.shape[0]
-        d = mesh.devices.size
-        n_pad = (n + d - 1) // d * d
-        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
-        weight = jnp.concatenate(
-            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
-        )
         centroids, _ = fit_sharded(
             mesh, work, weight, k, first,
             convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
@@ -2139,6 +2149,22 @@ class ImageProcessor:
             **self._sharded_fit_kwargs(n, k, mesh),
         )
         return centroids
+
+    def _fit_sharded_centroids(self, image: Image, k: int, mesh):
+        """Shared trainer for the sharded entry points: shrink, convert,
+        pad to the shard count (0-weight padding) — all in ONE jitted
+        executable (`_sharded_work_jit`) — then the pixel-sharded fit."""
+        w, h = image.dimensions
+        sw, sh = shrunk_dimensions(w, h, self.train_max_size)
+        first = kmeans_model.reference_seed_index(sw, sh)
+        n = sh * sw
+        d = mesh.devices.size
+        n_pad = (n + d - 1) // d * d
+        # RGB-only upload (alpha never participates) — single-chip parity.
+        work, weight = _sharded_work_jit(
+            jnp.asarray(_host_rgb(image.pixels))[None], sh, sw, n_pad
+        )
+        return self._fit_sharded_work(work, weight, k, first, mesh, n)
 
     def palette_sharded(self, color_count: int, image, mesh=None) -> np.ndarray:
         """Multi-chip `palette`: training sharded over the mesh's pixel
@@ -2353,7 +2379,6 @@ class ImageProcessor:
         train on device and fall back to `palette_images`. Returns
         `[k, 4]` RGBA8 sorted by L* like `palette_images` (equal modulo
         f32 psum reduction ordering)."""
-        from kmeans_tpu.parallel.distributed import fit_sharded
         from kmeans_tpu.parallel.mesh import make_mesh
 
         frames = [_as_image(im) for im in images]
@@ -2371,24 +2396,13 @@ class ImageProcessor:
         w, h = dims
         sw, sh = shrunk_dimensions(w, h, self.train_max_size)
         first = kmeans_model.reference_seed_index(sw, sh)
-        works = []
-        for f in frames:
-            px = jnp.asarray(_host_rgb(f.pixels))
-            tr = resize_uint8(px, sh, sw) if (sw, sh) != (w, h) else px
-            works.append(srgb8_to_lab(tr[..., :3].reshape(-1, 3)))
-        work = jnp.concatenate(works)
-        n = work.shape[0]
+        n = len(frames) * sh * sw
         d = mesh.devices.size
         n_pad = (n + d - 1) // d * d
-        work = jnp.pad(work, ((0, n_pad - n), (0, 0)))
-        weight = jnp.concatenate(
-            [jnp.ones(n, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)]
-        )
-        centroids, _ = fit_sharded(
-            mesh, work, weight, color_count, first,
-            convergence=ColorSpace.LAB.convergence, metric=self.delta_e,
-            restarts=self.restarts,
-            **self._sharded_fit_kwargs(n, color_count, mesh),
+        stack = np.stack([_host_rgb(f.pixels) for f in frames])
+        work, weight = _sharded_work_jit(jnp.asarray(stack), sh, sw, n_pad)
+        centroids = self._fit_sharded_work(
+            work, weight, color_count, first, mesh, n
         )
         return _palette_readback(centroids, color_count)
 
@@ -2596,9 +2610,15 @@ class ImageProcessor:
                     np.asarray(words), padded.shape[0], padded.shape[1],
                     palette_lab.shape[0], palette_rgba,
                 )[:bh_real, :w]
-            elif self.fused and reduce_mode is ReduceMode.MELD:
+            elif (
+                self.fused
+                and reduce_mode is ReduceMode.MELD
+                and palette_lab.shape[0] <= QUANT_MAX_KP
+            ):
                 # Meld's compact tier (3 B/px RGB24 words, bit-identical
                 # colors); meld has no row phase, so bands need no offset.
+                # kp > QUANT_MAX_KP has no meld kernel program — falls to
+                # the XLA quantize_image branch below.
                 words = _meld_packed_jit(
                     jnp.asarray(padded), palette_lab, k_active,
                     fast=self.fast, metric=self.delta_e,
@@ -2607,7 +2627,10 @@ class ImageProcessor:
                     np.asarray(words), padded.shape[0], padded.shape[1],
                     palette_lab.shape[0],
                 )[:bh_real, :w]
-            elif self.fused:
+            elif self.fused and not (
+                reduce_mode is ReduceMode.MELD
+                and palette_lab.shape[0] > QUANT_MAX_KP
+            ):
                 band_out = _quantize_fused_jit(
                     jnp.asarray(padded), palette_lab, reduce_mode.value,
                     k_active, r0, fast=self.fast, metric=self.delta_e,
@@ -2711,9 +2734,16 @@ class ImageProcessor:
                     )
                     post = _gather_crop(bh, bw, h, w, kp)
                     pending.append((image.dimensions, words, pal, post))
-                elif self.fused and reduce_mode is ReduceMode.MELD:
+                elif (
+                    self.fused
+                    and reduce_mode is ReduceMode.MELD
+                    and kp <= QUANT_MAX_KP
+                ):
                     # Meld's compact tier (3 B/px RGB24 words): same
                     # executable the bucketed single-image meld uses.
+                    # kp > QUANT_MAX_KP: no meld kernel program — the
+                    # _reduce_bucketed_jit fallthrough routes its output
+                    # pass to the row-chunked XLA meld.
                     words = _reduce_bucketed_meld_jit(
                         jnp.asarray(padded), kp, canvas, first,
                         h, w, sh, sw, conv, color_count,
@@ -2749,7 +2779,14 @@ class ImageProcessor:
                 )
                 post = _gather_crop(h, w, h, w, color_count)
                 pending.append((image.dimensions, words, palette_rgba, post))
-            elif self.fused and reduce_mode is ReduceMode.MELD:
+            elif (
+                self.fused
+                and reduce_mode is ReduceMode.MELD
+                and color_count <= QUANT_MAX_KP
+            ):
+                # Above QUANT_MAX_KP the meld kernel cannot compile; the
+                # _reduce_jit fallthrough routes the output pass to the
+                # row-chunked XLA meld (same gate as solo reduce()).
                 words = _reduce_meld_packed_jit(
                     jnp.asarray(_host_rgb(image.pixels)),
                     color_count,
@@ -2943,7 +2980,14 @@ class ImageProcessor:
                         _unpack_gather(words_np[j], bh, bw, kp, pals_np[j])
                         for j in range(len(idxs))
                     ])
-                elif self.fused and reduce_mode is ReduceMode.MELD:
+                elif (
+                    self.fused
+                    and reduce_mode is ReduceMode.MELD
+                    and kp <= QUANT_MAX_KP
+                ):
+                    # kp > QUANT_MAX_KP: the heavy jit's meld branch
+                    # returned full RGBA (row-chunked XLA meld), not
+                    # packed RGB24 words — take the plain else tail.
                     words_np = np.asarray(outs_dev)
                     outs = np.stack([
                         _unpack_meld(words_np[j], bh, bw, kp)

@@ -946,3 +946,65 @@ def test_host_fetch_matches_sequential_asarray():
     (single,) = _host_fetch(dev_a)
     np.testing.assert_array_equal(single, a)
     assert _host_fetch() == ()
+
+
+def test_meld_above_quant_max_kp_routes_xla_everywhere(
+    monkeypatch, blobs_image
+):
+    """k (or its k-bucket) above QUANT_MAX_KP has no meld kernel program
+    (the kp=2048 program crashes the Mosaic compiler — docs/perf.md);
+    every fused entry point must fall to the row-chunked XLA meld instead
+    of tracing `fused_meld_packed` (trace-time ValueError) or
+    mis-unpacking its RGBA output as packed RGB24 words. Pins the
+    round-5 gates on find_streamed / reduce_pipelined (plain + bucketed)
+    / reduce_many's heavy route; the kernel-level cap itself is pinned in
+    tests/test_kernels.py."""
+    import kmeans_tpu.api as api
+
+    # No interpret-mode kernel patches on purpose: above the cap NO
+    # Pallas kernel may be reached — if one is, the trace fails loudly
+    # on this CPU-only run, which is exactly the regression to catch.
+    monkeypatch.setattr(api, "_pallas_available", lambda device=None: True)
+
+    image, _ = blobs_image
+    small = Image((20, 15), image.pixels[:15, :20])
+    k = api.QUANT_MAX_KP + 1  # legal input (validate_k has no upper bound)
+
+    # find_streamed: fixed >1024-entry palette pads to bucket 2048.
+    rng = np.random.default_rng(5)
+    colors = rng.integers(0, 256, (k, 3)).astype(np.uint8)
+    fused_b = ImageProcessor(fused=True, bucketing=True)
+    whole = fused_b.find(small, colors, ReduceMode.MELD)
+    streamed = fused_b.find_streamed(
+        small, colors, ReduceMode.MELD, band_rows=8
+    )
+    np.testing.assert_array_equal(streamed.pixels, whole.pixels)
+
+    # reduce_pipelined rides the same executables as solo reduce on both
+    # processor shapes -> bit-equal.
+    p_plain = ImageProcessor(fused=True)
+    (piped,) = p_plain.reduce_pipelined([small], k, ReduceMode.MELD)
+    want = p_plain.reduce(k, small, reduce_mode=ReduceMode.MELD)
+    np.testing.assert_array_equal(piped.pixels, want.pixels)
+    (pipedb,) = fused_b.reduce_pipelined([small], k, ReduceMode.MELD)
+    wantb = fused_b.reduce(k, small, reduce_mode=ReduceMode.MELD)
+    np.testing.assert_array_equal(pipedb.pixels, wantb.pixels)
+
+    # reduce_many HEAVY route: above the cap the heavy jit's meld branch
+    # returns full RGBA (XLA meld) — the host tail must take the plain
+    # else tail, not the meld-words unpack.
+    monkeypatch.setattr(api, "_plain_fit_route", lambda *a: False)
+    frames = [small, Image((20, 15), image.pixels[5:20, 30:50])]
+    outs = fused_b.reduce_many(frames, k, ReduceMode.MELD)
+    for f, out in zip(frames, outs):
+        assert out.pixels.shape == f.pixels.shape
+    # One solo comparison bounds the suite cost (each kp=2048 training is
+    # expensive on the single-core CPU; frame 1 shares the executable so
+    # the unpack-tail regression this pins cannot be frame-selective) —
+    # and frames[0] IS `small`, whose solo result `wantb` is already
+    # computed (_plain_fit_route does not affect solo routing). lax.map's
+    # per-frame computation is the solo protocol; XLA may reassociate f32
+    # sums across compilation contexts, so the bar is near-identity, not
+    # bits (the reduce_many vmap caveat).
+    frac = (outs[0].pixels == wantb.pixels).all(axis=-1).mean()
+    assert frac > 0.99

@@ -139,8 +139,7 @@ def main() -> None:
 
         if hasattr(_imagio, "strip_alpha"):
             def c_strip():
-                out = bytearray(rgba.shape[0] * rgba.shape[1] * 3)
-                _imagio.strip_alpha(rgba, out)
+                out = _imagio.strip_alpha(rgba)
                 return np.frombuffer(out, np.uint8).reshape(
                     rgba.shape[0], rgba.shape[1], 3
                 )
